@@ -1,0 +1,545 @@
+"""Batched analytic ray tracing in exponential ice (JAX).
+
+A TPU-first re-design of the reference analytic ray tracer
+(NuRadioMC/SignalProp/analyticraytracing.py). The reference solves, per
+(source, receiver) pair, for the parameter ``C_0`` of the closed-form ray path
+
+    y(z) = z_0 / sqrt(n_ice^2 C_0^2 - 1) * ln(gamma / (2 sqrt(c) sqrt(gamma^2
+           - gamma b + c) - b gamma + 2 c)) + C_1,
+    gamma(z) = delta_n exp(z / z_0),  b = 2 n_ice,  c = n_ice^2 - C_0^-2
+
+(analyticraytracing.py:105-125) using scipy ``optimize.root`` plus two
+``brentq`` bracketed searches (find_solutions:1400-1547), one host call per
+pair. Here the entire solve is a fixed-shape batched device computation:
+
+* The objective ``delta_y(logC0)`` tends to a negative value at both ends of
+  the logC0 axis ("turning point too deep" penalty on the left, mirrored
+  overshoot on the right), so it has either zero or two roots. We locate its
+  maximum with a dense grid + golden-section refinement, then run
+  fixed-iteration bisection from the maximum towards both ends. No dynamic
+  control flow; invalid pairs carry a validity mask.
+* All observables (launch/receive angle, path length, travel time) use the
+  closed forms only (analyticraytracing.py:602-783, Bouma thesis formulas) —
+  scipy.quad is gone.
+* The frequency-dependent attenuation integral uses the substitution
+  z = z_turn - t^2 which removes the 1/sqrt turning-point singularity of
+  ds/dz, so a fixed-K midpoint rule is accurate and fully batched
+  (replaces get_attenuation_along_path:933-1089).
+
+Solution slots: 2 per (pair, bottom-reflection level), matching the
+reference's 2*(n_reflections+1) output layout (propagation_base_class.py:424).
+Solutions are sorted by C0 ascending (find_solutions:1547).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nuradiomc_tpu.models.ice import IceModelSimple
+from nuradiomc_tpu.ops import attenuation as attenuation_ops
+from nuradiomc_tpu.utils.constants import speed_of_light
+
+# solution types (propagation.py:3-8)
+SOL_DIRECT = 1
+SOL_REFRACTED = 2
+SOL_REFLECTED = 3
+
+_LOGC0_LO = -100.0
+_LOGC0_HI = 100.0
+# |delta_y| acceptance for a grazing (tangent) solution; the reference accepts
+# the squared objective < 1e-7 (find_solutions:1484)
+_TANGENT_TOL = 3.16e-4
+
+
+def _c0_from_log(logc0, n_ice):
+    """C0 reparametrization, get_C0_from_log (analyticraytracing.py:99-103)."""
+    return jnp.exp(logc0) + 1.0 / n_ice
+
+
+def _gamma(z, ice: IceModelSimple):
+    return ice.delta_n * jnp.exp((z - ice.z_shift) / ice.z_0)
+
+
+def _n_z(z, ice: IceModelSimple):
+    """In-ice refractive index (no air branch; rays here live below surface)."""
+    return ice.n_ice - ice.delta_n * jnp.exp((z - ice.z_shift) / ice.z_0)
+
+
+def _turning_point(c0, ice: IceModelSimple):
+    """(gamma_turn, z_turn); stable form of get_turning_point (:133-158).
+
+    gamma_turn = b/2 - sqrt(b^2/4 - c) is rewritten as c / (b/2 + sqrt(...))
+    to avoid catastrophic cancellation for steep rays (c -> 0).
+    """
+    b = 2.0 * ice.n_ice
+    c = ice.n_ice ** 2 - c0 ** -2
+    disc = jnp.sqrt(jnp.maximum(0.25 * b * b - c, 0.0))
+    gamma2 = c / (0.5 * b + disc)
+    z2 = jnp.log(gamma2 / ice.delta_n) * ice.z_0 + ice.z_shift
+    # saddle point above surface -> surface reflection: turning at z=0
+    above = z2 > 0
+    z2 = jnp.where(above, 0.0, z2)
+    gamma2 = jnp.where(above, _gamma(0.0, ice), gamma2)
+    return gamma2, z2
+
+
+def _y_of_gamma(gamma, c0, c1, ice: IceModelSimple):
+    """Closed-form ray path y(gamma) (get_y, analyticraytracing.py:105-125)."""
+    b = 2.0 * ice.n_ice
+    c = ice.n_ice ** 2 - c0 ** -2
+    root = jnp.abs(gamma ** 2 - gamma * b + c)
+    logargument = gamma / (2 * jnp.sqrt(c) * jnp.sqrt(root) - b * gamma + 2 * c)
+    return ice.z_0 / jnp.sqrt(ice.n_ice ** 2 * c0 ** 2 - 1.0) * jnp.log(logargument) + c1
+
+
+def _y_with_mirror(z, c0, ice: IceModelSimple, c1=0.0):
+    """y(z) continued beyond the turning point by mirroring (get_y_with_z_mirror:161-184)."""
+    gamma_turn, z_turn = _turning_point(c0, ice)
+    y_turn = _y_of_gamma(gamma_turn, c0, c1, ice)
+    below = z < z_turn
+    y_below = _y_of_gamma(_gamma(z, ice), c0, c1, ice)
+    y_above = 2 * y_turn - _y_of_gamma(_gamma(2 * z_turn - z, ice), c0, c1, ice)
+    return jnp.where(below, y_below, y_above)
+
+
+def _c1_of(x1y, x1z, c0, ice: IceModelSimple):
+    """Integration constant pinning the path to x1 (get_C_1, :489-491)."""
+    return x1y - _y_with_mirror(x1z, c0, ice)
+
+
+def delta_y(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple):
+    """Miss distance at the receiver for trial parameter C0.
+
+    Batched re-expression of get_delta_y (analyticraytracing.py:204-272) for
+    the in-ice, no-bottom-reflection case. Positive when the ray path at the
+    receiver depth falls short of the receiver (direct branch), with the
+    "turning point too deep" penalty and the mirrored overshoot branch making
+    the function end negative on both ends of the logC0 axis.
+    """
+    c1 = _c1_of(x1y, x1z, c0, ice)
+    gamma_turn, z_turn = _turning_point(c0, ice)
+    y_turn = _y_of_gamma(gamma_turn, c0, c1, ice)
+
+    # penalty branch: turning point deeper than receiver -> can't reach
+    # (reference: -(dist + 10 |z_turn - z2|), :243-250)
+    penalty = -(jnp.sqrt((z_turn - x2z) ** 2 + (y_turn - x2y) ** 2)
+                + 10.0 * jnp.abs(z_turn - x2z))
+
+    # direct branch (receiver before the turning point)
+    y2_direct = _y_of_gamma(_gamma(x2z, ice), c0, c1, ice)
+    d_direct = x2y - y2_direct
+
+    # mirrored branch (receiver past the turning point)
+    y2_mirror = 2 * y_turn - _y_of_gamma(_gamma(x2z, ice), c0, c1, ice)
+    d_mirror = -(x2y - y2_mirror)
+
+    out = jnp.where(y_turn > x2y, d_direct, d_mirror)
+    return jnp.where(z_turn < x2z, penalty, out)
+
+
+def _delta_y_log(logc0, x1y, x1z, x2y, x2z, ice: IceModelSimple):
+    return delta_y(_c0_from_log(logc0, ice.n_ice), x1y, x1z, x2y, x2z, ice)
+
+
+class RaySolutions(NamedTuple):
+    """Struct-of-arrays ray-tracing solutions; leading axes = batch, last = slot."""
+
+    c0: jnp.ndarray            # path parameter C0
+    c1: jnp.ndarray            # path parameter C1
+    mask: jnp.ndarray          # bool, slot holds a valid solution
+    sol_type: jnp.ndarray      # 1 direct / 2 refracted / 3 reflected
+    launch_angle: jnp.ndarray  # 2D launch zenith (rad, from +z)
+    receive_angle: jnp.ndarray # 2D receive zenith (rad, from +z)
+    path_length: jnp.ndarray
+    travel_time: jnp.ndarray
+    reflection: jnp.ndarray    # number of bottom reflections
+    refl_case: jnp.ndarray     # 1 up-going start, 2 down-going start
+
+
+def _w_up(z, c0, ice: IceModelSimple):
+    """Horizontal advance of the rising ray, y(gamma(z)) with C1 = 0."""
+    return _y_of_gamma(_gamma(z, ice), c0, 0.0, ice)
+
+
+def _branch_misses(logc0, x1z, x2z, dy_target, ice: IceModelSimple):
+    """(miss_direct, miss_mirror) for trial logC0.
+
+    The two-point problem decomposes into two monotone branches over
+    C0 in (C0_min, inf), where C0_min is the ray whose turning point sits at
+    the receiver depth:
+
+    * direct:  horizontal advance  w(z2) - w(z1)            (rising part only)
+    * mirror:  advance 2 w(z_turn) - w(z2) - w(z1)          (up, turn, down)
+
+    The direct advance = int_{z1}^{z2} dz / sqrt(C0^2 n^2 - 1) is strictly
+    decreasing in C0, so ``dy_target - advance`` crosses zero exactly once.
+    The mirror branch behaves the same way in practice. This replaces the
+    reference's root-then-bracket search (find_solutions:1479-1547) with two
+    guaranteed bisections — and is robust where the combined objective has a
+    sign change squeezed into a narrow logC0 window (near-merged solutions).
+    """
+    c0 = _c0_from_log(logc0, ice.n_ice)
+    _, z_turn = _turning_point(c0, ice)
+    w1 = _w_up(x1z, c0, ice)
+    w2 = _w_up(x2z, c0, ice)
+    wt = _w_up(z_turn, c0, ice)
+    return dy_target - (w2 - w1), dy_target - (2 * wt - w2 - w1)
+
+
+def _logc0_min(x2z, ice: IceModelSimple):
+    """log-parametrized C0 of the ray that turns exactly at the receiver depth.
+
+    gamma_turn = gamma(z2) implies c = gamma2 (b - gamma2); C0 = (n_ice^2-c)^-0.5.
+    """
+    gamma2 = _gamma(x2z, ice)
+    b = 2.0 * ice.n_ice
+    c = gamma2 * (b - gamma2)
+    c0_min = 1.0 / jnp.sqrt(ice.n_ice ** 2 - c)
+    return jnp.log(c0_min - 1.0 / ice.n_ice)
+
+
+def _solve_two_roots(x1y, x1z, x2y, x2z, ice: IceModelSimple, n_bisect: int):
+    """Find the two ray-tracing roots (direct + mirror branch) for one geometry.
+
+    Returns (logc0[2], valid[2]) sorted ascending by C0.
+    """
+    x1y, x1z, x2y, x2z = map(jnp.asarray, (x1y, x1z, x2y, x2z))
+    dy_target = x2y - x1y
+
+    def f_direct(lg):
+        return _branch_misses(lg, x1z, x2z, dy_target, ice)[0]
+
+    def f_mirror(lg):
+        return _branch_misses(lg, x1z, x2z, dy_target, ice)[1]
+
+    eps = jnp.asarray(1e-12 if x1y.dtype == jnp.float64 else 1e-5, x1y.dtype)
+    lo0 = _logc0_min(x2z, ice) + eps
+    hi0 = jnp.asarray(_LOGC0_HI, x1y.dtype)
+
+    def bisect(f, lo, hi, f_lo):
+        def body(_, st):
+            lo_, hi_ = st
+            mid = 0.5 * (lo_ + hi_)
+            same = jnp.sign(f(mid)) == jnp.sign(f_lo)
+            return jnp.where(same, mid, lo_), jnp.where(same, hi_, mid)
+        lo_, hi_ = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
+        return 0.5 * (lo_ + hi_)
+
+    fd_lo = f_direct(lo0)
+    fd_hi = f_direct(hi0)
+    fm_lo = f_mirror(lo0)
+    fm_hi = f_mirror(hi0)
+
+    has_direct = jnp.sign(fd_lo) != jnp.sign(fd_hi)
+    has_mirror = jnp.sign(fm_lo) != jnp.sign(fm_hi)
+
+    r_direct = bisect(f_direct, lo0, hi0, fd_lo)
+    r_mirror = bisect(f_mirror, lo0, hi0, fm_lo)
+
+    # grazing (tangent) geometry: both branches touch zero at C0_min
+    tangent = (~has_direct) & (jnp.abs(fd_lo) < _TANGENT_TOL)
+    r_direct = jnp.where(has_direct, r_direct, lo0)
+
+    roots = jnp.stack([r_direct, r_mirror])
+    valid = jnp.stack([has_direct | tangent, has_mirror])
+    # sort the two slots by C0 ascending (reference find_solutions:1547),
+    # pushing invalid slots last
+    key = jnp.where(valid, roots, jnp.inf)
+    order = jnp.argsort(key)
+    return roots[order], valid[order]
+
+
+def _solution_type(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple):
+    """1=direct / 2=refracted / 3=reflected (determine_solution_type:1365-1398)."""
+    c1 = _c1_of(x1y, x1z, c0, ice)
+    gamma_turn, z_turn = _turning_point(c0, ice)
+    y_turn = _y_of_gamma(gamma_turn, c0, c1, ice)
+    direct = x2y < y_turn
+    reflected = z_turn >= 0.0
+    return jnp.where(direct, SOL_DIRECT, jnp.where(reflected, SOL_REFLECTED, SOL_REFRACTED))
+
+
+def _dy_dz(z, c0, ice: IceModelSimple):
+    """|dy/dz| along the path, eq. C.12 of arXiv:1906.01670 (get_y_diff:306-355)."""
+    nz = _n_z(z, ice)
+    arg = c0 ** 2 * nz ** 2 - 1.0
+    return jnp.where(arg > 0, 1.0 / jnp.sqrt(jnp.maximum(arg, 1e-30)), jnp.inf)
+
+
+def _z2_mirrored(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple):
+    """Receiver depth continued past the turning point (get_z_mirrored:496-511)."""
+    c1 = _c1_of(x1y, x1z, c0, ice)
+    gamma_turn, z_turn = _turning_point(c0, ice)
+    y_turn = _y_of_gamma(gamma_turn, c0, c1, ice)
+    past_turn = y_turn < x2y
+    return jnp.where(past_turn, x1z + jnp.abs(z_turn - x1z) + jnp.abs(z_turn - x2z), x2z)
+
+
+def launch_angle(c0, x1z, ice: IceModelSimple):
+    """2D launch zenith at the source (get_launch_angle:1195; always upward)."""
+    return jnp.arctan(_dy_dz(x1z, c0, ice))
+
+
+def receive_angle(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple):
+    """2D receive zenith at the receiver (get_receive_angle:1198).
+
+    pi - angle(x2), where angle is measured against +z and flips sign past the
+    turning point (get_angle:1161-1193).
+    """
+    z2m = _z2_mirrored(c0, x1y, x1z, x2y, x2z, ice)
+    dy = _dy_dz(x2z, c0, ice)
+    past_turn = z2m != x2z
+    ang = jnp.arctan(dy)
+    ang = jnp.where(past_turn, jnp.pi - ang, ang)  # arctan(-dy) < 0 -> +pi
+    return jnp.pi - ang
+
+
+def reflection_angle(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple):
+    """Surface-incidence zenith for reflected rays, NaN otherwise (:1201-1237)."""
+    gamma_turn, z_turn = _turning_point(c0, ice)
+    dy_surface = _dy_dz(0.0, c0, ice)
+    ang = jnp.arctan(dy_surface)
+    sol = _solution_type(c0, x1y, x1z, x2y, x2z, ice)
+    return jnp.where((sol == SOL_REFLECTED) & (z_turn >= 0), ang, jnp.nan)
+
+
+def _bouma_beta_alpha(c0, x1z, ice: IceModelSimple):
+    n1 = _n_z(x1z, ice)
+    beta = n1 * jnp.sin(launch_angle(c0, x1z, ice))
+    alpha = ice.n_ice ** 2 - beta ** 2
+    return beta, alpha
+
+
+def path_length(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple):
+    """Closed-form path length (get_path_length_analytic:602-690, Bouma)."""
+    beta, alpha = _bouma_beta_alpha(c0, x1z, ice)
+
+    def s_of(z):
+        nz = _n_z(z, ice)
+        gam = jnp.maximum(nz ** 2 - beta ** 2, 0.0)
+        l1 = jnp.sqrt(alpha * gam) + ice.n_ice * nz - beta ** 2
+        l2 = jnp.sqrt(gam) + nz
+        return ice.n_ice / jnp.sqrt(alpha) * (z - ice.z_0 * jnp.log(l1)) + ice.z_0 * jnp.log(l2)
+
+    sol = _solution_type(c0, x1y, x1z, x2y, x2z, ice)
+    _, z_turn = _turning_point(c0, ice)
+    z_turn = jnp.where(sol == SOL_REFLECTED, 0.0, z_turn)
+    s_direct = s_of(x2z) - s_of(x1z)
+    s_turn = 2 * s_of(z_turn) - s_of(x1z) - s_of(x2z)
+    return jnp.where(sol == SOL_DIRECT, s_direct, s_turn)
+
+
+def travel_time(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple):
+    """Closed-form travel time (get_travel_time_analytic:692-783, Bouma)."""
+    beta, alpha = _bouma_beta_alpha(c0, x1z, ice)
+
+    def ct_of(z):
+        nz = _n_z(z, ice)
+        gam = jnp.maximum(nz ** 2 - beta ** 2, 0.0)
+        l1 = jnp.sqrt(alpha * gam) + ice.n_ice * nz - beta ** 2
+        l2 = jnp.sqrt(gam) + nz
+        return (ice.z_0 * (jnp.sqrt(gam) - ice.n_ice ** 2 / jnp.sqrt(alpha) * jnp.log(l1)
+                           + ice.n_ice * jnp.log(l2))
+                + ice.n_ice ** 2 * z / jnp.sqrt(alpha))
+
+    sol = _solution_type(c0, x1y, x1z, x2y, x2z, ice)
+    _, z_turn = _turning_point(c0, ice)
+    z_turn = jnp.where(sol == SOL_REFLECTED, 0.0, z_turn)
+    ct_direct = ct_of(x2z) - ct_of(x1z)
+    ct_turn = 2 * ct_of(z_turn) - ct_of(x1z) - ct_of(x2z)
+    return jnp.where(sol == SOL_DIRECT, ct_direct, ct_turn) / speed_of_light
+
+
+def focusing_factor(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple, limit=2.0):
+    """Analytic focusing factor (get_focusing_analytic:786-883, Bouma appendix).
+
+    NaN-unstable for refracted trajectories (the theta width diverges at the
+    horizontal point); for those the caller should fall back to the numeric
+    estimate (finite-difference re-solve) or clamp. The result is clipped to
+    ``limit`` as in the reference config (focusing_limit).
+    """
+    beta, alpha = _bouma_beta_alpha(c0, x1z, ice)
+    la = launch_angle(c0, x1z, ice)
+    ra = receive_angle(c0, x1y, x1z, x2y, x2z, ice)
+    s = path_length(c0, x1y, x1z, x2y, x2z, ice)
+    n1 = _n_z(x1z, ice)
+    n2 = _n_z(x2z, ice)
+
+    def w_phi(z):
+        nz = _n_z(z, ice)
+        gam = jnp.maximum(nz ** 2 - beta ** 2, 0.0)
+        return (z - ice.z_0 * jnp.log(jnp.sqrt(alpha * gam) + ice.n_ice * nz - beta ** 2)) / jnp.sqrt(alpha)
+
+    def w_theta(z):
+        nz = _n_z(z, ice)
+        gam = jnp.maximum(nz ** 2 - beta ** 2, 1e-30)
+        return (ice.n_ice ** 2 * z / alpha ** 1.5
+                + ice.z_0 * (ice.n_ice * nz + beta ** 2) / (alpha * jnp.sqrt(gam))
+                - ice.n_ice ** 2 * ice.z_0 / alpha ** 1.5
+                * jnp.log(jnp.sqrt(alpha * gam) + ice.n_ice * nz - beta ** 2))
+
+    sol = _solution_type(c0, x1y, x1z, x2y, x2z, ice)
+    wt_direct = w_theta(x2z) - w_theta(x1z)
+    wp_direct = w_phi(x2z) - w_phi(x1z)
+    wt_refl = 2 * w_theta(0.0) - w_theta(x1z) - w_theta(x2z)
+    wp_refl = 2 * w_phi(0.0) - w_phi(x1z) - w_phi(x2z)
+    wt = jnp.where(sol == SOL_DIRECT, wt_direct, wt_refl)
+    wp = jnp.where(sol == SOL_DIRECT, wp_direct, wp_refl)
+
+    f_inv_sq = n1 * n2 * jnp.abs(jnp.cos(la) * jnp.cos(ra)) * wt * wp / s ** 2
+    focusing = jnp.sqrt(1.0 / jnp.maximum(f_inv_sq, 1e-30))
+    # refracted trajectories: analytic form invalid (reference returns NaN and
+    # falls back to numerics); clamp at the limit instead of NaN-poisoning
+    focusing = jnp.where(sol == SOL_REFRACTED, jnp.minimum(focusing, limit), focusing)
+    return jnp.minimum(focusing, limit)
+
+
+def attenuation_factor(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple,
+                       frequencies, model: str, n_steps: int = 64):
+    """exp(-int ds / L_att(z, f)) along the path, per frequency.
+
+    Replaces get_attenuation_along_path (analyticraytracing.py:933-1089).
+    The substitution z = z_top - t^2 turns ds = C0 n / sqrt(C0^2 n^2 - 1) dz
+    into a bounded integrand near the turning point (where C0 n(z_turn) = 1),
+    so a fixed-``n_steps`` midpoint rule per path branch converges fast and
+    maps onto dense [batch, step, freq] tensor ops.
+
+    Parameters
+    ----------
+    frequencies : array (F,)
+        Frequencies at which to evaluate (the caller typically passes a sparse
+        grid and interpolates, mirroring the reference's n_freq config).
+    """
+    _, z_turn = _turning_point(c0, ice)
+    sol = _solution_type(c0, x1y, x1z, x2y, x2z, ice)
+    z_top = jnp.where(sol == SOL_REFLECTED, 0.0, z_turn)
+    # for direct rays, integrate [z1, z2] in one branch; otherwise two
+    # branches [z1, z_top] (up) and [z2, z_top] (down-mirrored)
+    direct = sol == SOL_DIRECT
+
+    def branch_exponent(z_start, z_end_top):
+        """int_{z_start}^{z_end_top} ds/L, with z_end_top >= z_start, via t-substitution."""
+        # t in [0, T], z = z_end_top - t^2
+        T = jnp.sqrt(jnp.maximum(z_end_top - z_start, 0.0))
+        # midpoint rule in t
+        i = (jnp.arange(n_steps, dtype=c0.dtype) + 0.5) / n_steps
+        t = i * T
+        z = z_end_top - t ** 2
+        nz = _n_z(z, ice)
+        arg = jnp.maximum(c0 ** 2 * nz ** 2 - 1.0, 1e-20)
+        ds_dt = 2.0 * t * c0 * nz / jnp.sqrt(arg)
+        # guard: at the exact turning point arg -> 0 like t^2, ratio finite;
+        # the epsilon floor keeps it bounded
+        inv_L = 1.0 / attenuation_ops.get_attenuation_length(
+            z[:, None], frequencies[None, :], model)  # [K, F]
+        dt = T / n_steps
+        return jnp.sum(ds_dt[:, None] * inv_L, axis=0) * dt  # [F]
+
+    # up branch: from z1 to (z2 for direct, z_top otherwise)
+    exp_up = branch_exponent(x1z, jnp.where(direct, x2z, z_top))
+    # down branch: from z2 to z_top (zero-length for direct rays)
+    exp_down = branch_exponent(x2z, jnp.where(direct, x2z, z_top))
+    return jnp.exp(-(exp_up + exp_down))
+
+
+def find_solutions(x1y, x1z, x2y, x2z, ice: IceModelSimple,
+                   n_bisect: int = 96) -> RaySolutions:
+    """Solve the in-ice two-point ray tracing problem for one geometry.
+
+    vmap over leading axes for batches. Prerequisite (as in the reference,
+    find_solutions:1400-1412): x2 above-or-level with x1 and to the right
+    (achieved by the 3D wrapper's swap + rotation).
+
+    Returns a 2-slot RaySolutions (slot axis last), sorted by C0 ascending.
+    """
+    logc0, valid = _solve_two_roots(x1y, x1z, x2y, x2z, ice, n_bisect)
+    c0 = _c0_from_log(logc0, ice.n_ice)
+    c1 = _c1_of(x1y, x1z, c0, ice)
+    sol_type = _solution_type(c0, x1y, x1z, x2y, x2z, ice)
+    la = launch_angle(c0, x1z, ice)
+    ra = receive_angle(c0, x1y, x1z, x2y, x2z, ice)
+    pl = path_length(c0, x1y, x1z, x2y, x2z, ice)
+    tt = travel_time(c0, x1y, x1z, x2y, x2z, ice)
+    zeros = jnp.zeros_like(sol_type)
+    return RaySolutions(
+        c0=jnp.where(valid, c0, jnp.nan),
+        c1=jnp.where(valid, c1, jnp.nan),
+        mask=valid,
+        sol_type=jnp.where(valid, sol_type, 0),
+        launch_angle=la, receive_angle=ra,
+        path_length=pl, travel_time=tt,
+        reflection=zeros, refl_case=jnp.ones_like(sol_type),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3D wrapper: reduce (3D src, 3D rcv) to the 2D plane (set_start_and_end_point
+# semantics, analyticraytracing.py:2057-2090) and lift angles back to 3D.
+# ---------------------------------------------------------------------------
+
+class Geometry2D(NamedTuple):
+    """Per-pair reduction of the 3D problem to the propagation plane."""
+
+    x1y: jnp.ndarray
+    x1z: jnp.ndarray
+    x2y: jnp.ndarray
+    x2z: jnp.ndarray
+    swapped: jnp.ndarray   # bool: source/receiver exchanged (z2 < z1 originally)
+    dphi: jnp.ndarray      # rotation angle of the plane
+    # unit vector of the horizontal propagation direction (pre-swap x1 -> x2)
+    ux: jnp.ndarray
+    uy: jnp.ndarray
+
+
+def to_2d(x1, x2) -> Geometry2D:
+    """Rotate the pair into the y-z plane. x1, x2: (..., 3) arrays."""
+    swap = x2[..., 2] < x1[..., 2]
+    a = jnp.where(swap[..., None], x2, x1)  # lower point
+    b = jnp.where(swap[..., None], x1, x2)  # upper point
+    d = b - a
+    r_h = jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)
+    dphi = -jnp.arctan2(d[..., 1], d[..., 0])
+    safe_r = jnp.where(r_h == 0, 1.0, r_h)
+    return Geometry2D(
+        x1y=a[..., 0], x1z=a[..., 2],
+        x2y=a[..., 0] + r_h, x2z=b[..., 2],
+        swapped=swap, dphi=dphi,
+        ux=jnp.where(r_h == 0, 1.0, d[..., 0] / safe_r),
+        uy=jnp.where(r_h == 0, 0.0, d[..., 1] / safe_r),
+    )
+
+
+def _rot_to_3d(geom: Geometry2D, sin_component, cos_component):
+    """Lift a 2D (sin, 0, cos) direction back to 3D ground coordinates."""
+    return jnp.stack([
+        geom.ux * sin_component,
+        geom.uy * sin_component,
+        cos_component,
+    ], axis=-1)
+
+
+def launch_receive_vectors(geom: Geometry2D, sols: RaySolutions):
+    """3D launch and receive unit vectors (get_launch_vector/get_receive_vector,
+    analyticraytracing.py:2561-2624), handling the swap case.
+
+    Returns (launch[..., slot, 3], receive[..., slot, 3]).
+    """
+    la, ra = sols.launch_angle, sols.receive_angle
+    swapped = geom.swapped[..., None]
+    ux = geom.ux[..., None]
+    uy = geom.uy[..., None]
+    g = Geometry2D(geom.x1y, geom.x1z, geom.x2y, geom.x2z, geom.swapped, geom.dphi, ux, uy)
+
+    # unswapped: launch = (sin la, 0, cos la); receive = (-sin ra, 0, cos ra)
+    launch_plain = _rot_to_3d(g, jnp.sin(la), jnp.cos(la))
+    receive_plain = _rot_to_3d(g, -jnp.sin(ra), jnp.cos(ra))
+    # swapped: launch = (-sin ra, 0, cos ra); receive = (sin la, 0, cos la)
+    launch_swap = _rot_to_3d(g, -jnp.sin(ra), jnp.cos(ra))
+    receive_swap = _rot_to_3d(g, jnp.sin(la), jnp.cos(la))
+
+    launch = jnp.where(swapped[..., None], launch_swap, launch_plain)
+    receive = jnp.where(swapped[..., None], receive_swap, receive_plain)
+    return launch, receive

@@ -1,0 +1,27 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh with x64 enabled, so that
+* multi-chip sharding logic is exercised without TPU hardware, and
+* conformance tests can compare against the float64 reference values.
+The TPU production path uses float32; dtype-sensitive tests cover both.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+# the axon TPU plugin exports JAX_PLATFORMS=axon; config.update reliably
+# overrides it so tests run on the virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+# the test host has a single CPU core: persist compiled executables so each
+# graph is compiled at most once across test sessions
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,109 @@
+"""Conformance tests for the batched analytic ray tracer.
+
+Golden data in tests/golden/raytrace_sp.npz was produced by running the
+reference implementation (see generate_raytrace_golden.py): 400 random
+geometries in South Pole ice, receiver at (0, 0, -5) m, matching the
+distribution of the reference regression test
+NuRadioMC/test/SignalProp/T05unit_test_C0_SP.py.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nuradiomc_tpu.models import ice as ice_models
+from nuradiomc_tpu.ops import raytrace
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "raytrace_sp.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN)
+
+
+@pytest.fixture(scope="module")
+def solutions(golden):
+    ice = ice_models.southpole_simple
+    x1 = jnp.asarray(golden["points"])                      # (N, 3)
+    x2 = jnp.broadcast_to(jnp.asarray(golden["receiver"]), x1.shape)
+    geom = raytrace.to_2d(x1, x2)
+    solve = jax.jit(jax.vmap(
+        lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, ice)))
+    sols = solve(geom.x1y, geom.x1z, geom.x2y, geom.x2z)
+    return geom, sols
+
+
+def test_solution_existence_matches_reference(golden, solutions):
+    _, sols = solutions
+    ref_has = ~np.isnan(golden["C0"])
+    got_has = np.asarray(sols.mask)
+    # allow a tiny disagreement budget at the shadow boundary
+    disagree = np.sum(ref_has != got_has)
+    assert disagree <= 2, f"{disagree} of {ref_has.size} solution-existence mismatches"
+
+
+def test_c0_matches_reference(golden, solutions):
+    _, sols = solutions
+    ref = golden["C0"]
+    mask = ~np.isnan(ref) & np.asarray(sols.mask)
+    got = np.asarray(sols.c0)
+    np.testing.assert_allclose(got[mask], ref[mask], rtol=1e-7)
+
+
+def test_solution_type_matches_reference(golden, solutions):
+    _, sols = solutions
+    ref = golden["sol_type"]
+    mask = (ref > 0) & np.asarray(sols.mask)
+    np.testing.assert_array_equal(np.asarray(sols.sol_type)[mask], ref[mask])
+
+
+def test_path_length_and_travel_time(golden, solutions):
+    _, sols = solutions
+    mask = ~np.isnan(golden["C0"]) & np.asarray(sols.mask)
+    np.testing.assert_allclose(
+        np.asarray(sols.path_length)[mask], golden["path_length"][mask], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sols.travel_time)[mask], golden["travel_time"][mask], rtol=1e-6)
+
+
+def test_launch_receive_vectors(golden, solutions):
+    geom, sols = solutions
+    launch, receive = raytrace.launch_receive_vectors(geom, sols)
+    mask = ~np.isnan(golden["C0"]) & np.asarray(sols.mask)
+    np.testing.assert_allclose(
+        np.asarray(launch)[mask], golden["launch"][mask], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(receive)[mask], golden["receive"][mask], atol=1e-6)
+
+
+def test_attenuation_factors(golden, solutions):
+    geom, sols = solutions
+    ice = ice_models.southpole_simple
+    ff = jnp.asarray(golden["freqs"])
+    att = jax.jit(jax.vmap(jax.vmap(
+        lambda c0, x1y, x1z, x2y, x2z: raytrace.attenuation_factor(
+            c0, x1y, x1z, x2y, x2z, ice, ff, "SP1", n_steps=256),
+        in_axes=(0, None, None, None, None)),
+    ))(sols.c0, geom.x1y, geom.x1z, geom.x2y, geom.x2z)
+    mask = ~np.isnan(golden["C0"]) & np.asarray(sols.mask)
+    got = np.asarray(att)[mask]
+    ref = golden["attenuation"][mask]
+    # reference itself integrates with epsrel=1e-2 and sparse-freq interpolation
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_f32_c0_accuracy(golden):
+    """The TPU (float32) path must agree with the reference to ~1e-5 relative."""
+    ice = ice_models.southpole_simple
+    x1 = jnp.asarray(golden["points"], dtype=jnp.float32)
+    x2 = jnp.broadcast_to(jnp.asarray(golden["receiver"], dtype=jnp.float32), x1.shape)
+    geom = raytrace.to_2d(x1, x2)
+    sols = jax.jit(jax.vmap(
+        lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, ice)))(
+            geom.x1y, geom.x1z, geom.x2y, geom.x2z)
+    ref = golden["C0"]
+    mask = ~np.isnan(ref) & np.asarray(sols.mask)
+    np.testing.assert_allclose(np.asarray(sols.c0)[mask], ref[mask], rtol=2e-4)
