@@ -17,6 +17,7 @@ Conventions
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -89,8 +90,15 @@ def fresnel_t_s(zenith_incoming, n_2=1.3, n_1=1.0):
 
 
 def _csqrt(x):
-    """Complex sqrt defined on the principal branch (scimath.sqrt semantics)."""
-    return jnp.sqrt(x.astype(jnp.complex64) if jnp.isrealobj(x) else x)
+    """Complex sqrt defined on the principal branch (scimath.sqrt semantics).
+
+    Promotes to the complex dtype matching the input precision (complex64 for
+    float32 inputs — the TPU path — and complex128 under x64).
+    """
+    x = jnp.asarray(x)
+    if jnp.isrealobj(x):
+        x = jax.lax.complex(x, jnp.zeros_like(x))
+    return jnp.sqrt(x)
 
 
 def fresnel_r_p(zenith_incoming, n_2=1.3, n_1=1.0):
