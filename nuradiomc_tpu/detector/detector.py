@@ -1,0 +1,179 @@
+"""Detector description: JSON -> struct-of-arrays channel tables.
+
+The reference wraps a tinydb JSON database in accessor classes
+(NuRadioReco/detector/detector_base.py:131-1082, generic_detector.py:15-565
+for reference-station defaulting). The TPU build parses the same JSON schema
+once on the host into flat numpy arrays per station — the form every device
+kernel consumes. Field conventions follow detector_base.py: positions in
+meters (get_relative_position:557-582), orientations in degrees in the JSON
+converted to radians (get_antenna_orientation:792-813), cable delay in ns
+(get_cable_delay:722-742), ADC sampling frequency in GHz
+(get_sampling_frequency:883-897).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional
+
+import numpy as np
+
+from nuradiomc_tpu.utils import units
+
+
+@dataclasses.dataclass
+class ChannelArrays:
+    """Per-channel detector description of one station (host-side numpy)."""
+
+    channel_ids: np.ndarray         # (C,) int
+    positions: np.ndarray           # (C, 3) relative to station, m
+    orientation_theta: np.ndarray   # (C,) rad
+    orientation_phi: np.ndarray     # (C,) rad
+    rotation_theta: np.ndarray      # (C,) rad
+    rotation_phi: np.ndarray        # (C,) rad
+    cable_delay: np.ndarray         # (C,) ns
+    n_samples: np.ndarray           # (C,) int — ADC readout samples
+    sampling_frequency: np.ndarray  # (C,) GHz — ADC sampling frequency
+    antenna_model: list             # (C,) str
+    amp_type: list                  # (C,) str
+    noise_temperature: np.ndarray   # (C,) K (nan if undefined)
+    adc_nbits: np.ndarray           # (C,) int (-1 if undefined)
+    trigger_channels: Optional[np.ndarray] = None  # indices of trigger channels
+
+
+@dataclasses.dataclass
+class Station:
+    station_id: int
+    absolute_position: np.ndarray  # (3,) easting/northing/altitude, m
+    channels: ChannelArrays
+
+
+_CHANNEL_DEFAULTS: dict[str, Any] = {
+    "cab_time_delay": 0.0,
+    "noise_temperature": np.nan,
+    "adc_nbits": -1,
+}
+
+
+def _get(channel: dict, ref_channel: Optional[dict], key: str):
+    """Field lookup with GenericDetector-style reference-channel defaulting
+    (generic_detector.py:389-436)."""
+    if key in channel and channel[key] is not None:
+        return channel[key]
+    if ref_channel is not None and key in ref_channel and ref_channel[key] is not None:
+        return ref_channel[key]
+    if key in _CHANNEL_DEFAULTS:
+        return _CHANNEL_DEFAULTS[key]
+    raise KeyError(f"channel field '{key}' missing and no reference value available")
+
+
+class Detector:
+    """JSON-backed detector description (GenericDetector semantics).
+
+    Parameters
+    ----------
+    source : str | dict
+        Path to a detector JSON file, or the parsed dict. Schema: top-level
+        keys ``channels`` / ``stations`` keyed by arbitrary indices, matching
+        the reference tinydb export (see e.g. reference
+        test/Veff/dipole_100m.json).
+    default_station : int, optional
+        Station id whose channels act as the reference for missing fields.
+    """
+
+    def __init__(self, source, default_station: Optional[int] = None):
+        if isinstance(source, str):
+            with open(source) as f:
+                db = json.load(f)
+        else:
+            db = source
+
+        stations_raw = list(db.get("stations", {}).values())
+        channels_raw = list(db.get("channels", {}).values())
+
+        self._stations: dict[int, Station] = {}
+        self._ref_station_id = default_station
+
+        by_station: dict[int, list[dict]] = {}
+        for ch in channels_raw:
+            by_station.setdefault(int(ch["station_id"]), []).append(ch)
+
+        ref_channels = by_station.get(default_station, [None])
+        ref_channel = ref_channels[0] if ref_channels else None
+
+        for st in stations_raw:
+            sid = int(st["station_id"])
+            chs = sorted(by_station.get(sid, []), key=lambda c: int(c["channel_id"]))
+            if not chs:
+                continue
+            n = len(chs)
+            arr = ChannelArrays(
+                channel_ids=np.array([int(c["channel_id"]) for c in chs]),
+                positions=np.array([[_get(c, ref_channel, "ant_position_x"),
+                                     _get(c, ref_channel, "ant_position_y"),
+                                     _get(c, ref_channel, "ant_position_z")] for c in chs],
+                                   dtype=float),
+                orientation_theta=np.deg2rad([_get(c, ref_channel, "ant_orientation_theta") for c in chs]),
+                orientation_phi=np.deg2rad([_get(c, ref_channel, "ant_orientation_phi") for c in chs]),
+                rotation_theta=np.deg2rad([_get(c, ref_channel, "ant_rotation_theta") for c in chs]),
+                rotation_phi=np.deg2rad([_get(c, ref_channel, "ant_rotation_phi") for c in chs]),
+                cable_delay=np.array([_get(c, ref_channel, "cab_time_delay") for c in chs], dtype=float),
+                n_samples=np.array([int(_get(c, ref_channel, "adc_n_samples")) for c in chs]),
+                sampling_frequency=np.array([_get(c, ref_channel, "adc_sampling_frequency") for c in chs],
+                                            dtype=float) * units.GHz,
+                antenna_model=[_get(c, ref_channel, "ant_type") for c in chs],
+                amp_type=[str(_get(c, ref_channel, "amp_type")) for c in chs],
+                noise_temperature=np.array([float(_get(c, ref_channel, "noise_temperature"))
+                                            for c in chs]),
+                adc_nbits=np.array([int(_get(c, ref_channel, "adc_nbits") or -1) for c in chs]),
+            )
+            abs_pos = np.array([st.get("pos_easting", 0.0) or 0.0,
+                                st.get("pos_northing", 0.0) or 0.0,
+                                st.get("pos_altitude", 0.0) or 0.0], dtype=float)
+            self._stations[sid] = Station(sid, abs_pos, arr)
+
+    # -- accessors mirroring the reference API (detector_base.py) -----------
+
+    def get_station_ids(self):
+        return sorted(self._stations)
+
+    def get_station(self, station_id: int) -> Station:
+        return self._stations[station_id]
+
+    def get_channel_ids(self, station_id: int):
+        return list(self._stations[station_id].channels.channel_ids)
+
+    def get_absolute_position(self, station_id: int):
+        return self._stations[station_id].absolute_position
+
+    def get_relative_position(self, station_id: int, channel_id: int):
+        ch = self._stations[station_id].channels
+        idx = int(np.where(ch.channel_ids == channel_id)[0][0])
+        return ch.positions[idx]
+
+    def get_antenna_orientation(self, station_id: int, channel_id: int):
+        ch = self._stations[station_id].channels
+        idx = int(np.where(ch.channel_ids == channel_id)[0][0])
+        return np.array([ch.orientation_theta[idx], ch.orientation_phi[idx],
+                         ch.rotation_theta[idx], ch.rotation_phi[idx]])
+
+    def get_cable_delay(self, station_id: int, channel_id: int):
+        ch = self._stations[station_id].channels
+        idx = int(np.where(ch.channel_ids == channel_id)[0][0])
+        return ch.cable_delay[idx]
+
+    def get_number_of_samples(self, station_id: int, channel_id: int):
+        ch = self._stations[station_id].channels
+        idx = int(np.where(ch.channel_ids == channel_id)[0][0])
+        return int(ch.n_samples[idx])
+
+    def get_sampling_frequency(self, station_id: int, channel_id: int):
+        ch = self._stations[station_id].channels
+        idx = int(np.where(ch.channel_ids == channel_id)[0][0])
+        return ch.sampling_frequency[idx]
+
+    def get_antenna_model(self, station_id: int, channel_id: int):
+        ch = self._stations[station_id].channels
+        idx = int(np.where(ch.channel_ids == channel_id)[0][0])
+        return ch.antenna_model[idx]

@@ -464,10 +464,11 @@ def find_solutions(x1y, x1z, x2y, x2z, ice: IceModelSimple,
     pl = path_length(c0, x1y, x1z, x2y, x2z, ice)
     tt = travel_time(c0, x1y, x1z, x2y, x2z, ice)
     zeros = jnp.zeros_like(sol_type)
+    # invalid slots keep finite (garbage) values — consumers multiply by
+    # ``mask``; keeping everything NaN-free lets the fused pipeline avoid
+    # NaN-poisoning without extra sanitization passes
     return RaySolutions(
-        c0=jnp.where(valid, c0, jnp.nan),
-        c1=jnp.where(valid, c1, jnp.nan),
-        mask=valid,
+        c0=c0, c1=c1, mask=valid,
         sol_type=jnp.where(valid, sol_type, 0),
         launch_angle=la, receive_angle=ra,
         path_length=pl, travel_time=tt,

@@ -1,0 +1,81 @@
+"""Trace manipulation ops in the rFFT domain (JAX, batched).
+
+Replaces the per-object BaseTrace methods of the reference
+(NuRadioReco/framework/base_trace.py): sub-bin Fourier time shifts
+(apply_time_shift:246), placement of short traces into a common time base
+(add_to_trace:308, efieldToVoltageConverter.py:197-245), and FFT resampling
+(resample:278). Everything operates on fixed-length arrays with masks, so the
+whole signal chain stays one fused rFFT-domain pipeline.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from nuradiomc_tpu.utils import fft
+
+
+def time_shift_phase(frequencies, dt_shift):
+    """Phase factor exp(-2 pi i f dt) delaying a spectrum by ``dt_shift``."""
+    ctype = jnp.result_type(frequencies.dtype, jnp.complex64)
+    return jnp.exp(jnp.asarray(-2j * jnp.pi, ctype) * frequencies * dt_shift)
+
+
+def shift_spectrum(spectrum, frequencies, dt_shift):
+    """Delay a spectrum by dt_shift (sub-bin accurate, BaseTrace.apply_time_shift)."""
+    return spectrum * time_shift_phase(frequencies, dt_shift)
+
+
+def place_spectrum(spectrum_short, freqs_short, t_start, base_t0, n_base: int,
+                   sampling_rate):
+    """Embed a short trace's spectrum into a longer common time base.
+
+    The short trace (length N_s, spectrum ``spectrum_short`` over
+    ``freqs_short``) starts at absolute time ``t_start``; the base window
+    starts at ``base_t0`` with ``n_base`` samples at ``sampling_rate``.
+    Returns the length-(n_base//2+1) spectrum of the embedded trace.
+
+    Implementation: zero-pad the time trace to n_base (irfft of the short
+    spectrum onto n_base samples after frequency-domain zero interpolation
+    would distort; instead go through the time domain once) — but to keep the
+    pipeline in the frequency domain, we use the exact relation: zero-padding
+    a length-N_s trace to n_base corresponds to evaluating its (continuous)
+    DTFT on the denser grid. We therefore irfft -> pad -> rfft lazily via
+    jnp; XLA fuses this into the surrounding chain. The sub-bin offset
+    (t_start - base_t0) modulo dt is applied as a phase, the integer part as
+    a roll of the padded trace (masked to the window).
+    """
+    dt = 1.0 / sampling_rate
+    offset = t_start - base_t0
+    n_int = jnp.floor(offset / dt + 0.5).astype(jnp.int32)
+    frac = offset - n_int * dt
+
+    # sub-bin shift on the short spectrum, then to time domain
+    spec_shifted = shift_spectrum(spectrum_short, freqs_short, frac)
+    n_short = 2 * (freqs_short.shape[0] - 1)
+    trace = fft.freq2time(spec_shifted, sampling_rate, n=n_short)
+
+    # place into base via padding + roll; contributions that don't fit are
+    # rolled around — callers should size the base so this doesn't happen
+    padded = jnp.pad(trace, (0, n_base - n_short))
+    placed = jnp.roll(padded, n_int, axis=-1)
+    return fft.time2freq(placed, sampling_rate)
+
+
+def resample_spectrum(spectrum, n_in: int, n_out: int):
+    """FFT-domain resampling (BaseTrace.resample:278 / scipy.signal.resample).
+
+    Down-sampling truncates the spectrum; up-sampling zero-pads. The
+    amplitude convention of the framework FFT (V/GHz) is rate-independent, so
+    no rescaling is needed beyond Nyquist-bin bookkeeping.
+    """
+    n_freq_out = n_out // 2 + 1
+    n_freq_in = spectrum.shape[-1]
+    if n_freq_out <= n_freq_in:
+        out = spectrum[..., :n_freq_out]
+        # halve the new Nyquist bin if truncating (scipy convention)
+        if n_out < n_in and n_out % 2 == 0:
+            out = out.at[..., -1].set(out[..., -1].real)
+        return out
+    pad = [(0, 0)] * (spectrum.ndim - 1) + [(0, n_freq_out - n_freq_in)]
+    return jnp.pad(spectrum, pad)

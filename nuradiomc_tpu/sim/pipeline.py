@@ -1,0 +1,353 @@
+"""The fused end-to-end MC pipeline (JAX, one jitted function).
+
+TPU-first re-design of the reference per-event loop
+(NuRadioMC/simulation/simulation.py:1426-1726, calculate_sim_efield:93-292,
+apply_det_response:530-609): instead of nested Python loops over event groups,
+stations, channels and ray-tracing solutions, the whole physics chain runs as
+one batched device computation over
+
+    [group G x shower S x channel C x solution 2]
+
+with validity masks replacing every early-exit (no-solution, delta_C cut,
+padding). The stages:
+
+1. batched analytic ray tracing           (ops.raytrace)
+2. viewing angle + delta_C cut            (simulation.py:195-206)
+3. Askaryan spectrum per solution         (ops.askaryan, simulation.py:230)
+4. polarization in on-sky coordinates     (simulation.py:798-829)
+5. propagation effects: attenuation on a sparse frequency grid + interp,
+   surface-reflection Fresnel, focusing   (analyticraytracing.py:2937-3033)
+6. antenna response (VEL dot product)     (efieldToVoltageConverter.py:309-310)
+7. placement into a common time base with sub-bin shifts
+   (efieldToVoltageConverter.py:150-245) + cable delays
+8. filter chain (precomputed response), optional noise
+9. triggers (high-low / threshold + majority logic)
+
+Host code (sim.simulation) prepares padded numpy batches and static settings;
+this module is pure JAX and shards over a device mesh via vmap/pjit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nuradiomc_tpu.models.ice import IceModelSimple
+from nuradiomc_tpu.ops import antenna, askaryan, noise as noise_ops, raytrace, trace as trace_ops, triggers
+from nuradiomc_tpu.utils import fft, geometry
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineSettings:
+    """Static (trace-time) configuration of the fused pipeline."""
+
+    ice: IceModelSimple
+    attenuation_model: str = "SP1"
+    askaryan_model: str = "Alvarez2000"
+    n_internal: int = 512          # efield trace samples at internal rate
+    n_base: int = 2048             # channel time-base samples
+    sampling_rate: float = 2.0     # internal rate, GHz
+    delta_C_cut: float = 0.698     # rad, speedup cut off the Cherenkov cone
+    n_freq_attenuation: int = 25   # sparse frequencies for the attenuation integral
+    attenuation_steps: int = 64    # midpoint-rule steps along the path
+    attenuate_ice: bool = True
+    apply_focusing: bool = False
+    focusing_limit: float = 2.0
+    # trigger block
+    trigger_type: str = "high_low"         # or "simple_threshold"
+    highlow_coincidence: float = 5.0       # ns within a channel
+    number_of_coincidences: int = 1
+    channel_coincidence: float = 200.0     # ns across channels
+    # noise block
+    add_noise: bool = False
+    noise_type: str = "rayleigh"
+
+    @property
+    def dt(self) -> float:
+        return 1.0 / self.sampling_rate
+
+    @property
+    def freqs_internal(self):
+        return jnp.fft.rfftfreq(self.n_internal, self.dt)
+
+    @property
+    def freqs_base(self):
+        return jnp.fft.rfftfreq(self.n_base, self.dt)
+
+
+class ChannelParams(NamedTuple):
+    """Per-channel device arrays (built on host from the Detector)."""
+
+    positions: jnp.ndarray       # [C, 3] absolute antenna positions
+    cable_delays: jnp.ndarray    # [C]
+    rot: jnp.ndarray             # [C, 3, 3] global->antenna-frame rotations
+    kind: jnp.ndarray            # [C] analytic antenna kind
+    templates: jnp.ndarray       # [C, 3, F_int] complex VEL frequency templates
+    filter_response: jnp.ndarray # [C, F_base] complex chain response
+    threshold_high: jnp.ndarray  # [C]
+    threshold_low: jnp.ndarray   # [C]
+    noise_amplitude: jnp.ndarray # [C] Vrms before filters (0 = no noise)
+
+
+class ShowerBatch(NamedTuple):
+    """Padded struct-of-arrays event-group batch (leading axes [G, S])."""
+
+    vertices: jnp.ndarray      # [G, S, 3]
+    energies: jnp.ndarray      # [G, S] shower energies
+    is_em: jnp.ndarray         # [G, S] bool
+    shower_mask: jnp.ndarray   # [G, S] bool (padding)
+    prop_dir: jnp.ndarray      # [G, S, 3] unit propagation direction (-axis)
+    k_L: jnp.ndarray           # [G, S] Alvarez2009 parameter (ignored otherwise)
+    vertex_times: jnp.ndarray  # [G, S]
+
+
+class PipelineOutput(NamedTuple):
+    triggered: jnp.ndarray        # [G] bool
+    trigger_time: jnp.ndarray     # [G] absolute trigger time (ns)
+    max_amplitude: jnp.ndarray    # [G, C]
+    traces: Optional[jnp.ndarray] # [G, C, n_base] (None if not requested)
+    base_t0: jnp.ndarray          # [G] start time of the time base
+    # per-solution observables for the output writer [G, S, C, 2]
+    sol_mask: jnp.ndarray
+    c0: jnp.ndarray
+    c1: jnp.ndarray
+    sol_type: jnp.ndarray
+    travel_time: jnp.ndarray
+    path_length: jnp.ndarray
+    launch_vector: jnp.ndarray    # [G, S, C, 2, 3]
+    receive_vector: jnp.ndarray   # [G, S, C, 2, 3]
+    polarization: jnp.ndarray     # [G, S, C, 2, 3] on-sky at the vertex
+    viewing_angle: jnp.ndarray
+    max_amp_per_solution: jnp.ndarray  # [G, S, C, 2]
+    focusing: jnp.ndarray         # [G, S, C, 2]
+
+
+def _attenuation_sparse(sols: raytrace.RaySolutions, geom, s: PipelineSettings):
+    """Attenuation factors on the internal frequency grid via a sparse grid.
+
+    Mirrors the reference's sparse-frequency optimization
+    (analyticraytracing.py:885-931 + get_attenuation_along_path): evaluate the
+    path integral at ``n_freq_attenuation`` frequencies and linearly
+    interpolate to the full grid.
+    """
+    ff = s.freqs_internal
+    f_pos = ff[1:]  # positive frequencies
+    sparse = jnp.linspace(f_pos[0], f_pos[-1], s.n_freq_attenuation)
+
+    def one(c0, x1y, x1z, x2y, x2z):
+        return raytrace.attenuation_factor(
+            c0, x1y, x1z, x2y, x2z, s.ice, sparse, s.attenuation_model,
+            n_steps=s.attenuation_steps)
+
+    # flatten [G,S,C,2] -> vmap -> restore
+    shape = sols.c0.shape
+    flat = jax.vmap(one)(
+        sols.c0.reshape(-1),
+        jnp.broadcast_to(geom.x1y[..., None], shape).reshape(-1),
+        jnp.broadcast_to(geom.x1z[..., None], shape).reshape(-1),
+        jnp.broadcast_to(geom.x2y[..., None], shape).reshape(-1),
+        jnp.broadcast_to(geom.x2z[..., None], shape).reshape(-1),
+    ).reshape(*shape, -1)  # [..., n_sparse]
+
+    def interp_one(att_sparse):
+        full = jnp.interp(ff, sparse, att_sparse)
+        return jnp.where(ff > 0, full, 1.0)
+
+    return jax.vmap(interp_one)(flat.reshape(-1, s.n_freq_attenuation)).reshape(*shape, ff.shape[0])
+
+
+def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
+                   noise_key: Optional[jnp.ndarray] = None,
+                   keep_traces: bool = False) -> PipelineOutput:
+    """Run the full chain on a padded batch. jit/pjit over the G axis."""
+    G, S = batch.energies.shape
+    C = ch.positions.shape[0]
+    dt = s.dt
+    ff_int = s.freqs_internal
+    real_dtype = batch.vertices.dtype
+
+    # ---- 1. ray tracing [G,S,C] pairs, 2 solution slots ---------------------
+    x1 = batch.vertices[:, :, None, :]                      # [G,S,1,3]
+    x2 = jnp.broadcast_to(ch.positions[None, None, :, :], (G, S, C, 3))
+    geom = raytrace.to_2d(jnp.broadcast_to(x1, (G, S, C, 3)), x2)
+
+    flat = lambda a: a.reshape(-1)
+    sols_flat = jax.vmap(lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, s.ice))(
+        flat(geom.x1y), flat(geom.x1z), flat(geom.x2y), flat(geom.x2z))
+    sols = jax.tree.map(lambda a: a.reshape(G, S, C, *a.shape[1:]), sols_flat)
+
+    launch, receive = raytrace.launch_receive_vectors(geom, sols)  # [G,S,C,2,3]
+
+    # ---- 2. viewing angle + delta_C cut ------------------------------------
+    n_vertex = s.ice.index_of_refraction(batch.vertices[..., 2])   # [G,S]
+    cherenkov = jnp.arccos(1.0 / n_vertex)                         # [G,S]
+    cos_view = jnp.sum(batch.prop_dir[:, :, None, None, :] * launch, axis=-1)
+    viewing_angle = jnp.arccos(jnp.clip(cos_view, -1.0, 1.0))      # [G,S,C,2]
+    delta_C = viewing_angle - cherenkov[:, :, None, None]
+
+    valid = (sols.mask
+             & (jnp.abs(delta_C) <= s.delta_C_cut)
+             & batch.shower_mask[:, :, None, None])                # [G,S,C,2]
+
+    # ---- 3. Askaryan spectrum per (G,S,C,2) --------------------------------
+    R_safe = jnp.where(sols.path_length > 1.0, sols.path_length, 1.0)
+
+    def spec_one(E, view, em, n_idx, R, kl):
+        return askaryan.get_frequency_spectrum(
+            E, view, s.n_internal, dt, em, n_idx, R, s.askaryan_model, k_L=kl)
+
+    bshape = (G, S, C, 2)
+    spec = jax.vmap(spec_one)(
+        flat(jnp.broadcast_to(batch.energies[:, :, None, None], bshape)),
+        flat(viewing_angle),
+        flat(jnp.broadcast_to(batch.is_em[:, :, None, None], bshape)),
+        flat(jnp.broadcast_to(n_vertex[:, :, None, None], bshape)),
+        flat(R_safe),
+        flat(jnp.broadcast_to(batch.k_L[:, :, None, None], bshape)),
+    ).reshape(*bshape, -1)                                         # [G,S,C,2,F]
+
+    # ---- 4. polarization (on-sky at the vertex, simulation.py:798-829) -----
+    axis = batch.prop_dir[:, :, None, None, :]
+    pol = jnp.cross(launch, jnp.cross(axis, launch))
+    pol = pol / jnp.maximum(jnp.linalg.norm(pol, axis=-1, keepdims=True), 1e-30)
+    zen_l, az_l = geometry.cartesian_to_spherical(launch)
+    pol_onsky = geometry.ground_to_onsky(pol, zen_l, az_l)         # [G,S,C,2,3]
+
+    e_theta = pol_onsky[..., 1:2] * spec                           # [G,S,C,2,F]
+    e_phi = pol_onsky[..., 2:3] * spec
+
+    # ---- 5. propagation effects --------------------------------------------
+    if s.attenuate_ice:
+        att = _attenuation_sparse(sols, geom, s)                   # [G,S,C,2,F]
+        e_theta = e_theta * att
+        e_phi = e_phi * att
+
+    # surface-reflection Fresnel coefficients for reflected rays
+    # (apply_propagation_effects, analyticraytracing.py:2993-3007)
+    n_surf = s.ice.index_of_refraction(jnp.asarray(-1e-5, real_dtype))
+    refl_zenith = jnp.arctan(1.0 / jnp.sqrt(jnp.maximum(
+        sols.c0 ** 2 * n_surf ** 2 - 1.0, 1e-12)))                 # [G,S,C,2]
+    is_reflected = sols.sol_type == raytrace.SOL_REFLECTED
+    r_p = geometry.fresnel_r_p(refl_zenith, n_2=1.0, n_1=n_surf)
+    r_s = geometry.fresnel_r_s(refl_zenith, n_2=1.0, n_1=n_surf)
+    one_c = jnp.ones((), dtype=r_p.dtype)
+    e_theta = e_theta * jnp.where(is_reflected, r_p, one_c)[..., None]
+    e_phi = e_phi * jnp.where(is_reflected, r_s, one_c)[..., None]
+
+    if s.apply_focusing:
+        foc = jax.vmap(lambda c0, a, b, c, d: raytrace.focusing_factor(
+            c0, a, b, c, d, s.ice, limit=s.focusing_limit))(
+            flat(sols.c0),
+            flat(jnp.broadcast_to(geom.x1y[..., None], bshape)),
+            flat(jnp.broadcast_to(geom.x1z[..., None], bshape)),
+            flat(jnp.broadcast_to(geom.x2y[..., None], bshape)),
+            flat(jnp.broadcast_to(geom.x2z[..., None], bshape)),
+        ).reshape(bshape)
+        e_theta = e_theta * foc[..., None]
+        e_phi = e_phi * foc[..., None]
+    else:
+        foc = jnp.ones(bshape, dtype=real_dtype)
+
+    # ---- 6. antenna response (VEL dot product) -----------------------------
+    zen_r, az_r = geometry.cartesian_to_spherical(receive)         # [G,S,C,2]
+
+    def vel_one(zen, az, rot, templates, kind):
+        return antenna.analytic_vel(zen, az, rot, templates, kind)
+
+    rot_b = jnp.broadcast_to(ch.rot[None, None, :, None, :, :], (*bshape, 3, 3))
+    tpl_b = jnp.broadcast_to(ch.templates[None, None, :, None, :, :],
+                             (*bshape, *ch.templates.shape[1:]))
+    kind_b = jnp.broadcast_to(ch.kind[None, None, :, None], bshape)
+    vel_t, vel_p = jax.vmap(vel_one)(
+        flat(zen_r), flat(az_r),
+        rot_b.reshape(-1, 3, 3),
+        tpl_b.reshape(-1, *ch.templates.shape[1:]),
+        flat(kind_b))
+    vel_t = vel_t.reshape(*bshape, -1)
+    vel_p = vel_p.reshape(*bshape, -1)
+
+    volt_spec = vel_t * e_theta + vel_p * e_phi                    # [G,S,C,2,F]
+    volt_spec = jnp.where(valid[..., None], volt_spec, 0.0)
+
+    # remove DC (< 5 MHz, efieldToVoltageConverter.py:313)
+    volt_spec = jnp.where(ff_int < 5e-3, 0.0, volt_spec)
+
+    # per-solution max amplitude (for bookkeeping; time-domain)
+    sol_traces = fft.freq2time(volt_spec, s.sampling_rate, n=s.n_internal)
+    max_amp_sol = jnp.max(jnp.abs(sol_traces), axis=-1)            # [G,S,C,2]
+
+    # ---- 7. placement into the common time base ----------------------------
+    # trace start: center of trace = vertex time + travel time (simulation.py:262-272)
+    t_start = (batch.vertex_times[:, :, None, None] + sols.travel_time
+               - 0.5 * s.n_internal * dt + ch.cable_delays[None, None, :, None])
+    big = jnp.asarray(1e30, real_dtype)
+    base_t0 = jnp.min(jnp.where(valid, t_start, big), axis=(1, 2, 3))  # [G]
+    any_valid = jnp.any(valid, axis=(1, 2, 3))
+    base_t0 = jnp.where(any_valid, base_t0, 0.0)
+
+    offset = t_start - base_t0[:, None, None, None]
+    n_int_shift = jnp.floor(offset / dt + 0.5).astype(jnp.int32)
+    frac = offset - n_int_shift * dt
+
+    shifted = trace_ops.shift_spectrum(volt_spec, ff_int, frac[..., None])
+    short_traces = fft.freq2time(shifted, s.sampling_rate, n=s.n_internal)
+    padded = jnp.pad(short_traces,
+                     [(0, 0)] * 4 + [(0, s.n_base - s.n_internal)])
+    # circular placement: contributions beyond the window wrap around, which
+    # preserves their full amplitude for the trigger decision (window sizing
+    # should normally prevent wrapping)
+    rolled = jax.vmap(lambda tr, sh: jnp.roll(tr, sh, axis=-1))(
+        padded.reshape(-1, s.n_base), flat(n_int_shift)).reshape(*bshape, s.n_base)
+
+    channel_traces = jnp.sum(rolled, axis=(1, 3))                  # [G,C,n_base]
+
+    # ---- 8. filter chain (+ optional noise) --------------------------------
+    chan_spec = fft.time2freq(channel_traces, s.sampling_rate)     # [G,C,F_base]
+    if s.add_noise:
+        if noise_key is None:
+            raise ValueError("add_noise=True requires a noise_key")
+        keys = jax.random.split(noise_key, G * C).reshape(G, C, 2)
+        nyquist = s.sampling_rate / 2
+
+        def noise_one(key, amp):
+            return noise_ops.bandlimited_noise_spectrum(
+                key, s.n_base, s.sampling_rate, amp, None, nyquist,
+                type=s.noise_type, dtype=real_dtype)
+        nspec = jax.vmap(jax.vmap(noise_one))(
+            keys, jnp.broadcast_to(ch.noise_amplitude[None, :], (G, C)))
+        chan_spec = chan_spec + nspec
+    chan_spec = chan_spec * ch.filter_response[None, :, :]
+    channel_traces = fft.freq2time(chan_spec, s.sampling_rate, n=s.n_base)
+
+    # ---- 9. trigger ---------------------------------------------------------
+    if s.trigger_type == "high_low":
+        tts = triggers.get_high_low_triggers(
+            channel_traces, ch.threshold_high[None, :, None],
+            ch.threshold_low[None, :, None], s.highlow_coincidence, dt)
+    elif s.trigger_type == "simple_threshold":
+        tts = triggers.get_threshold_triggers(
+            channel_traces, ch.threshold_high[None, :, None])
+    else:
+        raise NotImplementedError(s.trigger_type)
+
+    triggered, _, first_bin = triggers.majority_logic(
+        tts, s.number_of_coincidences, s.channel_coincidence, dt)
+    trigger_time = base_t0 + first_bin * dt
+
+    return PipelineOutput(
+        triggered=triggered & any_valid,
+        trigger_time=trigger_time,
+        max_amplitude=jnp.max(jnp.abs(channel_traces), axis=-1),
+        traces=channel_traces if keep_traces else None,
+        base_t0=base_t0,
+        sol_mask=valid,
+        c0=sols.c0, c1=sols.c1, sol_type=sols.sol_type,
+        travel_time=sols.travel_time, path_length=sols.path_length,
+        launch_vector=launch, receive_vector=receive,
+        polarization=pol_onsky, viewing_angle=viewing_angle,
+        max_amp_per_solution=max_amp_sol,
+        focusing=foc,
+    )

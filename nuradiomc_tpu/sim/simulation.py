@@ -1,0 +1,306 @@
+"""Host-side simulation orchestrator.
+
+The declarative TPU replacement for the reference ``simulation`` class
+(NuRadioMC/simulation/simulation.py:1084-1886). Instead of subclass hooks
+that imperatively run modules per event (``_detector_simulation_filter_amp`` /
+``_detector_simulation_trigger``), the detector signal chain and trigger are
+*declared* (FilterStage / TriggerSpec); the orchestrator
+
+1. merges the yaml config (simulation.py:67-90),
+2. computes the integrated channel response and thermal Vrms exactly as the
+   reference calibration pass does (simulation.py:1288-1389),
+3. packs the input event list into padded [group x shower] batches,
+4. runs the jitted fused pipeline chunk by chunk on the device mesh,
+5. computes weights (earth attenuation) and Veff, and writes the output HDF5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nuradiomc_tpu.detector.detector import Detector
+from nuradiomc_tpu.models import ice as ice_models
+from nuradiomc_tpu.ops import antenna, askaryan, filters
+from nuradiomc_tpu.sim import earth_attenuation, io_hdf5
+from nuradiomc_tpu.sim.pipeline import (ChannelParams, PipelineSettings,
+                                        ShowerBatch, simulate_batch)
+from nuradiomc_tpu.utils import config as config_util
+from nuradiomc_tpu.utils import units
+from nuradiomc_tpu.utils.constants import boltzmann
+
+
+@dataclasses.dataclass
+class FilterStage:
+    passband: tuple
+    filter_type: str
+    kwargs: dict = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class TriggerSpec:
+    name: str = "default_high_low"
+    trigger_type: str = "high_low"          # 'high_low' | 'simple_threshold'
+    threshold_high_sigma: float = 2.0       # in units of Vrms
+    threshold_low_sigma: float = -2.0
+    highlow_coincidence: float = 5.0        # ns
+    number_of_coincidences: int = 1
+    channel_coincidence: float = 200.0      # ns
+
+
+class Simulation:
+    """End-to-end MC simulation of one station.
+
+    Parameters
+    ----------
+    inputfilename : str
+        Reference-format HDF5 event list.
+    detector : Detector | str
+        Detector description (or path to JSON).
+    config : dict | str | None
+        User config merged onto the defaults (simulation.py:765-795).
+    filter_chain : sequence of FilterStage
+        The detector signal chain (replaces _detector_simulation_filter_amp).
+    trigger : TriggerSpec
+        The trigger definition (replaces _detector_simulation_trigger).
+    antenna_replacements : dict
+        ant_type -> analytic model name, for sites whose tabulated antenna
+        models are not on disk (mirrors antenna_model_replacements.json).
+    """
+
+    def __init__(self, inputfilename: str, detector, config=None,
+                 filter_chain: Sequence[FilterStage] = (),
+                 trigger: TriggerSpec = TriggerSpec(),
+                 outputfilename: Optional[str] = None,
+                 antenna_replacements: Optional[dict] = None,
+                 chunk_size: int = 256,
+                 n_base: int = 2048,
+                 dtype=jnp.float64):
+        self.config = config_util.get_config(config)
+        self.det = detector if isinstance(detector, Detector) else Detector(detector)
+        self.filter_chain = list(filter_chain)
+        self.trigger = trigger
+        self.outputfilename = outputfilename
+        self.antenna_replacements = antenna_replacements or {}
+        self.chunk_size = chunk_size
+        self.dtype = dtype
+
+        self.station_id = self.det.get_station_ids()[0]
+        station = self.det.get_station(self.station_id)
+        ch = station.channels
+
+        cfg = self.config
+        self.internal_rate = float(cfg["sampling_rate"])
+        dt = 1.0 / self.internal_rate
+        # rescale detector samples to the internal rate (simulation.py:151-153)
+        n = ch.n_samples[0] / ch.sampling_frequency[0] / dt
+        self.n_internal = int(np.ceil(n / 2.0) * 2)
+        self.n_base = max(n_base, self.n_internal)
+
+        self.ice = ice_models.get_ice_model(cfg["propagation"]["ice_model"])
+
+        # ---- Vrms calibration (simulation.py:1302-1389) --------------------
+        ff_cal = np.linspace(0, 0.5 * self.internal_rate, 10000)
+        filt = filters.chain_response(
+            ff_cal, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain])
+        self.bandwidth = np.trapezoid(np.abs(filt) ** 2, ff_cal)
+        self.max_amplification = float(np.abs(filt).max()) if len(self.filter_chain) else 1.0
+
+        noise_temp = cfg["trigger"]["noise_temperature"]
+        vrms_cfg = cfg["trigger"]["Vrms"]
+        if vrms_cfg is not None:
+            self.Vrms = float(vrms_cfg)
+        else:
+            impedance = 50 * units.ohm
+            self.Vrms = float(np.sqrt(float(noise_temp) * impedance
+                                      * self.bandwidth * boltzmann))
+        self.Vrms_efield = self.Vrms / self.max_amplification / units.m
+
+        # ---- device-side channel parameters --------------------------------
+        C = len(ch.channel_ids)
+        freqs_int = np.fft.rfftfreq(self.n_internal, dt)
+        freqs_base = np.fft.rfftfreq(self.n_base, dt)
+
+        rot = np.zeros((C, 3, 3))
+        kind = np.zeros(C, dtype=np.int32)
+        templates = np.zeros((C, 3, len(freqs_int)), dtype=complex)
+        for i in range(C):
+            model = ch.antenna_model[i]
+            model = self.antenna_replacements.get(model, model)
+            if model not in antenna.ANALYTIC_MODELS:
+                raise NotImplementedError(
+                    f"antenna model '{model}' has no tabulated data on disk; "
+                    "provide antenna_replacements to map it to an analytic model")
+            kind[i] = antenna.ANALYTIC_MODELS[model][0]
+            tpl = antenna.build_analytic_template(model, freqs_int)
+            templates[i, :tpl.shape[0]] = tpl
+            if tpl.shape[0] == 1:
+                templates[i, 1:] = tpl[0]
+            rot[i] = antenna.antenna_rotation_matrix(
+                ch.orientation_theta[i], ch.orientation_phi[i],
+                ch.rotation_theta[i], ch.rotation_phi[i])
+
+        filt_base = filters.chain_response(
+            freqs_base, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain])
+        filter_response = np.broadcast_to(filt_base, (C, len(freqs_base))).copy()
+
+        station_pos = station.absolute_position
+        cdt = jnp.dtype(self.dtype)
+        ctype = jnp.complex128 if cdt == jnp.float64 else jnp.complex64
+        self.channel_params = ChannelParams(
+            positions=jnp.asarray(ch.positions + station_pos, dtype=cdt),
+            cable_delays=jnp.asarray(ch.cable_delay, dtype=cdt),
+            rot=jnp.asarray(rot, dtype=cdt),
+            kind=jnp.asarray(kind),
+            templates=jnp.asarray(templates, dtype=ctype),
+            filter_response=jnp.asarray(filter_response, dtype=ctype),
+            threshold_high=jnp.full((C,), trigger.threshold_high_sigma * self.Vrms, dtype=cdt),
+            threshold_low=jnp.full((C,), trigger.threshold_low_sigma * self.Vrms, dtype=cdt),
+            noise_amplitude=jnp.full((C,), self.Vrms, dtype=cdt),
+        )
+
+        self.settings = PipelineSettings(
+            ice=self.ice,
+            attenuation_model=cfg["propagation"]["attenuation_model"],
+            askaryan_model=cfg["signal"]["model"],
+            n_internal=self.n_internal,
+            n_base=self.n_base,
+            sampling_rate=self.internal_rate,
+            delta_C_cut=float(cfg["speedup"]["delta_C_cut"]),
+            n_freq_attenuation=int(cfg["propagation"]["n_freq"]),
+            attenuate_ice=bool(cfg["propagation"]["attenuate_ice"]),
+            apply_focusing=bool(cfg["propagation"]["focusing"]),
+            focusing_limit=float(cfg["propagation"]["focusing_limit"]),
+            trigger_type=trigger.trigger_type,
+            highlow_coincidence=trigger.highlow_coincidence,
+            number_of_coincidences=trigger.number_of_coincidences,
+            channel_coincidence=trigger.channel_coincidence,
+            add_noise=bool(cfg["noise"]),
+            noise_type="rayleigh",
+        )
+
+        # ---- input ----------------------------------------------------------
+        self.input = io_hdf5.read_input_hdf5(inputfilename)
+        self._jit_pipeline = jax.jit(
+            lambda batch, key: simulate_batch(batch, self.channel_params,
+                                              self.settings, noise_key=key))
+
+    # ------------------------------------------------------------------
+    def _build_batches(self):
+        """Pad per-shower rows into [G, S_max] arrays."""
+        inp = self.input
+        group_ids, start, count, order = io_hdf5.group_showers(inp)
+        G = len(group_ids)
+        S = int(count.max())
+        dt = np.float64 if jnp.dtype(self.dtype) == jnp.float64 else np.float32
+
+        def padded(src, fill=0.0):
+            out = np.full((G, S), fill, dtype=dt)
+            for g in range(G):
+                rows = order[start[g]:start[g] + count[g]]
+                out[g, :count[g]] = src[rows]
+            return out
+
+        vert = np.stack([padded(inp.xx), padded(inp.yy), padded(inp.zz)], axis=-1)
+        energies = padded(inp.shower_energies)
+        is_em = padded((inp.shower_type == "em").astype(float)) > 0.5
+        mask = np.zeros((G, S), dtype=bool)
+        for g in range(G):
+            mask[g, :count[g]] = True
+        # skip zero-energy padding showers
+        mask &= energies > 0
+
+        zen = padded(inp.zeniths)
+        az = padded(inp.azimuths)
+        # propagation direction = -axis (simulation.py:174)
+        axis = np.stack([np.sin(zen) * np.cos(az), np.sin(zen) * np.sin(az),
+                         np.cos(zen)], axis=-1)
+        prop_dir = -axis
+
+        # per-shower Alvarez2009 k_L (persisted shower realization,
+        # simulation.py:235-242) — pre-drawn on the host
+        rng = np.random.default_rng(np.random.Philox(int(self.config["seed"])))
+        k_L = askaryan.draw_alvarez2009_k_L(
+            np.maximum(energies, 1.0), is_em, rng).astype(dt)
+
+        vertex_times = padded(inp.vertex_times)
+        batch = ShowerBatch(
+            vertices=jnp.asarray(vert), energies=jnp.asarray(energies),
+            is_em=jnp.asarray(is_em), shower_mask=jnp.asarray(mask),
+            prop_dir=jnp.asarray(prop_dir.astype(dt)), k_L=jnp.asarray(k_L),
+            vertex_times=jnp.asarray(vertex_times))
+        return group_ids, start, count, order, batch
+
+    def _weights(self, group_ids, start, count, order):
+        """Per-group earth-absorption weight (simulation.py:852 -> get_weight)."""
+        inp = self.input
+        first = order[start]
+        mode = self.config["weights"]["weight_mode"]
+        xsec = self.config["weights"]["cross_section_type"]
+        return earth_attenuation.get_weight(
+            inp.zeniths[first], inp.energies[first], inp.flavors[first],
+            mode=mode, cross_section_type=xsec)
+
+    def run(self, keep_traces: bool = False):
+        """Run the full simulation; returns a results dict and writes output."""
+        group_ids, start, count, order, batch = self._build_batches()
+        G = batch.energies.shape[0]
+        weights = self._weights(group_ids, start, count, order)
+
+        key = jax.random.PRNGKey(int(self.config["seed"]))
+        triggered = np.zeros(G, dtype=bool)
+        max_amp = np.zeros((G, len(self.det.get_channel_ids(self.station_id))))
+        trigger_times = np.zeros(G)
+
+        n_chunks = (G + self.chunk_size - 1) // self.chunk_size
+        for i in range(n_chunks):
+            sl = slice(i * self.chunk_size, min((i + 1) * self.chunk_size, G))
+            n_pad = self.chunk_size - (sl.stop - sl.start)
+            chunk = jax.tree.map(
+                lambda a: jnp.pad(a[sl], [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)),
+                batch)
+            key, sub = jax.random.split(key)
+            out = self._jit_pipeline(chunk, sub)
+            n_real = sl.stop - sl.start
+            triggered[sl] = np.asarray(out.triggered)[:n_real]
+            max_amp[sl] = np.asarray(out.max_amplitude)[:n_real]
+            trigger_times[sl] = np.asarray(out.trigger_time)[:n_real]
+
+        # minimum-weight speedup cut (simulation.py:1476) is applied as a
+        # zero-weight contribution, not by skipping, so results are identical
+        min_weight = float(self.config["speedup"]["minimum_weight_cut"])
+        eff_weights = np.where(weights < min_weight, 0.0, weights)
+
+        n_events = int(self.input.attrs["n_events"])
+        volume = float(self.input.attrs.get("volume", np.nan))
+        veff = volume * float(np.sum(eff_weights * triggered)) / n_events
+
+        results = {
+            "group_ids": group_ids,
+            "triggered": triggered,
+            "weights": weights,
+            "max_amplitude": max_amp,
+            "trigger_times": trigger_times,
+            "veff": veff,
+            "n_triggered": int(np.sum(triggered)),
+        }
+
+        if self.outputfilename is not None:
+            # map group-level triggers back to per-shower rows
+            trig_shower = np.zeros(self.input.n_showers, dtype=bool)
+            w_shower = np.zeros(self.input.n_showers)
+            for g in range(G):
+                rows = order[start[g]:start[g] + count[g]]
+                trig_shower[rows] = triggered[g]
+                w_shower[rows] = weights[g]
+            io_hdf5.write_output_hdf5(
+                self.outputfilename, self.input,
+                {"triggered": trig_shower, "weights": w_shower},
+                {"Veff": veff, "n_triggered": results["n_triggered"],
+                 "Vrms": self.Vrms, "bandwidth": self.bandwidth})
+
+        return results
