@@ -1,0 +1,59 @@
+"""Benchmark: events/sec/chip for a 1e18 eV Veff production pipeline.
+
+Runs the full fused MC chain (ray tracing -> Askaryan -> propagation ->
+antenna -> filters -> trigger) on the real device with float32, measures
+steady-state throughput, and prints ONE JSON line.
+
+Baseline: the reference NuRadioMC runs the same physics per event in a
+single-core Python loop; measured locally at ~4.0 events/s/core with the
+identical configuration (3000-event 1e18 eV run, see
+tests/golden/generate_e2e_golden.py). ``vs_baseline`` = our events/s/chip
+divided by that single-core rate.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_EVENTS_PER_SEC_PER_CORE = 4.0  # measured: see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_settings_and_inputs
+    from nuradiomc_tpu.sim.pipeline import simulate_batch
+
+    n_groups = 1024
+    settings, ch, batch = _make_settings_and_inputs(
+        n_groups=n_groups, n_showers=2, n_channels=1,
+        n_internal=512, n_base=2048)
+
+    step = jax.jit(
+        lambda b: jnp.sum(simulate_batch(b, ch, settings).triggered.astype(jnp.int32)))
+
+    # compile + warmup; int() forces a host readback so timing can't be
+    # fooled by async dispatch through the device tunnel
+    int(step(batch))
+
+    n_iter = 10
+    t0 = time.perf_counter()
+    total = 0
+    for _ in range(n_iter):
+        total += int(step(batch))
+    elapsed = time.perf_counter() - t0
+
+    events_per_sec = n_groups * n_iter / elapsed
+    result = {
+        "metric": "veff_pipeline_events_per_sec_per_chip",
+        "value": round(events_per_sec, 1),
+        "unit": "events/s/chip",
+        "vs_baseline": round(events_per_sec / REFERENCE_EVENTS_PER_SEC_PER_CORE, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

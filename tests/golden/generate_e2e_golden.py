@@ -17,13 +17,17 @@ from NuRadioReco.detector import antennapattern
 from NuRadioReco.utilities import units
 from NuRadioMC.simulation import simulation
 
-# substitute the analytic VPol for the table model (singleton provider)
-provider = antennapattern.AntennaPatternProvider()
-provider._AntennaPatternProvider__antenna_model_replacements = {
-    "XFDTD_Vpol_CrossFeed_150mmHole_n1.78": "analytic_VPol"}
-# attribute name mangling differs across versions; set both spellings
-provider._antenna_model_replacements = {
-    "XFDTD_Vpol_CrossFeed_150mmHole_n1.78": "analytic_VPol"}
+# substitute the analytic VPol for the unavailable table model. The provider
+# is a singleton whose __init__ re-runs (and resets the replacement dict) on
+# every construction, so patch the class __init__ itself.
+_orig_init = antennapattern.AntennaPatternProvider.__init__
+
+def _patched_init(self, *args, **kwargs):
+    _orig_init(self, *args, **kwargs)
+    self._antenna_model_replacements = {
+        "XFDTD_Vpol_CrossFeed_150mmHole_n1.78": "analytic_VPol"}
+
+antennapattern.AntennaPatternProvider.__init__ = _patched_init
 
 triggerSimulatorHighLow = NuRadioReco.modules.trigger.highLowThreshold.triggerSimulator()
 channelBandPassFilter = NuRadioReco.modules.channelBandPassFilter.channelBandPassFilter()
