@@ -62,6 +62,21 @@ def place_spectrum(spectrum_short, freqs_short, t_start, base_t0, n_base: int,
     return fft.time2freq(placed, sampling_rate)
 
 
+def hilbert_envelope(trace):
+    """|analytic signal| of a real trace (trace_utilities.get_hilbert_envelope,
+    scipy.signal.hilbert convention). Last axis = time; batch-polymorphic."""
+    n = trace.shape[-1]
+    spec = jnp.fft.fft(trace, axis=-1)
+    h = jnp.zeros(n, dtype=spec.real.dtype)
+    h = h.at[0].set(1.0)
+    if n % 2 == 0:
+        h = h.at[n // 2].set(1.0)
+        h = h.at[1:n // 2].set(2.0)
+    else:
+        h = h.at[1:(n + 1) // 2].set(2.0)
+    return jnp.abs(jnp.fft.ifft(spec * h, axis=-1))
+
+
 def resample_spectrum(spectrum, n_in: int, n_out: int):
     """FFT-domain resampling (BaseTrace.resample:278 / scipy.signal.resample).
 

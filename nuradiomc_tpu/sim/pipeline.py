@@ -87,6 +87,7 @@ class ChannelParams(NamedTuple):
     kind: jnp.ndarray            # [C] analytic antenna kind
     templates: jnp.ndarray       # [C, 3, F_int] complex VEL frequency templates
     filter_response: jnp.ndarray # [C, F_base] complex chain response
+    filter_response_int: jnp.ndarray  # [C, F_int] chain response on the efield grid
     threshold_high: jnp.ndarray  # [C]
     threshold_low: jnp.ndarray   # [C]
     noise_amplitude: jnp.ndarray # [C] Vrms before filters (0 = no noise)
@@ -275,9 +276,14 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     # remove DC (< 5 MHz, efieldToVoltageConverter.py:313)
     volt_spec = jnp.where(ff_int < 5e-3, 0.0, volt_spec)
 
-    # per-solution max amplitude (for bookkeeping; time-domain)
-    sol_traces = fft.freq2time(volt_spec, s.sampling_rate, n=s.n_internal)
-    max_amp_sol = jnp.max(jnp.abs(sol_traces), axis=-1)            # [G,S,C,2]
+    # per-solution max amplitude after the filter chain (the reference runs
+    # the filter/amp chain on each per-efield SimChannel before measuring
+    # amplitudes, simulation.py:465-527 + channelSignalReconstructor)
+    sol_spec_filtered = volt_spec * ch.filter_response_int[None, None, :, None, :]
+    sol_traces = fft.freq2time(sol_spec_filtered, s.sampling_rate, n=s.n_internal)
+    # ... and the observable is the Hilbert-envelope maximum
+    # (simulation._calculate_amp_per_ray_solution:1868-1886)
+    max_amp_sol = jnp.max(trace_ops.hilbert_envelope(sol_traces), axis=-1)
 
     # ---- 7. placement into the common time base ----------------------------
     # trace start: center of trace = vertex time + travel time (simulation.py:262-272)

@@ -147,6 +147,9 @@ class Simulation:
         filt_base = filters.chain_response(
             freqs_base, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain])
         filter_response = np.broadcast_to(filt_base, (C, len(freqs_base))).copy()
+        filt_int = filters.chain_response(
+            freqs_int, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain])
+        filter_response_int = np.broadcast_to(filt_int, (C, len(freqs_int))).copy()
 
         station_pos = station.absolute_position
         cdt = jnp.dtype(self.dtype)
@@ -158,6 +161,7 @@ class Simulation:
             kind=jnp.asarray(kind),
             templates=jnp.asarray(templates, dtype=ctype),
             filter_response=jnp.asarray(filter_response, dtype=ctype),
+            filter_response_int=jnp.asarray(filter_response_int, dtype=ctype),
             threshold_high=jnp.full((C,), trigger.threshold_high_sigma * self.Vrms, dtype=cdt),
             threshold_low=jnp.full((C,), trigger.threshold_low_sigma * self.Vrms, dtype=cdt),
             noise_amplitude=jnp.full((C,), self.Vrms, dtype=cdt),
