@@ -1,0 +1,215 @@
+"""Neutrino event-list generation (host-side numpy, fully vectorized).
+
+Re-implementation of the reference generator
+(NuRadioMC/EvtGen/generator.py:1023-1414 generate_eventlist_cylinder):
+vertices uniform in a cylinder/cube volume, isotropic directions, energies
+from configurable spectra (get_energies:308-390), flavor sampling, CC/NC
+sampling and inelasticities with the CTW model (utilities/inelasticities.py),
+and the second EM shower insertion for nu_e-CC events (generator.py:1258-1275).
+Output HDF5 matches the reference per-shower table format
+(write_events_to_hdf5, generator.py:88-199) so event lists are exchangeable
+between the two frameworks. Secondary-interaction generation via PROPOSAL is
+out of scope (requires the external lepton propagator).
+"""
+
+from __future__ import annotations
+
+import h5py
+import numpy as np
+
+from nuradiomc_tpu.sim import cross_sections
+from nuradiomc_tpu.utils import units
+
+VERSION_MAJOR = 3
+VERSION_MINOR = 0
+
+
+def get_energies(n_events, Emin, Emax, spectrum_type="log_uniform", rnd=None):
+    """Sample neutrino energies (generator.get_energies:308-390)."""
+    rnd = rnd or np.random.default_rng()
+    if spectrum_type == "log_uniform":
+        return 10 ** rnd.uniform(np.log10(Emin), np.log10(Emax), n_events)
+    if spectrum_type.startswith("E-"):
+        gamma = float(spectrum_type[1:]) + 1
+        Nmin = Emin ** gamma
+        Nmax = Emax ** gamma
+        return np.exp(np.log(rnd.uniform(Nmax, Nmin, size=n_events)) / gamma)
+    if spectrum_type in ("IceCube-nu-2017", "IceCube-nu-2022"):
+        slope, offset = (-2.19, 1.01) if spectrum_type.endswith("2017") else (-2.37, 1.44)
+
+        def flux(E):
+            return 3 * offset * (E / (100 * units.TeV)) ** slope * 1e-18
+
+        # inverse-CDF sampling on a fine log grid (get_energy_from_flux:242-270)
+        E_grid = np.logspace(np.log10(Emin), np.log10(Emax), 10000)
+        cdf = np.concatenate([[0.0], np.cumsum(flux(E_grid[:-1]) * np.diff(E_grid))])
+        cdf /= cdf[-1]
+        return np.interp(rnd.uniform(0, 1, n_events), cdf, E_grid)
+    raise NotImplementedError(f"spectrum {spectrum_type} not implemented")
+
+
+def get_ccnc(n_events, energy, flavors, rnd=None, model="ctw"):
+    """'cc'/'nc' sampling from the cross-section ratio (inelasticities.get_ccnc:108-160)."""
+    rnd = rnd or np.random.default_rng()
+    cc = cross_sections.get_nu_cross_section(energy, flavors, "cc", model)
+    nc = cross_sections.get_nu_cross_section(energy, flavors, "nc", model)
+    cc_fraction = cc / (cc + nc)
+    return np.where(rnd.uniform(0, 1, n_events) <= cc_fraction, "cc", "nc")
+
+
+def get_neutrino_inelasticity(n_events, rnd=None, model="ctw"):
+    """CTW inelasticity sampling, ported from ShelfMC semantics
+    (inelasticities.get_neutrino_inelasticity:16-53)."""
+    rnd = rnd or np.random.default_rng()
+    r1 = 0.36787944
+    r2 = 0.63212056
+    return (-np.log(r1 + rnd.uniform(0.0, 1.0, n_events) * r2)) ** 2.5
+
+
+def set_volume_attributes(volume: dict, attributes: dict):
+    """Interpret the volume dict (set_volume_attributes:392-597, no-proposal path)."""
+    attributes["x0"] = volume.get("x0", 0.0)
+    attributes["y0"] = volume.get("y0", 0.0)
+    if "fiducial_rmax" in volume:
+        attributes["fiducial_rmin"] = volume.get("fiducial_rmin", 0.0)
+        for key in ("fiducial_rmax", "fiducial_zmin", "fiducial_zmax"):
+            attributes[key] = volume[key]
+        rmin = attributes["fiducial_rmin"]
+        rmax = attributes["fiducial_rmax"]
+        zmin = attributes["fiducial_zmin"]
+        zmax = attributes["fiducial_zmax"]
+        attributes["rmin"] = rmin
+        attributes["rmax"] = rmax
+        attributes["zmin"] = zmin
+        attributes["zmax"] = zmax
+        attributes["volume"] = np.pi * (rmax ** 2 - rmin ** 2) * (zmax - zmin)
+        attributes["area"] = np.pi * (rmax ** 2 - rmin ** 2)
+    elif "fiducial_xmax" in volume:
+        for key in ("fiducial_xmin", "fiducial_xmax", "fiducial_ymin",
+                    "fiducial_ymax", "fiducial_zmin", "fiducial_zmax"):
+            attributes[key] = volume[key]
+        for short, fid in (("xmin", "fiducial_xmin"), ("xmax", "fiducial_xmax"),
+                           ("ymin", "fiducial_ymin"), ("ymax", "fiducial_ymax"),
+                           ("zmin", "fiducial_zmin"), ("zmax", "fiducial_zmax")):
+            attributes[short] = volume[fid]
+        dx = attributes["xmax"] - attributes["xmin"]
+        dy = attributes["ymax"] - attributes["ymin"]
+        dz = attributes["zmax"] - attributes["zmin"]
+        attributes["volume"] = dx * dy * dz
+        attributes["area"] = dx * dy
+    else:
+        raise AttributeError("volume must specify fiducial_rmax or fiducial_xmax")
+
+
+def generate_vertex_positions(attributes, n_events, rnd=None):
+    """Uniform vertices in the volume (generate_vertex_positions:598-628)."""
+    rnd = rnd or np.random.default_rng()
+    if "fiducial_rmax" in attributes:
+        rr = rnd.uniform(attributes["rmin"] ** 2, attributes["rmax"] ** 2, n_events) ** 0.5
+        phi = rnd.uniform(0, 2 * np.pi, n_events)
+        xx = rr * np.cos(phi)
+        yy = rr * np.sin(phi)
+        zz = rnd.uniform(attributes["zmin"], attributes["zmax"], n_events)
+    else:
+        xx = rnd.uniform(attributes["xmin"], attributes["xmax"], n_events)
+        yy = rnd.uniform(attributes["ymin"], attributes["ymax"], n_events)
+        zz = rnd.uniform(attributes["zmin"], attributes["zmax"], n_events)
+    return xx + attributes["x0"], yy + attributes["y0"], zz
+
+
+def write_events_to_hdf5(filename, data_sets: dict, attributes: dict):
+    """Write the reference per-shower table format (generator.py:88-199)."""
+    with h5py.File(filename, "w") as f:
+        for key, value in data_sets.items():
+            value = np.asarray(value)
+            if value.dtype.kind == "U":
+                value = value.astype("S")
+            f[key] = value
+        for key, value in attributes.items():
+            f.attrs[key] = value
+
+
+def generate_eventlist_cylinder(
+        filename, n_events, Emin, Emax, volume,
+        thetamin=0.0, thetamax=np.pi,
+        phimin=0.0, phimax=2 * np.pi,
+        start_event_id=1,
+        flavor=(12, -12, 14, -14, 16, -16),
+        spectrum="log_uniform",
+        start_shower_id=0,
+        interaction_type="ccnc",
+        cross_sections_model="ctw",
+        seed=None):
+    """Generate a forced-interaction neutrino event list
+    (generate_eventlist_cylinder, generator.py:1023-1414, no-PROPOSAL path).
+
+    Returns the data_sets dict; writes ``filename`` if it is not None.
+    """
+    rnd = np.random.default_rng(np.random.Philox(seed))
+    n_events = int(n_events)
+
+    attributes = {
+        "n_events": n_events,
+        "start_event_id": start_event_id,
+        "simulation_mode": "neutrino",
+        "thetamin": thetamin, "thetamax": thetamax,
+        "phimin": phimin, "phimax": phimax,
+        "Emin": Emin, "Emax": Emax,
+        "flavors": np.asarray(flavor),
+        "deposited": False,
+    }
+    set_volume_attributes(volume, attributes)
+
+    data = {}
+    data["event_group_ids"] = np.arange(n_events) + start_event_id
+    xx, yy, zz = generate_vertex_positions(attributes, n_events, rnd)
+    data["xx"], data["yy"], data["zz"] = xx, yy, zz
+    data["vertex_times"] = np.zeros(n_events)
+    data["azimuths"] = rnd.uniform(phimin, phimax, n_events)
+    data["zeniths"] = np.arccos(rnd.uniform(np.cos(thetamax), np.cos(thetamin), n_events))
+    data["energies"] = get_energies(n_events, Emin, Emax, spectrum, rnd)
+    data["flavors"] = np.asarray(flavor)[rnd.integers(0, len(flavor), n_events)]
+    data["n_interaction"] = np.ones(n_events, dtype=int)
+
+    if interaction_type == "ccnc":
+        data["interaction_type"] = get_ccnc(n_events, data["energies"],
+                                            data["flavors"], rnd, cross_sections_model)
+    elif interaction_type in ("cc", "nc"):
+        data["interaction_type"] = np.full(n_events, interaction_type, dtype="U2")
+    else:
+        raise ValueError(f"illegal interaction type {interaction_type}")
+
+    data["inelasticity"] = get_neutrino_inelasticity(n_events, rnd, cross_sections_model)
+
+    # first (hadronic) shower: E_nu * y  (generator.py:1255-1256)
+    data["shower_energies"] = data["energies"] * data["inelasticity"]
+    data["shower_type"] = np.full(n_events, "had", dtype="U3")
+
+    # nu_e CC: insert a second (EM) shower with E (1 - y) at the same vertex
+    # (generator.py:1258-1275)
+    em_mask = (data["interaction_type"] == "cc") & (np.abs(data["flavors"]) == 12)
+    idx_em = np.where(em_mask)[0]
+    if len(idx_em):
+        insert_rows = {}
+        for key in list(data.keys()):
+            arr = data[key]
+            extra = arr[idx_em].copy()
+            if key == "shower_energies":
+                extra = (1 - data["inelasticity"][idx_em]) * data["energies"][idx_em]
+            elif key == "shower_type":
+                extra = np.full(len(idx_em), "em", dtype="U3")
+            elif key == "n_interaction":
+                extra = np.full(len(idx_em), 2, dtype=int)
+            insert_rows[key] = extra
+        # interleave so rows stay sorted by event_group_id
+        order = np.argsort(np.concatenate(
+            [data["event_group_ids"], insert_rows["event_group_ids"]]), kind="stable")
+        for key in list(data.keys()):
+            data[key] = np.concatenate([data[key], insert_rows[key]])[order]
+
+    data["shower_ids"] = np.arange(len(data["shower_energies"]), dtype=int) + start_shower_id
+
+    attributes["total_number_of_events"] = n_events
+    if filename is not None:
+        write_events_to_hdf5(filename, data, attributes)
+    return data, attributes

@@ -1,0 +1,67 @@
+"""Event generator tests: format compatibility with reference-generated files
+and statistical agreement of the sampling distributions."""
+import os
+
+import numpy as np
+import pytest
+
+from nuradiomc_tpu.sim import evtgen, io_hdf5
+from nuradiomc_tpu.utils import units
+
+REF_INPUT = os.path.join(os.path.dirname(__file__), "data", "1e18_n3000.hdf5")
+VOLUME = {"fiducial_rmin": 0, "fiducial_rmax": 4 * units.km,
+          "fiducial_zmin": -2.7 * units.km, "fiducial_zmax": 0}
+
+
+@pytest.fixture(scope="module")
+def generated(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("evtgen") / "events.hdf5")
+    data, attrs = evtgen.generate_eventlist_cylinder(
+        path, 3000, 1e18 * units.eV, 1e18 * units.eV, VOLUME, seed=10)
+    return path, data, attrs
+
+
+def test_format_readable_and_matches_reference_schema(generated):
+    path, data, attrs = generated
+    mine = io_hdf5.read_input_hdf5(path)
+    ref = io_hdf5.read_input_hdf5(REF_INPUT)
+    # identical schema fields, identical volume attrs
+    np.testing.assert_allclose(mine.attrs["volume"], ref.attrs["volume"])
+    assert mine.attrs["n_events"] == ref.attrs["n_events"]
+    assert set(np.unique(mine.shower_type)) <= {"had", "em"}
+
+
+def test_statistics_match_reference(generated):
+    """Distribution-level agreement with the reference generator output."""
+    path, data, attrs = generated
+    ref = io_hdf5.read_input_hdf5(REF_INPUT)
+
+    # shower multiplicity: nu_e-CC fraction -> ~1/6 * ~0.71 extra showers
+    frac_ref = len(ref.shower_ids) / ref.attrs["n_events"]
+    frac_my = len(data["shower_ids"]) / attrs["n_events"]
+    assert abs(frac_my - frac_ref) < 0.03, (frac_my, frac_ref)
+
+    # cc fraction
+    cc_ref = np.mean(ref.interaction_type[ref.shower_type == "had"] == "cc")
+    cc_my = np.mean(np.asarray(data["interaction_type"])[data["shower_type"] == "had"] == "cc")
+    assert abs(cc_my - cc_ref) < 0.03
+
+    # inelasticity distribution (CTW): compare quartiles
+    y_ref = np.quantile(ref.inelasticity, [0.25, 0.5, 0.75])
+    y_my = np.quantile(data["inelasticity"], [0.25, 0.5, 0.75])
+    np.testing.assert_allclose(y_my, y_ref, rtol=0.1)
+
+    # isotropy: mean cos(zenith) ~ 0
+    assert abs(np.mean(np.cos(data["zeniths"]))) < 0.05
+    # uniform vertex density in r^2
+    r2 = data["xx"] ** 2 + data["yy"] ** 2
+    assert abs(np.mean(r2) / (0.5 * (4000.0 ** 2)) - 1) < 0.05
+
+
+def test_power_law_spectrum():
+    data, attrs = evtgen.generate_eventlist_cylinder(
+        None, 5000, 1e17, 1e19, VOLUME, spectrum="E-2", seed=3)
+    E = data["energies"][data["shower_type"] == "had"]
+    # E^-2: uniform in 1/E
+    u = 1.0 / E
+    assert abs(np.mean(u) / (0.5 * (1e-17 + 1e-19)) - 1) < 0.05
