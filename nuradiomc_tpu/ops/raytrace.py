@@ -252,6 +252,188 @@ def _solve_two_roots(x1y, x1z, x2y, x2z, ice: IceModelSimple, n_bisect: int):
     return roots[order], valid[order]
 
 
+# ---------------------------------------------------------------------------
+# bottom-reflection paths (Moore's Bay): every observable of a path with r
+# bottom bounces decomposes into  A f(z_turn) + B f(z_bottom) + C f(z1) + D f(z2)
+# where f is the per-observable antiderivative (w for horizontal advance, the
+# Bouma s/ct for length/time) and the integer coefficients depend only on
+# (r, reflection_case, final-leg branch). Each leg's horizontal advance is
+# strictly decreasing in C0, so one bisection per branch still finds all
+# solutions (replaces get_delta_y's reflection loop, analyticraytracing.py
+# :204-272 + get_reflection_point:280-291).
+# ---------------------------------------------------------------------------
+
+def _path_coeffs(r: int, case: int, mirror: bool):
+    """(A, B, C, D) coefficients of the segment decomposition."""
+    A = 2 * r - 2 * (case == 2) + 2 * int(mirror)
+    B = -2 * r
+    C = -1 if case == 1 else 1
+    D = -1 if mirror else 1
+    return A, B, C, D
+
+
+def _advance_general(logc0, x1z, x2z, ice: IceModelSimple, r: int, case: int,
+                     mirror: bool):
+    """Total horizontal advance of an r-bounce path."""
+    c0 = _c0_from_log(logc0, ice.n_ice)
+    _, z_turn = _turning_point(c0, ice)
+    A, B, C, D = _path_coeffs(r, case, mirror)
+    zb = ice.refl_z if ice.refl_z is not None else 0.0
+    return (A * _w_up(z_turn, c0, ice) + B * _w_up(zb, c0, ice)
+            + C * _w_up(x1z, c0, ice) + D * _w_up(x2z, c0, ice))
+
+
+def _solve_reflection_roots(x1y, x1z, x2y, x2z, ice: IceModelSimple,
+                            r: int, case: int, n_bisect: int):
+    """Roots (direct-final-leg, mirror-final-leg) for an r-bounce path."""
+    x1y, x1z, x2y, x2z = map(jnp.asarray, (x1y, x1z, x2y, x2z))
+    dy_target = x2y - x1y
+    eps = jnp.asarray(1e-12 if x1y.dtype == jnp.float64 else 1e-5, x1y.dtype)
+    lo0 = _logc0_min(x2z, ice) + eps
+    hi0 = jnp.asarray(_LOGC0_HI, x1y.dtype)
+
+    def bisect(f, lo, hi, f_lo):
+        def body(_, st):
+            lo_, hi_ = st
+            mid = 0.5 * (lo_ + hi_)
+            same = jnp.sign(f(mid)) == jnp.sign(f_lo)
+            return jnp.where(same, mid, lo_), jnp.where(same, hi_, mid)
+        lo_, hi_ = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
+        return 0.5 * (lo_ + hi_)
+
+    roots, valid = [], []
+    for mirror in (False, True):
+        f = lambda lg: dy_target - _advance_general(lg, x1z, x2z, ice, r, case, mirror)
+        f_lo = f(lo0)
+        f_hi = f(hi0)
+        has = jnp.sign(f_lo) != jnp.sign(f_hi)
+        roots.append(bisect(f, lo0, hi0, f_lo))
+        valid.append(has)
+    return jnp.stack(roots), jnp.stack(valid)
+
+
+def path_length_general(c0, x1z, x2z, ice: IceModelSimple, r, case, mirror):
+    """Closed-form path length of an r-bounce path (Bouma antiderivative)."""
+    beta, alpha = _bouma_beta_alpha(c0, x1z, ice)
+
+    def s_of(z):
+        nz = _n_z(z, ice)
+        gam = jnp.maximum(nz ** 2 - beta ** 2, 0.0)
+        l1 = jnp.sqrt(alpha * gam) + ice.n_ice * nz - beta ** 2
+        l2 = jnp.sqrt(gam) + nz
+        return ice.n_ice / jnp.sqrt(alpha) * (z - ice.z_0 * jnp.log(l1)) + ice.z_0 * jnp.log(l2)
+
+    _, z_turn = _turning_point(c0, ice)
+    A, B, C, D = _path_coeffs(r, case, mirror)
+    zb = ice.refl_z if ice.refl_z is not None else 0.0
+    return A * s_of(z_turn) + B * s_of(zb) + C * s_of(x1z) + D * s_of(x2z)
+
+
+def travel_time_general(c0, x1z, x2z, ice: IceModelSimple, r, case, mirror):
+    """Closed-form travel time of an r-bounce path (Bouma antiderivative)."""
+    beta, alpha = _bouma_beta_alpha(c0, x1z, ice)
+
+    def ct_of(z):
+        nz = _n_z(z, ice)
+        gam = jnp.maximum(nz ** 2 - beta ** 2, 0.0)
+        l1 = jnp.sqrt(alpha * gam) + ice.n_ice * nz - beta ** 2
+        l2 = jnp.sqrt(gam) + nz
+        return (ice.z_0 * (jnp.sqrt(gam) - ice.n_ice ** 2 / jnp.sqrt(alpha) * jnp.log(l1)
+                           + ice.n_ice * jnp.log(l2))
+                + ice.n_ice ** 2 * z / jnp.sqrt(alpha))
+
+    _, z_turn = _turning_point(c0, ice)
+    A, B, C, D = _path_coeffs(r, case, mirror)
+    zb = ice.refl_z if ice.refl_z is not None else 0.0
+    return (A * ct_of(z_turn) + B * ct_of(zb) + C * ct_of(x1z)
+            + D * ct_of(x2z)) / speed_of_light
+
+
+def attenuation_factor_general(c0, x1z, x2z, ice: IceModelSimple, frequencies,
+                               model: str, r, case, mirror, n_steps: int = 64):
+    """Attenuation of an r-bounce path via per-leg t-substitution integrals.
+
+    exponent = c1 I(z1) + cb I(zb) + c2 I(z2) with I(z) = int_z^{z_turn} ds/L.
+    """
+    _, z_turn = _turning_point(c0, ice)
+    zb = ice.refl_z if ice.refl_z is not None else 0.0
+
+    def I_of(z_start):
+        T = jnp.sqrt(jnp.maximum(z_turn - z_start, 0.0))
+        i = (jnp.arange(n_steps, dtype=c0.dtype) + 0.5) / n_steps
+        t = i * T
+        z = z_turn - t ** 2
+        nz = _n_z(z, ice)
+        arg = jnp.maximum(c0 ** 2 * nz ** 2 - 1.0, 1e-20)
+        ds_dt = 2.0 * t * c0 * nz / jnp.sqrt(arg)
+        inv_L = 1.0 / attenuation_ops.get_attenuation_length(
+            z[:, None], frequencies[None, :], model)
+        return jnp.sum(ds_dt[:, None] * inv_L, axis=0) * (T / n_steps)
+
+    c1 = 1.0 if case == 1 else -1.0
+    cb = 2.0 * r
+    c2 = 1.0 if mirror else -1.0
+    exponent = c1 * I_of(x1z) + cb * I_of(zb) + c2 * I_of(x2z)
+    return jnp.exp(-exponent)
+
+
+def launch_angle_general(c0, x1z, ice: IceModelSimple, case):
+    """Launch zenith; case 2 paths start downward (pi - upward angle)."""
+    up = jnp.arctan(_dy_dz(x1z, c0, ice))
+    return jnp.pi - up if case == 2 else up
+
+
+def receive_angle_general(c0, x2z, ice: IceModelSimple, mirror: bool):
+    """Receive zenith from the final-leg branch (up-going unless mirrored)."""
+    ang = jnp.arctan(_dy_dz(x2z, c0, ice))
+    ang = jnp.pi - ang if mirror else ang
+    return jnp.pi - ang
+
+
+def surface_touches(r: int, case: int, mirror: bool, z_turn):
+    """Number of surface reflections of the path (Fresnel factor count)."""
+    n = (r if case == 1 else r - 1) + int(mirror)
+    return jnp.where(z_turn >= 0, n, 0)
+
+
+def find_solutions_all(x1y, x1z, x2y, x2z, ice: IceModelSimple,
+                       n_reflections: int = 0, n_bisect: int = 96) -> RaySolutions:
+    """All solutions including bottom reflections: 2 + 4*n_reflections slots
+    ordered [r=0 x2, (r=1,case=1) x2, (r=1,case=2) x2, ...]
+    (propagation_base_class.get_number_of_raytracing_solutions:424-429)."""
+    base = find_solutions(x1y, x1z, x2y, x2z, ice, n_bisect)
+    if n_reflections == 0:
+        return base
+    if ice.refl_z is None:
+        raise ValueError("n_reflections > 0 requires an ice model with a reflective bottom")
+
+    parts = [base]
+    for r in range(1, n_reflections + 1):
+        for case in (1, 2):
+            logc0, valid = _solve_reflection_roots(x1y, x1z, x2y, x2z, ice, r, case, n_bisect)
+            c0 = _c0_from_log(logc0, ice.n_ice)
+            c1 = _c1_of(x1y, x1z, c0, ice)
+            slots = []
+            for k, mirror in enumerate((False, True)):
+                c0k = c0[k]
+                _, z_turn = _turning_point(c0k, ice)
+                sol_type = jnp.where(mirror,
+                                     jnp.where(z_turn >= 0, SOL_REFLECTED, SOL_REFRACTED),
+                                     SOL_DIRECT)
+                slots.append(RaySolutions(
+                    c0=c0k, c1=c1[k], mask=valid[k],
+                    sol_type=jnp.where(valid[k], sol_type, 0),
+                    launch_angle=launch_angle_general(c0k, x1z, ice, case),
+                    receive_angle=receive_angle_general(c0k, x2z, ice, mirror),
+                    path_length=path_length_general(c0k, x1z, x2z, ice, r, case, mirror),
+                    travel_time=travel_time_general(c0k, x1z, x2z, ice, r, case, mirror),
+                    reflection=jnp.full_like(sol_type, r),
+                    refl_case=jnp.full_like(sol_type, case),
+                ))
+            parts.append(jax.tree.map(lambda *xs: jnp.stack(xs, axis=-1), *slots))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=-1), *parts)
+
+
 def _solution_type(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple):
     """1=direct / 2=refracted / 3=reflected (determine_solution_type:1365-1398)."""
     c1 = _c1_of(x1y, x1z, c0, ice)
