@@ -53,6 +53,7 @@ _CHANNEL_DEFAULTS: dict[str, Any] = {
     "cab_time_delay": 0.0,
     "noise_temperature": np.nan,
     "adc_nbits": -1,
+    "amp_type": "",
 }
 
 

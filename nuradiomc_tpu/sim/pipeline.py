@@ -34,9 +34,12 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nuradiomc_tpu.models.ice import IceModelSimple
-from nuradiomc_tpu.ops import antenna, askaryan, noise as noise_ops, raytrace, trace as trace_ops, triggers
+from nuradiomc_tpu.ops import (antenna, askaryan, noise as noise_ops,
+                               phased_array, raytrace, trace as trace_ops,
+                               triggers)
 from nuradiomc_tpu.utils import fft, geometry
 
 
@@ -56,11 +59,18 @@ class PipelineSettings:
     attenuate_ice: bool = True
     apply_focusing: bool = False
     focusing_limit: float = 2.0
+    focusing_dz: float = -0.01             # receiver displacement (-1 cm), numeric focusing
     # trigger block
-    trigger_type: str = "high_low"         # or "simple_threshold"
+    trigger_type: str = "high_low"         # 'high_low' | 'simple_threshold' | 'phased_array'
     highlow_coincidence: float = 5.0       # ns within a channel
     number_of_coincidences: int = 1
     channel_coincidence: float = 200.0     # ns across channels
+    # phased-array trigger block (trigger_type == 'phased_array')
+    pa_rolls: tuple = ()                   # static (B, C) integer beam delays
+    pa_window: int = 32                    # power window in (upsampled) ticks
+    pa_step: int = 16
+    pa_upsampling: int = 1                 # FFT upsampling factor before phasing
+    pa_threshold: float = 0.0              # power threshold (e.g. 30.85 Vrms^2)
     # noise block
     add_noise: bool = False
     noise_type: str = "rayleigh"
@@ -239,14 +249,36 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     e_phi = e_phi * jnp.where(is_reflected, r_s, one_c)[..., None]
 
     if s.apply_focusing:
-        foc = jax.vmap(lambda c0, a, b, c, d: raytrace.focusing_factor(
-            c0, a, b, c, d, s.ice, limit=s.focusing_limit))(
-            flat(sols.c0),
-            flat(jnp.broadcast_to(geom.x1y[..., None], bshape)),
-            flat(jnp.broadcast_to(geom.x1z[..., None], bshape)),
-            flat(jnp.broadcast_to(geom.x2y[..., None], bshape)),
-            flat(jnp.broadcast_to(geom.x2z[..., None], bshape)),
-        ).reshape(bshape)
+        # numeric focusing: re-solve the ray tracing for a receiver displaced
+        # by dz and measure the launch-angle convergence (get_focusing,
+        # analyticraytracing.py:2778-2888 — the simulation default). The true
+        # receiver is x1 in the 2D frame when swapped.
+        dz = jnp.asarray(s.focusing_dz, real_dtype)
+        x1z_d = jnp.where(geom.swapped, geom.x1z + dz, geom.x1z)
+        x2z_d = jnp.where(geom.swapped, geom.x2z, geom.x2z + dz)
+        sols1_flat = jax.vmap(lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, s.ice))(
+            flat(geom.x1y), flat(x1z_d), flat(geom.x2y), flat(x2z_d))
+        sols1 = jax.tree.map(lambda a: a.reshape(G, S, C, *a.shape[1:]), sols1_flat)
+        geom_d = raytrace.Geometry2D(geom.x1y, x1z_d, geom.x2y, x2z_d,
+                                     geom.swapped, geom.dphi, geom.ux, geom.uy)
+        launch1, _ = raytrace.launch_receive_vectors(geom_d, sols1)
+
+        lau_ang = jnp.arccos(jnp.clip(launch[..., 2], -1.0, 1.0))
+        lau_ang1 = jnp.arccos(jnp.clip(launch1[..., 2], -1.0, 1.0))
+        d_launch = jnp.abs(lau_ang1 - lau_ang)
+        rec_ang = jnp.arccos(jnp.clip(-receive[..., 2], -1.0, 1.0))
+
+        r_h = jnp.abs(geom.x2y - geom.x1y)[..., None]
+        dist = jnp.maximum(sols.path_length, 1.0)
+        foc = jnp.sqrt(dist / jnp.maximum(jnp.sin(rec_ang), 1e-6)
+                       * d_launch / jnp.abs(dz))
+        foc = foc * jnp.sqrt(dist * jnp.sin(lau_ang) / jnp.maximum(r_h, 1e-6))
+        foc = jnp.where(sols1.mask & sols.mask, foc, 1.0)
+        foc = jnp.minimum(foc, s.focusing_limit)
+        # refractive-index correction between emitter and receiver
+        n1 = s.ice.index_of_refraction(batch.vertices[..., 2])[:, :, None, None]
+        n2 = s.ice.index_of_refraction(ch.positions[:, 2])[None, None, :, None]
+        foc = foc * jnp.sqrt(n1 / n2)
         e_theta = e_theta * foc[..., None]
         e_phi = e_phi * foc[..., None]
     else:
@@ -329,19 +361,34 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     channel_traces = fft.freq2time(chan_spec, s.sampling_rate, n=s.n_base)
 
     # ---- 9. trigger ---------------------------------------------------------
-    if s.trigger_type == "high_low":
-        tts = triggers.get_high_low_triggers(
-            channel_traces, ch.threshold_high[None, :, None],
-            ch.threshold_low[None, :, None], s.highlow_coincidence, dt)
-    elif s.trigger_type == "simple_threshold":
-        tts = triggers.get_threshold_triggers(
-            channel_traces, ch.threshold_high[None, :, None])
+    if s.trigger_type in ("high_low", "simple_threshold"):
+        if s.trigger_type == "high_low":
+            tts = triggers.get_high_low_triggers(
+                channel_traces, ch.threshold_high[None, :, None],
+                ch.threshold_low[None, :, None], s.highlow_coincidence, dt)
+        else:
+            tts = triggers.get_threshold_triggers(
+                channel_traces, ch.threshold_high[None, :, None])
+        triggered, _, first_bin = triggers.majority_logic(
+            tts, s.number_of_coincidences, s.channel_coincidence, dt)
+        trigger_time = base_t0 + first_bin * dt
+    elif s.trigger_type == "phased_array":
+        # beamformed power-integration trigger (phasedArrayTrigger semantics):
+        # optional FFT upsampling, static integer beam delays, sliding power
+        tr = channel_traces
+        fs_pa = s.sampling_rate
+        if s.pa_upsampling > 1:
+            spec_pa = fft.time2freq(tr, s.sampling_rate)
+            spec_pa = trace_ops.resample_spectrum(
+                spec_pa, s.n_base, s.n_base * s.pa_upsampling)
+            fs_pa = s.sampling_rate * s.pa_upsampling
+            tr = fft.freq2time(spec_pa, fs_pa, n=s.n_base * s.pa_upsampling)
+        rolls = np.asarray(s.pa_rolls, dtype=int)
+        triggered, frame, _, _ = phased_array.phased_power_trigger(
+            tr, rolls, s.pa_threshold, s.pa_window, s.pa_step)
+        trigger_time = base_t0 + frame * s.pa_step / fs_pa
     else:
         raise NotImplementedError(s.trigger_type)
-
-    triggered, _, first_bin = triggers.majority_logic(
-        tts, s.number_of_coincidences, s.channel_coincidence, dt)
-    trigger_time = base_t0 + first_bin * dt
 
     return PipelineOutput(
         triggered=triggered & any_valid,

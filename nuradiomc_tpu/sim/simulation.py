@@ -25,7 +25,7 @@ import numpy as np
 
 from nuradiomc_tpu.detector.detector import Detector
 from nuradiomc_tpu.models import ice as ice_models
-from nuradiomc_tpu.ops import antenna, askaryan, filters
+from nuradiomc_tpu.ops import antenna, askaryan, filters, phased_array
 from nuradiomc_tpu.sim import earth_attenuation, io_hdf5
 from nuradiomc_tpu.sim.pipeline import (ChannelParams, PipelineSettings,
                                         ShowerBatch, simulate_batch)
@@ -44,12 +44,22 @@ class FilterStage:
 @dataclasses.dataclass
 class TriggerSpec:
     name: str = "default_high_low"
-    trigger_type: str = "high_low"          # 'high_low' | 'simple_threshold'
+    trigger_type: str = "high_low"          # 'high_low' | 'simple_threshold' | 'phased_array'
     threshold_high_sigma: float = 2.0       # in units of Vrms
     threshold_low_sigma: float = -2.0
     highlow_coincidence: float = 5.0        # ns
     number_of_coincidences: int = 1
     channel_coincidence: float = 200.0      # ns
+    # phased-array settings (trigger_type == 'phased_array'), mirroring the
+    # reference phasedArrayTrigger configuration (test/Veff D05phased_array_deep.py)
+    pa_phasing_angles: tuple = tuple(np.arcsin(np.linspace(
+        np.sin(np.deg2rad(-59.54968597864437)),
+        np.sin(np.deg2rad(59.54968597864437)), 11)))
+    pa_ref_index: float = 1.75
+    pa_window_ns: float = 16.0
+    pa_step_ns: float = 8.0
+    pa_upsampling: int = 2
+    pa_threshold_factor: float = 30.85      # threshold = factor * Vrms^2
 
 
 class Simulation:
@@ -167,6 +177,21 @@ class Simulation:
             noise_amplitude=jnp.full((C,), self.Vrms, dtype=cdt),
         )
 
+        # phased-array static configuration
+        pa_rolls = ()
+        pa_window = pa_step = 0
+        pa_threshold = 0.0
+        if trigger.trigger_type == "phased_array":
+            det_fs = float(ch.sampling_frequency[0])
+            fs_up = self.internal_rate * trigger.pa_upsampling
+            rolls = phased_array.beam_rolls(
+                ch.positions[:, 2], ch.cable_delay,
+                np.asarray(trigger.pa_phasing_angles), trigger.pa_ref_index, fs_up)
+            pa_rolls = tuple(tuple(int(v) for v in row) for row in rolls)
+            pa_window = int(trigger.pa_window_ns * det_fs * trigger.pa_upsampling)
+            pa_step = int(trigger.pa_step_ns * det_fs * trigger.pa_upsampling)
+            pa_threshold = trigger.pa_threshold_factor * self.Vrms ** 2
+
         self.settings = PipelineSettings(
             ice=self.ice,
             attenuation_model=cfg["propagation"]["attenuation_model"],
@@ -183,6 +208,11 @@ class Simulation:
             highlow_coincidence=trigger.highlow_coincidence,
             number_of_coincidences=trigger.number_of_coincidences,
             channel_coincidence=trigger.channel_coincidence,
+            pa_rolls=pa_rolls,
+            pa_window=pa_window,
+            pa_step=pa_step,
+            pa_upsampling=trigger.pa_upsampling,
+            pa_threshold=pa_threshold,
             add_noise=bool(cfg["noise"]),
             noise_type="rayleigh",
         )
