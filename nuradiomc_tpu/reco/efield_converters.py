@@ -1,0 +1,231 @@
+"""Electric-field <-> voltage conversion modules (framework-object API).
+
+* efieldToVoltageConverter: forward folding of station electric fields with
+  the antenna response into channel voltage traces
+  (modules/efieldToVoltageConverter.py:111-345).
+* voltageToEfieldConverter: unfolding E(f) from >= 2 channels by solving
+  V_i(f) = sum_p VEL_i,p(f) E_p(f) per frequency bin with an analytic 2x2
+  inverse / stacked SVD least squares
+  (modules/voltageToEfieldConverter.py:130-242).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nuradiomc_tpu.framework import parameters as par
+from nuradiomc_tpu.framework.event import Channel, ElectricField
+from nuradiomc_tpu.ops import antenna as antenna_ops
+from nuradiomc_tpu.reco.base import register_run
+from nuradiomc_tpu.utils import units
+
+efp = par.electricFieldParameters
+chp = par.channelParameters
+stnp = par.stationParameters
+
+
+def get_channel_vel(det, station_id, channel_id, freqs, zenith, azimuth,
+                    antenna_replacements=None):
+    """(VEL_theta(f), VEL_phi(f)) of one channel for a given arrival direction
+    using the analytic antenna models (get_efield_antenna_factor equivalent,
+    utilities/signal_processing.py:581-...)."""
+    model = det.get_antenna_model(station_id, channel_id)
+    if antenna_replacements:
+        model = antenna_replacements.get(model, model)
+    if model not in antenna_ops.ANALYTIC_MODELS:
+        raise NotImplementedError(
+            f"antenna model {model} requires tabulated data; provide a replacement")
+    kind = antenna_ops.ANALYTIC_MODELS[model][0]
+    tpl = antenna_ops.build_analytic_template(model, np.asarray(freqs))
+    templates = np.zeros((3, len(freqs)), dtype=complex)
+    templates[:tpl.shape[0]] = tpl
+    if tpl.shape[0] == 1:
+        templates[1:] = tpl[0]
+    ori = det.get_antenna_orientation(station_id, channel_id)
+    rot = antenna_ops.antenna_rotation_matrix(*ori)
+    vt, vp = antenna_ops.analytic_vel(zenith, azimuth, rot, templates, kind)
+    return np.asarray(vt), np.asarray(vp)
+
+
+class efieldToVoltageConverter:
+    """Forward antenna folding: V(f) = VEL_theta E_theta + VEL_phi E_phi,
+    efields placed into a common channel time base with cable delays
+    (efieldToVoltageConverter.py:111-345)."""
+
+    def begin(self, debug=False, time_resolution=None, pre_pulse_time=200 * units.ns,
+              post_pulse_time=200 * units.ns, antenna_replacements=None):
+        self._pre = pre_pulse_time
+        self._post = post_pulse_time
+        self._antenna_replacements = antenna_replacements or {}
+
+    @register_run()
+    def run(self, evt, station, det):
+        sim_station = station.get_sim_station()
+        station_id = station.get_id()
+        efields = sim_station.get_electric_fields()
+        if len(efields) == 0:
+            return
+        fs = efields[0].get_sampling_rate()
+
+        for channel_id in det.get_channel_ids(station_id):
+            relevant = [ef for ef in efields if channel_id in ef.get_channel_ids()]
+            cable_delay = det.get_cable_delay(station_id, channel_id)
+            if not relevant:
+                continue
+            t_starts = [ef.get_trace_start_time() for ef in relevant]
+            n_ef = max(ef.get_number_of_samples() for ef in relevant)
+            t0 = min(t_starts) - self._pre
+            t1 = max(t_starts) + n_ef / fs + self._post
+            n_base = int(np.ceil((t1 - t0) * fs / 2)) * 2
+            base = np.zeros(n_base)
+            ch = Channel(channel_id)
+            ch.set_trace(base, fs, trace_start_time=t0 + cable_delay)
+
+            for ef in relevant:
+                zenith = ef[efp.zenith]
+                azimuth = ef[efp.azimuth]
+                ff = ef.get_frequencies()
+                vt, vp = get_channel_vel(det, station_id, channel_id, ff,
+                                         zenith, azimuth, self._antenna_replacements)
+                spec = ef.get_frequency_spectrum()
+                volt_spec = vt * spec[1] + vp * spec[2]
+                # remove DC (< 5 MHz, efieldToVoltageConverter.py:313)
+                volt_spec[ff < 5 * units.MHz] = 0
+                contrib = Channel(channel_id)
+                contrib.set_frequency_spectrum(volt_spec, fs)
+                contrib.set_trace_start_time(ef.get_trace_start_time() + cable_delay)
+                ch.add_to_trace(contrib)
+            station.add_channel(ch)
+
+    def end(self):
+        pass
+
+
+def stacked_lstsq(L, b, rcond=1e-10):
+    """Solve L x = b per frequency (voltageToEfieldConverter.py:130-156)."""
+    if L.shape[-2] == L.shape[-1] and L.shape[-1] == 2:
+        denom = L[:, 0, 0] * L[:, 1, 1] - L[:, 0, 1] * L[:, 1, 0]
+        e_theta = (b[:, 0] * L[:, 1, 1] - b[:, 1] * L[:, 0, 1]) / denom
+        e_phi = (b[:, 1] - L[:, 1, 0] * e_theta) / L[:, 1, 1]
+        return np.stack((e_theta, e_phi), axis=-1)
+    u, s, v = np.linalg.svd(L, full_matrices=False)
+    s_max = s.max(axis=-1, keepdims=True)
+    inv_s = np.where(s >= rcond * s_max, 1.0 / np.where(s == 0, 1.0, s), 0.0)
+    x = np.einsum("...ji,...j->...i", v,
+                  inv_s * np.einsum("...ji,...j->...i", u, b.conj()))
+    return np.conj(x, x)
+
+
+class voltageToEfieldConverter:
+    """Unfold the electric field from channel voltages
+    (voltageToEfieldConverter.py:158-242)."""
+
+    def begin(self, antenna_replacements=None):
+        self._antenna_replacements = antenna_replacements or {}
+
+    @register_run()
+    def run(self, evt, station, det, use_channels=None, use_MC_direction=False,
+            force_Polarization=""):
+        if use_channels is None:
+            use_channels = [0, 1, 2, 3]
+        if use_MC_direction:
+            zenith = station.get_sim_station()[stnp.zenith]
+            azimuth = station.get_sim_station()[stnp.azimuth]
+        else:
+            zenith = station[stnp.zenith]
+            azimuth = station[stnp.azimuth]
+
+        station_id = station.get_id()
+        # align channels: undo cable delays, common window
+        chans = [station.get_channel(cid) for cid in use_channels]
+        fs = chans[0].get_sampling_rate()
+        ff = chans[0].get_frequencies()
+        V = []
+        t_ref = chans[0].get_trace_start_time() - det.get_cable_delay(station_id, use_channels[0])
+        for cid, chn in zip(use_channels, chans):
+            spec = np.array(chn.get_frequency_spectrum())
+            delay = det.get_cable_delay(station_id, cid)
+            dt_shift = chn.get_trace_start_time() - delay - t_ref
+            spec = spec * np.exp(-2j * np.pi * ff * (-dt_shift))
+            V.append(spec)
+        V = np.array(V)
+
+        factor = np.array([
+            get_channel_vel(det, station_id, cid, ff, zenith, azimuth,
+                            self._antenna_replacements)
+            for cid in use_channels])  # (n_ch, 2, n_freq)
+
+        n_frequencies = V.shape[-1]
+        denom = (factor[0, 0] * factor[-1, 1] - factor[0, 1] * factor[-1, 0])
+        mask = np.abs(denom) != 0
+
+        efield3_f = np.zeros((3, n_frequencies), dtype=complex)
+        if force_Polarization == "eTheta":
+            sol = stacked_lstsq(np.moveaxis(factor[:, 0, mask], 1, 0)[:, :, None],
+                                np.moveaxis(V[:, mask], 1, 0))
+            efield3_f[1:2, mask] = np.moveaxis(sol, 0, 1)
+        elif force_Polarization == "ePhi":
+            sol = stacked_lstsq(np.moveaxis(factor[:, 1, mask], 1, 0)[:, :, None],
+                                np.moveaxis(V[:, mask], 1, 0))
+            efield3_f[2:, mask] = np.moveaxis(sol, 0, 1)
+        else:
+            sol = stacked_lstsq(np.moveaxis(factor[:, :, mask], 2, 0),
+                                np.moveaxis(V[:, mask], 1, 0))
+            efield3_f[1:, mask] = np.moveaxis(sol, 0, 1)
+
+        pos = np.mean([det.get_relative_position(station_id, cid)
+                       for cid in use_channels], axis=0)
+        electric_field = ElectricField(use_channels, pos)
+        electric_field.set_frequency_spectrum(efield3_f, fs)
+        electric_field.set_parameter(efp.zenith, zenith)
+        electric_field.set_parameter(efp.azimuth, azimuth)
+        electric_field.set_trace_start_time(t_ref)
+        station.add_electric_field(electric_field)
+
+    def end(self):
+        pass
+
+
+class electricFieldSignalReconstructor:
+    """Efield observables: signal time, energy fluence, polarization angle
+    (modules/electricFieldSignalReconstructor.py:35-150)."""
+
+    def begin(self, signal_window_pre=10 * units.ns, signal_window_post=40 * units.ns):
+        self._pre = signal_window_pre
+        self._post = signal_window_post
+
+    @register_run()
+    def run(self, evt, station, det=None, signal_search_window=None):
+        from scipy.signal import hilbert
+
+        from nuradiomc_tpu.utils.constants import Z_0
+
+        for ef in station.get_electric_fields():
+            trace = np.array(ef.get_trace())
+            times = ef.get_times()
+            if signal_search_window is not None:
+                m = (times > signal_search_window[0]) & (times < signal_search_window[1])
+                trace_m = trace[:, m]
+                times_m = times[m]
+            else:
+                trace_m, times_m = trace, times
+            envelope = np.abs(hilbert(trace_m, axis=-1))
+            env_mag = np.linalg.norm(envelope, axis=0)
+            sig_bin = int(np.argmax(env_mag))
+            signal_time = times_m[sig_bin]
+            ef[efp.signal_time] = signal_time
+
+            mask = (times > signal_time - self._pre) & (times < signal_time + self._post)
+            dt = 1.0 / ef.get_sampling_rate()
+            f_signal = np.sum(trace[:, mask] ** 2, axis=1) * dt
+            noise_mask = ~mask
+            if np.any(noise_mask):
+                rms = np.sum(trace[:, noise_mask] ** 2, axis=1) / np.sum(noise_mask)
+                f_signal -= rms * np.sum(mask) * dt
+            fluence = f_signal / Z_0  # energy fluence per polarization
+            ef[efp.signal_energy_fluence] = fluence
+            pol = np.arctan2(np.abs(fluence[2]) ** 0.5, np.abs(fluence[1]) ** 0.5)
+            ef[efp.polarization_angle] = pol
+
+    def end(self):
+        pass
