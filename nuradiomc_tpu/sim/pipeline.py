@@ -71,6 +71,12 @@ class PipelineSettings:
     pa_step: int = 16
     pa_upsampling: int = 1                 # FFT upsampling factor before phasing
     pa_threshold: float = 0.0              # power threshold (e.g. 30.85 Vrms^2)
+    # trigger-ADC digitization before phasing (analogToDigitalConverter
+    # .get_digital_trace:254-372; apply_digitization=True is the module default)
+    pa_digitize: bool = False
+    pa_adc_fs: float = 0.5                 # ADC sampling rate, GHz
+    pa_adc_nbits: int = 8
+    pa_adc_range: float = 0.0              # full-scale voltage range (host-computed)
     # noise block
     add_noise: bool = False
     noise_type: str = "rayleigh"
@@ -100,7 +106,11 @@ class ChannelParams(NamedTuple):
     filter_response_int: jnp.ndarray  # [C, F_int] chain response on the efield grid
     threshold_high: jnp.ndarray  # [C]
     threshold_low: jnp.ndarray   # [C]
-    noise_amplitude: jnp.ndarray # [C] Vrms before filters (0 = no noise)
+    noise_amplitude: jnp.ndarray # [C] noise amplitude at generation (pre-filter,
+                                 # normalized so post-filter RMS = Vrms;
+                                 # simulation.py:595-600)
+    min_efield_amplitude: jnp.ndarray  # [C] candidate speedup cut threshold
+                                 # (simulation.py:283-286; 0 disables)
 
 
 class ShowerBatch(NamedTuple):
@@ -117,6 +127,8 @@ class ShowerBatch(NamedTuple):
 
 class PipelineOutput(NamedTuple):
     triggered: jnp.ndarray        # [G] bool
+    candidate: jnp.ndarray        # [G] bool (min_efield_amplitude speedup cut)
+    max_efield: jnp.ndarray       # [G] max |E| over showers/channels/solutions
     trigger_time: jnp.ndarray     # [G] absolute trigger time (ns)
     max_amplitude: jnp.ndarray    # [G, C]
     traces: Optional[jnp.ndarray] # [G, C, n_base] (None if not requested)
@@ -284,6 +296,17 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     else:
         foc = jnp.ones(bshape, dtype=real_dtype)
 
+    # candidate cut: a group is only simulated/triggered if at least one
+    # efield exceeds min_efield_amplitude (simulation.py:283-286, speedup
+    # min_efield_amplitude; the reference skips such stations entirely)
+    ef_traces = fft.freq2time(jnp.stack([e_theta, e_phi]), s.sampling_rate,
+                              n=s.n_internal)
+    ef_max = jnp.max(jnp.abs(ef_traces), axis=(0, -1))          # [G,S,C,2]
+    ef_max = jnp.where(valid, ef_max, 0.0)
+    candidate = jnp.any(ef_max > ch.min_efield_amplitude[None, None, :, None],
+                        axis=(1, 2, 3))                          # [G]
+    candidate = candidate | jnp.all(ch.min_efield_amplitude <= 0)
+
     # ---- 6. antenna response (VEL dot product) -----------------------------
     zen_r, az_r = geometry.cartesian_to_spherical(receive)         # [G,S,C,2]
 
@@ -374,15 +397,33 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         trigger_time = base_t0 + first_bin * dt
     elif s.trigger_type == "phased_array":
         # beamformed power-integration trigger (phasedArrayTrigger semantics):
-        # optional FFT upsampling, static integer beam delays, sliding power
+        # optional trigger-ADC digitization, FFT upsampling, static integer
+        # beam delays, sliding power sums
         tr = channel_traces
         fs_pa = s.sampling_rate
+        n_pa = s.n_base
+        if s.pa_digitize:
+            # resample to 5 GHz then decimate to the ADC rate by integer
+            # stride (exact equivalent of the reference's linear-interp
+            # downsampling when the rates divide, get_digital_trace:348-360)
+            fs_hi = 5.0
+            n_hi = int(round(s.n_base * fs_hi / s.sampling_rate))
+            decim = int(round(fs_hi / s.pa_adc_fs))
+            spec_hi = trace_ops.resample_spectrum(
+                fft.time2freq(tr, s.sampling_rate), s.n_base, n_hi)
+            tr_hi = fft.freq2time(spec_hi, fs_hi, n=n_hi)
+            tr = tr_hi[..., ::decim]
+            fs_pa = s.pa_adc_fs
+            n_pa = tr.shape[-1]
+            from nuradiomc_tpu.ops import adc as adc_ops
+            tr = adc_ops.perfect_floor_comparator(
+                tr, s.pa_adc_nbits, (-s.pa_adc_range / 2, s.pa_adc_range / 2))
         if s.pa_upsampling > 1:
-            spec_pa = fft.time2freq(tr, s.sampling_rate)
-            spec_pa = trace_ops.resample_spectrum(
-                spec_pa, s.n_base, s.n_base * s.pa_upsampling)
-            fs_pa = s.sampling_rate * s.pa_upsampling
-            tr = fft.freq2time(spec_pa, fs_pa, n=s.n_base * s.pa_upsampling)
+            spec_pa = fft.time2freq(tr, fs_pa)
+            spec_pa = trace_ops.resample_spectrum(spec_pa, n_pa, n_pa * s.pa_upsampling)
+            fs_pa = fs_pa * s.pa_upsampling
+            n_pa = n_pa * s.pa_upsampling
+            tr = fft.freq2time(spec_pa, fs_pa, n=n_pa)
         rolls = np.asarray(s.pa_rolls, dtype=int)
         triggered, frame, _, _ = phased_array.phased_power_trigger(
             tr, rolls, s.pa_threshold, s.pa_window, s.pa_step)
@@ -391,7 +432,9 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         raise NotImplementedError(s.trigger_type)
 
     return PipelineOutput(
-        triggered=triggered & any_valid,
+        triggered=triggered & any_valid & candidate,
+        candidate=candidate & any_valid,
+        max_efield=jnp.max(ef_max, axis=(1, 2, 3)),
         trigger_time=trigger_time,
         max_amplitude=jnp.max(jnp.abs(channel_traces), axis=-1),
         traces=channel_traces if keep_traces else None,

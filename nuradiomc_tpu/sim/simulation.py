@@ -60,6 +60,8 @@ class TriggerSpec:
     pa_step_ns: float = 8.0
     pa_upsampling: int = 2
     pa_threshold_factor: float = 30.85      # threshold = factor * Vrms^2
+    pa_digitize: bool = True                # ADC before phasing (module default)
+    pa_adc_noise_count: int = None          # from detector if None
 
 
 class Simulation:
@@ -174,16 +176,30 @@ class Simulation:
             filter_response_int=jnp.asarray(filter_response_int, dtype=ctype),
             threshold_high=jnp.full((C,), trigger.threshold_high_sigma * self.Vrms, dtype=cdt),
             threshold_low=jnp.full((C,), trigger.threshold_low_sigma * self.Vrms, dtype=cdt),
-            noise_amplitude=jnp.full((C,), self.Vrms, dtype=cdt),
+            # noise is generated white up to Nyquist and scaled so the
+            # post-filter RMS equals Vrms (simulation.py:595-600)
+            noise_amplitude=jnp.full(
+                (C,), self.Vrms / np.sqrt(self.bandwidth / (0.5 * self.internal_rate)),
+                dtype=cdt),
+            min_efield_amplitude=jnp.full(
+                (C,), float(cfg["speedup"]["min_efield_amplitude"]) * self.Vrms_efield,
+                dtype=cdt),
         )
 
         # phased-array static configuration
         pa_rolls = ()
         pa_window = pa_step = 0
         pa_threshold = 0.0
+        pa_digitize = False
+        pa_adc_fs = 0.5
+        pa_adc_nbits = 8
+        pa_adc_range = 0.0
         if trigger.trigger_type == "phased_array":
             det_fs = float(ch.sampling_frequency[0])
-            fs_up = self.internal_rate * trigger.pa_upsampling
+            pa_digitize = trigger.pa_digitize
+            # with digitization the trigger runs at the ADC rate x upsampling
+            base_fs = det_fs if pa_digitize else self.internal_rate
+            fs_up = base_fs * trigger.pa_upsampling
             rolls = phased_array.beam_rolls(
                 ch.positions[:, 2], ch.cable_delay,
                 np.asarray(trigger.pa_phasing_angles), trigger.pa_ref_index, fs_up)
@@ -191,6 +207,12 @@ class Simulation:
             pa_window = int(trigger.pa_window_ns * det_fs * trigger.pa_upsampling)
             pa_step = int(trigger.pa_step_ns * det_fs * trigger.pa_upsampling)
             pa_threshold = trigger.pa_threshold_factor * self.Vrms ** 2
+            pa_adc_fs = det_fs
+            pa_adc_nbits = int(ch.adc_nbits[0]) if ch.adc_nbits[0] > 0 else 8
+            noise_count = trigger.pa_adc_noise_count or 15
+            # ADC range from the noise occupancy (analogToDigitalConverter
+            # ._get_adc_parameters:216-241)
+            pa_adc_range = self.Vrms * (2 ** pa_adc_nbits - 1) / noise_count
 
         self.settings = PipelineSettings(
             ice=self.ice,
@@ -213,6 +235,10 @@ class Simulation:
             pa_step=pa_step,
             pa_upsampling=trigger.pa_upsampling,
             pa_threshold=pa_threshold,
+            pa_digitize=pa_digitize,
+            pa_adc_fs=pa_adc_fs,
+            pa_adc_nbits=pa_adc_nbits,
+            pa_adc_range=pa_adc_range,
             add_noise=bool(cfg["noise"]),
             noise_type="rayleigh",
         )

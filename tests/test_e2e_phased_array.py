@@ -1,0 +1,81 @@
+"""End-to-end phased-array + noise conformance.
+
+Golden data from running the REFERENCE simulation with the RNO-G/Gen2-style
+deep phased-array trigger (4 channels @ ~200 m, cheby1 chain, rayleigh noise,
+numeric focusing, trigger-ADC digitization + 2x upsampling + power
+integration; tests/golden/generate_e2e_pa_golden.py). Noise RNGs differ
+between the frameworks, so borderline events flip: the conformance targets
+are the triggered count within Poisson statistics, a large overlap of the
+triggered sets, and Veff agreement within the combined MC error.
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nuradiomc_tpu.sim.simulation import FilterStage, Simulation, TriggerSpec
+from nuradiomc_tpu.utils import units
+
+HERE = os.path.dirname(__file__)
+GOLDEN = os.path.join(HERE, "golden", "e2e_pa_reference.npz")
+INPUT = os.path.join(HERE, "data", "1e18_n3000.hdf5")
+
+
+@pytest.fixture(scope="module")
+def results():
+    sim = Simulation(
+        INPUT,
+        {"channels": {str(i + 1): {
+            "adc_n_samples": 256, "adc_sampling_frequency": 0.5,
+            "adc_nbits": 8,
+            "ant_orientation_phi": 0.0, "ant_orientation_theta": 0.0,
+            "ant_position_x": 0.0, "ant_position_y": 0.0,
+            "ant_position_z": -197.0 - i,
+            "ant_rotation_phi": 90.0, "ant_rotation_theta": 90.0,
+            "ant_type": "RNOG_vpol_v1_n1.73", "amp_type": "",
+            "cab_time_delay": 1051.0, "channel_id": i, "station_id": 1,
+        } for i in range(4)},
+         "stations": {"1": {"station_id": 1, "pos_altitude": 0,
+                            "pos_easting": 0, "pos_northing": 0}}},
+        config={"sampling_rate": 2.0, "noise": True,
+                "propagation": {"ice_model": "southpole_2015", "focusing": True},
+                "signal": {"model": "Alvarez2009"},
+                "weights": {"weight_mode": "core_mantle_crust_simple",
+                            "cross_section_type": "ctw"}},
+        filter_chain=[
+            FilterStage((96 * units.MHz, 100 * units.GHz), "cheby1",
+                        {"order": 4, "rp": 0.1}),
+            FilterStage((0, 220 * units.MHz), "cheby1", {"order": 7, "rp": 0.1}),
+        ],
+        trigger=TriggerSpec(trigger_type="phased_array"),
+        antenna_replacements={"RNOG_vpol_v1_n1.73": "analytic_VPol"},
+        chunk_size=512,
+        dtype=jnp.float64,
+    )
+    return sim.run()
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN)
+
+
+def test_triggered_count_and_overlap(golden, results):
+    res = results
+    sel = res["triggered"] & (res["weights"] >= 1e-5)
+    mine = set(int(g) for g in res["group_ids"][sel])
+    ref = set(int(g) for g in np.unique(golden["group_ids"][golden["triggered"]]))
+    n_ref = len(ref)
+    # Poisson-compatible counts and a dominant overlap
+    assert abs(len(mine) - n_ref) <= 3 * np.sqrt(n_ref), (len(mine), n_ref)
+    assert len(mine & ref) >= 0.6 * n_ref, (sorted(mine), sorted(ref))
+
+
+def test_veff_within_mc_error(golden, results):
+    res = results
+    ref_veff = float(golden["veff"])
+    n = int(golden["n_triggered"])
+    rel_err = 2.0 / np.sqrt(n)  # 2 sigma combined
+    assert abs(res["veff"] / ref_veff - 1) < 2 * rel_err, \
+        (res["veff"], ref_veff)
