@@ -659,6 +659,94 @@ def find_solutions(x1y, x1z, x2y, x2z, ice: IceModelSimple,
 
 
 # ---------------------------------------------------------------------------
+# ice-to-air propagation: a single solution exists between the vertical ray
+# and the ray that exits at the critical angle (find_solutions:1437-1460 —
+# note that the reference's Python path for this case is non-functional in
+# the studied snapshot: its objective reduces to the always-negative
+# "turning point too deep" penalty for z2 > 0, so find_solutions returns
+# zero ice-air solutions; this implementation solves the physics directly).
+# ---------------------------------------------------------------------------
+
+def _air_miss(logc0, x1y, x1z, x2y, x2z, ice: IceModelSimple):
+    """Horizontal miss at an in-air receiver: closed-form in-ice path to the
+    surface + straight Snell-refracted line in air."""
+    c0 = _c0_from_log(logc0, ice.n_ice)
+    y_exit = x1y + _w_up(0.0, c0, ice) - _w_up(x1z, c0, ice)
+    n_surf = ice.n_ice - ice.delta_n
+    sin_ice = 1.0 / (c0 * n_surf)          # sin of zenith at the surface (in ice)
+    sin_air = jnp.clip(n_surf * sin_ice, 0.0, 1.0 - 1e-12)
+    tan_air = sin_air / jnp.sqrt(1.0 - sin_air ** 2)
+    y_at_z2 = y_exit + x2z * tan_air
+    return x2y - y_at_z2
+
+
+def find_solution_ice_to_air(x1y, x1z, x2y, x2z, ice: IceModelSimple,
+                             n_bisect: int = 96) -> RaySolutions:
+    """Single-slot solution for a receiver above the surface (x2z > 0)."""
+    x1y, x1z, x2y, x2z = map(jnp.asarray, (x1y, x1z, x2y, x2z))
+    n1 = _n_z(x1z, ice)
+    # flattest escaping ray: surface angle = critical angle ->
+    # C0 n_surf sin=1 with sin_ice=1 -> c0_lo = 1/n_surf
+    n_surf = ice.n_ice - ice.delta_n
+    eps = jnp.asarray(1e-12 if x1y.dtype == jnp.float64 else 1e-5, x1y.dtype)
+    lo0 = jnp.log(jnp.asarray(1.0 / n_surf, x1y.dtype) - 1.0 / ice.n_ice) + eps
+    hi0 = jnp.asarray(_LOGC0_HI, x1y.dtype)
+
+    f = lambda lg: _air_miss(lg, x1y, x1z, x2y, x2z, ice)
+    f_lo = f(lo0)
+    f_hi = f(hi0)
+    has = jnp.sign(f_lo) != jnp.sign(f_hi)
+
+    def body(_, st):
+        lo_, hi_ = st
+        mid = 0.5 * (lo_ + hi_)
+        same = jnp.sign(f(mid)) == jnp.sign(f_lo)
+        return jnp.where(same, mid, lo_), jnp.where(same, hi_, mid)
+    lo_, hi_ = jax.lax.fori_loop(0, n_bisect, body, (lo0, hi0))
+    logc0 = 0.5 * (lo_ + hi_)
+    c0 = _c0_from_log(logc0, ice.n_ice)
+
+    # observables: in-ice leg to the surface (closed forms to z=0) + air leg
+    beta, alpha = _bouma_beta_alpha(c0, x1z, ice)
+
+    def s_of(z):
+        nz = _n_z(z, ice)
+        gam = jnp.maximum(nz ** 2 - beta ** 2, 0.0)
+        l1 = jnp.sqrt(alpha * gam) + ice.n_ice * nz - beta ** 2
+        l2 = jnp.sqrt(gam) + nz
+        return ice.n_ice / jnp.sqrt(alpha) * (z - ice.z_0 * jnp.log(l1)) + ice.z_0 * jnp.log(l2)
+
+    def ct_of(z):
+        nz = _n_z(z, ice)
+        gam = jnp.maximum(nz ** 2 - beta ** 2, 0.0)
+        l1 = jnp.sqrt(alpha * gam) + ice.n_ice * nz - beta ** 2
+        l2 = jnp.sqrt(gam) + nz
+        return (ice.z_0 * (jnp.sqrt(gam) - ice.n_ice ** 2 / jnp.sqrt(alpha) * jnp.log(l1)
+                           + ice.n_ice * jnp.log(l2)) + ice.n_ice ** 2 * z / jnp.sqrt(alpha))
+
+    y_exit = x1y + _w_up(0.0, c0, ice) - _w_up(x1z, c0, ice)
+    d_air = jnp.sqrt((x2y - y_exit) ** 2 + x2z ** 2)
+    path = s_of(0.0) - s_of(x1z) + d_air
+    ttime = (ct_of(0.0) - ct_of(x1z)) / speed_of_light + d_air / speed_of_light
+
+    la = jnp.arctan(_dy_dz(x1z, c0, ice))
+    sin_ice = 1.0 / (c0 * n_surf)
+    sin_air = jnp.clip(n_surf * sin_ice, 0.0, 1.0 - 1e-12)
+    ra = jnp.pi - jnp.arcsin(sin_air)  # receive zenith (from +z, downward-from-above)
+
+    sol_type = jnp.where(has, SOL_DIRECT, 0).astype(jnp.int32)
+    sols = RaySolutions(
+        c0=c0, c1=_c1_of(x1y, x1z, c0, ice), mask=jnp.asarray(has),
+        sol_type=sol_type, launch_angle=la, receive_angle=ra,
+        path_length=path, travel_time=ttime,
+        reflection=jnp.zeros_like(sol_type),
+        refl_case=jnp.ones_like(sol_type),
+    )
+    # single solution slot (trailing axis of size 1)
+    return jax.tree.map(lambda a: jnp.asarray(a)[..., None], sols)
+
+
+# ---------------------------------------------------------------------------
 # 3D wrapper: reduce (3D src, 3D rcv) to the 2D plane (set_start_and_end_point
 # semantics, analyticraytracing.py:2057-2090) and lift angles back to 3D.
 # ---------------------------------------------------------------------------

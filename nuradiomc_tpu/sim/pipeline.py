@@ -182,9 +182,26 @@ def _attenuation_sparse(sols: raytrace.RaySolutions, geom, s: PipelineSettings):
     return jax.vmap(interp_one)(flat.reshape(-1, s.n_freq_attenuation)).reshape(*shape, ff.shape[0])
 
 
+class EmitterParams(NamedTuple):
+    """Static parameters of an artificial emitter run (one emitter antenna
+    model per batch; calculate_sim_efield_for_emitter, simulation.py:299-460).
+
+    In emitter mode the ShowerBatch fields are reinterpreted: ``vertices`` are
+    emitter positions, ``energies`` the pulser amplitudes, ``k_L`` the
+    emitter frequency (cw/tone_burst) and ``vertex_times`` the emitter times.
+    """
+
+    model: str                 # emitter signal model (ops.emitter)
+    templates: jnp.ndarray     # [3, F_int] emitting-antenna VEL templates
+    rot: jnp.ndarray           # [3, 3]
+    kind: int
+    half_width: float = 5.0
+
+
 def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                    noise_key: Optional[jnp.ndarray] = None,
-                   keep_traces: bool = False) -> PipelineOutput:
+                   keep_traces: bool = False,
+                   emitter: Optional[EmitterParams] = None) -> PipelineOutput:
     """Run the full chain on a padded batch. jit/pjit over the G axis."""
     G, S = batch.energies.shape
     C = ch.positions.shape[0]
@@ -211,36 +228,65 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     viewing_angle = jnp.arccos(jnp.clip(cos_view, -1.0, 1.0))      # [G,S,C,2]
     delta_C = viewing_angle - cherenkov[:, :, None, None]
 
-    valid = (sols.mask
-             & (jnp.abs(delta_C) <= s.delta_C_cut)
-             & batch.shower_mask[:, :, None, None])                # [G,S,C,2]
-
-    # ---- 3. Askaryan spectrum per (G,S,C,2) --------------------------------
+    bshape = (G, S, C, 2)
     R_safe = jnp.where(sols.path_length > 1.0, sols.path_length, 1.0)
 
-    def spec_one(E, view, em, n_idx, R, kl):
-        return askaryan.get_frequency_spectrum(
-            E, view, s.n_internal, dt, em, n_idx, R, s.askaryan_model, k_L=kl)
+    if emitter is None:
+        valid = (sols.mask
+                 & (jnp.abs(delta_C) <= s.delta_C_cut)
+                 & batch.shower_mask[:, :, None, None])            # [G,S,C,2]
 
-    bshape = (G, S, C, 2)
-    spec = jax.vmap(spec_one)(
-        flat(jnp.broadcast_to(batch.energies[:, :, None, None], bshape)),
-        flat(viewing_angle),
-        flat(jnp.broadcast_to(batch.is_em[:, :, None, None], bshape)),
-        flat(jnp.broadcast_to(n_vertex[:, :, None, None], bshape)),
-        flat(R_safe),
-        flat(jnp.broadcast_to(batch.k_L[:, :, None, None], bshape)),
-    ).reshape(*bshape, -1)                                         # [G,S,C,2,F]
+        # ---- 3. Askaryan spectrum per (G,S,C,2) ----------------------------
+        def spec_one(E, view, em, n_idx, R, kl):
+            return askaryan.get_frequency_spectrum(
+                E, view, s.n_internal, dt, em, n_idx, R, s.askaryan_model, k_L=kl)
 
-    # ---- 4. polarization (on-sky at the vertex, simulation.py:798-829) -----
-    axis = batch.prop_dir[:, :, None, None, :]
-    pol = jnp.cross(launch, jnp.cross(axis, launch))
-    pol = pol / jnp.maximum(jnp.linalg.norm(pol, axis=-1, keepdims=True), 1e-30)
-    zen_l, az_l = geometry.cartesian_to_spherical(launch)
-    pol_onsky = geometry.ground_to_onsky(pol, zen_l, az_l)         # [G,S,C,2,3]
+        spec = jax.vmap(spec_one)(
+            flat(jnp.broadcast_to(batch.energies[:, :, None, None], bshape)),
+            flat(viewing_angle),
+            flat(jnp.broadcast_to(batch.is_em[:, :, None, None], bshape)),
+            flat(jnp.broadcast_to(n_vertex[:, :, None, None], bshape)),
+            flat(R_safe),
+            flat(jnp.broadcast_to(batch.k_L[:, :, None, None], bshape)),
+        ).reshape(*bshape, -1)                                     # [G,S,C,2,F]
 
-    e_theta = pol_onsky[..., 1:2] * spec                           # [G,S,C,2,F]
-    e_phi = pol_onsky[..., 2:3] * spec
+        # ---- 4. polarization (on-sky at the vertex, simulation.py:798-829) -
+        axis = batch.prop_dir[:, :, None, None, :]
+        pol = jnp.cross(launch, jnp.cross(axis, launch))
+        pol = pol / jnp.maximum(jnp.linalg.norm(pol, axis=-1, keepdims=True), 1e-30)
+        zen_l, az_l = geometry.cartesian_to_spherical(launch)
+        pol_onsky = geometry.ground_to_onsky(pol, zen_l, az_l)     # [G,S,C,2,3]
+
+        e_theta = pol_onsky[..., 1:2] * spec                       # [G,S,C,2,F]
+        e_phi = pol_onsky[..., 2:3] * spec
+    else:
+        # emitter mode: pulser voltage spectrum folded with the emitting
+        # antenna response at the launch direction:
+        # E = VEL * (-i) * V(f) * f * n / c / R (simulation.py:401-424)
+        from nuradiomc_tpu.ops import emitter as emitter_ops
+        from nuradiomc_tpu.utils.constants import speed_of_light
+
+        valid = sols.mask & batch.shower_mask[:, :, None, None]
+
+        vspec = jax.vmap(lambda amp, fq: emitter_ops.get_frequency_spectrum(
+            amp, s.n_internal, dt, emitter.model,
+            emitter_frequency=fq, half_width=emitter.half_width))(
+            flat(jnp.broadcast_to(batch.energies[:, :, None, None], bshape)),
+            flat(jnp.broadcast_to(batch.k_L[:, :, None, None], bshape)),
+        ).reshape(*bshape, -1)
+
+        zen_l, az_l = geometry.cartesian_to_spherical(launch)
+        vel_t, vel_p = jax.vmap(lambda z, a: antenna.analytic_vel(
+            z, a, emitter.rot, emitter.templates, emitter.kind))(
+            flat(zen_l), flat(az_l))
+        vel_t = vel_t.reshape(*bshape, -1)
+        vel_p = vel_p.reshape(*bshape, -1)
+
+        deriv = ((-1j) * ff_int[None, None, None, None, :]
+                 * n_vertex[:, :, None, None, None] / speed_of_light)
+        e_theta = vel_t * vspec * deriv / R_safe[..., None]
+        e_phi = vel_p * vspec * deriv / R_safe[..., None]
+        pol_onsky = jnp.zeros((*bshape, 3), dtype=real_dtype)
 
     # ---- 5. propagation effects --------------------------------------------
     if s.attenuate_ice:
