@@ -316,6 +316,14 @@ class Simulation:
         max_amp = np.zeros((G, len(self.det.get_channel_ids(self.station_id))))
         trigger_times = np.zeros(G)
 
+        # per-solution observables of triggered groups for the station output
+        station_rows = {k: [] for k in (
+            "g_idx", "max_amp_shower_and_ray", "ray_tracing_C0", "ray_tracing_C1",
+            "ray_tracing_solution_type", "ray_tracing_reflection",
+            "ray_tracing_reflection_case", "focusing_factor", "launch_vectors",
+            "receive_vectors", "polarization", "travel_times", "travel_distances",
+            "time_shower_and_ray", "sol_mask")}
+
         n_chunks = (G + self.chunk_size - 1) // self.chunk_size
         for i in range(n_chunks):
             sl = slice(i * self.chunk_size, min((i + 1) * self.chunk_size, G))
@@ -326,9 +334,44 @@ class Simulation:
             key, sub = jax.random.split(key)
             out = self._jit_pipeline(chunk, sub)
             n_real = sl.stop - sl.start
-            triggered[sl] = np.asarray(out.triggered)[:n_real]
+            trig = np.asarray(out.triggered)[:n_real]
+            triggered[sl] = trig
             max_amp[sl] = np.asarray(out.max_amplitude)[:n_real]
             trigger_times[sl] = np.asarray(out.trigger_time)[:n_real]
+
+            idx = np.where(trig)[0]
+            if len(idx):
+                station_rows["g_idx"].append(idx + sl.start)
+                station_rows["max_amp_shower_and_ray"].append(
+                    np.asarray(out.max_amp_per_solution)[idx])
+                station_rows["ray_tracing_C0"].append(np.asarray(out.c0)[idx])
+                station_rows["ray_tracing_C1"].append(np.asarray(out.c1)[idx])
+                station_rows["ray_tracing_solution_type"].append(
+                    np.asarray(out.sol_type)[idx])
+                station_rows["ray_tracing_reflection"].append(
+                    np.zeros_like(np.asarray(out.sol_type)[idx]))
+                station_rows["ray_tracing_reflection_case"].append(
+                    np.ones_like(np.asarray(out.sol_type)[idx]))
+                station_rows["focusing_factor"].append(np.asarray(out.focusing)[idx])
+                station_rows["launch_vectors"].append(np.asarray(out.launch_vector)[idx])
+                station_rows["receive_vectors"].append(np.asarray(out.receive_vector)[idx])
+                # cartesian polarization at the antenna: on-sky components
+                # rotated with the receive direction (HDF5_structure.rst)
+                from nuradiomc_tpu.utils import geometry as geo
+                rec = np.asarray(out.receive_vector)[idx]
+                zen = np.arccos(np.clip(rec[..., 2], -1, 1))
+                az = np.arctan2(rec[..., 1], rec[..., 0])
+                pol = np.asarray(jax.jit(geo.onsky_to_ground)(
+                    jnp.asarray(np.asarray(out.polarization)[idx]),
+                    jnp.asarray(zen), jnp.asarray(az)))
+                station_rows["polarization"].append(pol)
+                station_rows["travel_times"].append(np.asarray(out.travel_time)[idx])
+                station_rows["travel_distances"].append(np.asarray(out.path_length)[idx])
+                tt = np.asarray(out.travel_time)[idx]
+                cd = np.asarray(self.channel_params.cable_delays)
+                station_rows["time_shower_and_ray"].append(
+                    tt + cd[None, None, :, None])
+                station_rows["sol_mask"].append(np.asarray(out.sol_mask)[idx])
 
         # minimum-weight speedup cut (simulation.py:1476) is applied as a
         # zero-weight contribution, not by skipping, so results are identical
@@ -353,14 +396,83 @@ class Simulation:
             # map group-level triggers back to per-shower rows
             trig_shower = np.zeros(self.input.n_showers, dtype=bool)
             w_shower = np.zeros(self.input.n_showers)
+            tt_shower = np.zeros((self.input.n_showers, 1))
             for g in range(G):
                 rows = order[start[g]:start[g] + count[g]]
                 trig_shower[rows] = triggered[g]
                 w_shower[rows] = weights[g]
+                tt_shower[rows, 0] = trigger_times[g]
+
+            # station group (schema: HDF5_structure.rst:150-182) for showers
+            # of triggered event groups
+            station = {}
+            if station_rows["g_idx"]:
+                g_sel = np.concatenate(station_rows["g_idx"])
+                m_rows = []       # (group position, shower slot) per station row
+                sh_ids = []
+                eg_ids = []
+                for j, g in enumerate(g_sel):
+                    rows = order[start[g]:start[g] + count[g]]
+                    for s_idx, r in enumerate(rows):
+                        m_rows.append((j, s_idx))
+                        sh_ids.append(self.input.shower_ids[r])
+                        eg_ids.append(group_ids[g])
+                jj = np.array([m[0] for m in m_rows])
+                ss = np.array([m[1] for m in m_rows])
+
+                def gather(key):
+                    arr = np.concatenate(station_rows[key])
+                    return arr[jj, ss]
+
+                mask = gather("sol_mask")
+
+                def nanify(key):
+                    a = np.array(gather(key), dtype=float)
+                    a[~mask] = np.nan
+                    return a
+
+                station = {
+                    "event_group_ids": np.array([group_ids[g] for g in g_sel]),
+                    "event_ids": np.zeros(len(g_sel), dtype=int),
+                    "event_group_id_per_shower": np.array(eg_ids),
+                    "event_id_per_shower": np.zeros(len(sh_ids), dtype=int),
+                    "shower_id": np.array(sh_ids),
+                    "triggered": np.ones(len(sh_ids), dtype=bool),
+                    "triggered_per_event": np.ones(len(g_sel), dtype=bool),
+                    "multiple_triggers": np.ones((len(sh_ids), 1), dtype=bool),
+                    "multiple_triggers_per_event": np.ones((len(g_sel), 1), dtype=bool),
+                    "maximum_amplitudes": max_amp[g_sel],
+                    "maximum_amplitudes_envelope": max_amp[g_sel],
+                    "trigger_times": trigger_times[g_sel][:, None][jj],
+                    "trigger_times_per_event": trigger_times[g_sel][:, None],
+                    "max_amp_shower_and_ray": nanify("max_amp_shower_and_ray"),
+                    "ray_tracing_C0": nanify("ray_tracing_C0"),
+                    "ray_tracing_C1": nanify("ray_tracing_C1"),
+                    "ray_tracing_solution_type": nanify("ray_tracing_solution_type"),
+                    "ray_tracing_reflection": nanify("ray_tracing_reflection"),
+                    "ray_tracing_reflection_case": nanify("ray_tracing_reflection_case"),
+                    "focusing_factor": nanify("focusing_factor"),
+                    "travel_times": nanify("travel_times"),
+                    "travel_distances": nanify("travel_distances"),
+                    "time_shower_and_ray": nanify("time_shower_and_ray"),
+                    "launch_vectors": np.concatenate(station_rows["launch_vectors"])[jj, ss],
+                    "receive_vectors": np.concatenate(station_rows["receive_vectors"])[jj, ss],
+                    "polarization": np.concatenate(station_rows["polarization"])[jj, ss],
+                }
+
+            ch = self.det.get_station(self.station_id).channels
             io_hdf5.write_output_hdf5(
                 self.outputfilename, self.input,
-                {"triggered": trig_shower, "weights": w_shower},
+                {"triggered": trig_shower, "weights": w_shower,
+                 "multiple_triggers": trig_shower[:, None],
+                 "trigger_times": tt_shower,
+                 f"station_{self.station_id}": station},
                 {"Veff": veff, "n_triggered": results["n_triggered"],
-                 "Vrms": self.Vrms, "bandwidth": self.bandwidth})
+                 "Vrms": self.Vrms, "bandwidth": self.bandwidth,
+                 "trigger_names": np.array([self.trigger.name], dtype="S"),
+                 "antenna_positions": ch.positions,
+                 "n_samples": int(ch.n_samples[0]),
+                 "sampling_rate": float(ch.sampling_frequency[0]),
+                 "config": str(self.config)})
 
         return results
