@@ -251,31 +251,34 @@ class Simulation:
 
     # ------------------------------------------------------------------
     def _build_batches(self):
-        """Pad per-shower rows into [G, S_max] arrays."""
+        """Pad per-shower rows into [G, S_max] arrays (native batch builder)."""
+        from nuradiomc_tpu import native
+
         inp = self.input
-        group_ids, start, count, order = io_hdf5.group_showers(inp)
+        group_ids, start, count, order = native.group_showers(inp.event_group_ids)
         G = len(group_ids)
         S = int(count.max())
         dt = np.float64 if jnp.dtype(self.dtype) == jnp.float64 else np.float32
 
-        def padded(src, fill=0.0):
-            out = np.full((G, S), fill, dtype=dt)
-            for g in range(G):
-                rows = order[start[g]:start[g] + count[g]]
-                out[g, :count[g]] = src[rows]
-            return out
+        cols, mask = native.pad_columns(
+            {"xx": inp.xx, "yy": inp.yy, "zz": inp.zz,
+             "energies": inp.shower_energies,
+             "is_em": (inp.shower_type == "em").astype(float),
+             "zeniths": inp.zeniths, "azimuths": inp.azimuths,
+             "vertex_times": inp.vertex_times},
+            order, start, count, S)
 
-        vert = np.stack([padded(inp.xx), padded(inp.yy), padded(inp.zz)], axis=-1)
-        energies = padded(inp.shower_energies)
-        is_em = padded((inp.shower_type == "em").astype(float)) > 0.5
-        mask = np.zeros((G, S), dtype=bool)
-        for g in range(G):
-            mask[g, :count[g]] = True
+        def padded(name):
+            return cols[name].astype(dt)
+
+        vert = np.stack([padded("xx"), padded("yy"), padded("zz")], axis=-1)
+        energies = padded("energies")
+        is_em = cols["is_em"] > 0.5
         # skip zero-energy padding showers
-        mask &= energies > 0
+        mask = mask & (energies > 0)
 
-        zen = padded(inp.zeniths)
-        az = padded(inp.azimuths)
+        zen = padded("zeniths")
+        az = padded("azimuths")
         # propagation direction = -axis (simulation.py:174)
         axis = np.stack([np.sin(zen) * np.cos(az), np.sin(zen) * np.sin(az),
                          np.cos(zen)], axis=-1)
@@ -287,7 +290,7 @@ class Simulation:
         k_L = askaryan.draw_alvarez2009_k_L(
             np.maximum(energies, 1.0), is_em, rng).astype(dt)
 
-        vertex_times = padded(inp.vertex_times)
+        vertex_times = padded("vertex_times")
         batch = ShowerBatch(
             vertices=jnp.asarray(vert), energies=jnp.asarray(energies),
             is_em=jnp.asarray(is_em), shower_mask=jnp.asarray(mask),
