@@ -18,6 +18,30 @@ from nuradiomc_tpu.utils import fft
 ANALYTIC_MODELS = ("delta_pulse", "cw", "square", "tone_burst", "gaussian",
                    "efield_delta_pulse")
 
+# measured lab waveforms shipped with the package (emitter.py:121-131)
+_DATA_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.dirname(__file__)),
+    "data", "pulser_waveforms")
+MEASURED_MODELS = {
+    "idl1": "idl1_data.hdf5",
+    "hvsp1": "hvsp1_data.hdf5",
+    "ARA02_calPulser": "ARA02_Cal_data.hdf5",
+    "rno_cal5C_0dB": "rno_cal5C_0dB.hdf5",
+    "rno_cal5C_5dB": "rno_cal5C_5dB.hdf5",
+    "rno_cal5C_10dB": "rno_cal5C_10dB.hdf5",
+    "rno_cal5C_15dB": "rno_cal5C_15dB.hdf5",
+    "rno_cal5C_20dB": "rno_cal5C_20dB.hdf5",
+}
+
+
+def get_measured_time_trace(model: str, amplitude: float, N: int, dt: float) -> np.ndarray:
+    """Measured pulser waveform resampled/centered (emitter.py:121-152)."""
+    import os
+    if model not in MEASURED_MODELS:
+        raise NotImplementedError(f"no measured waveform for emitter model {model}")
+    return load_measured_waveform(os.path.join(_DATA_DIR, MEASURED_MODELS[model]),
+                                  amplitude, N, dt)
+
 
 def _time_axis(N: int, dt: float):
     return jnp.linspace(-(N / 2) * dt, ((N - 1) - N / 2) * dt, N)
