@@ -123,6 +123,7 @@ class ShowerBatch(NamedTuple):
     prop_dir: jnp.ndarray      # [G, S, 3] unit propagation direction (-axis)
     k_L: jnp.ndarray           # [G, S] Alvarez2009 parameter (ignored otherwise)
     vertex_times: jnp.ndarray  # [G, S]
+    profile_idx: Optional[jnp.ndarray] = None  # [G, S] ARZ shower-library pick
 
 
 class PipelineOutput(NamedTuple):
@@ -201,8 +202,15 @@ class EmitterParams(NamedTuple):
 def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                    noise_key: Optional[jnp.ndarray] = None,
                    keep_traces: bool = False,
-                   emitter: Optional[EmitterParams] = None) -> PipelineOutput:
-    """Run the full chain on a padded batch. jit/pjit over the G axis."""
+                   emitter: Optional[EmitterParams] = None,
+                   arz_library=None) -> PipelineOutput:
+    """Run the full chain on a padded batch. jit/pjit over the G axis.
+
+    ``arz_library`` (ops.arz.ShowerLibrary) is required when
+    settings.askaryan_model is ARZ2019/ARZ2020; the per-shower profile pick
+    comes from batch.profile_idx (pre-drawn on the host and persisted, like
+    the reference's shower_realization_ARZ, simulation.py:221-226).
+    """
     G, S = batch.energies.shape
     C = ch.positions.shape[0]
     dt = s.dt
@@ -231,7 +239,40 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     bshape = (G, S, C, 2)
     R_safe = jnp.where(sols.path_length > 1.0, sols.path_length, 1.0)
 
-    if emitter is None:
+    if emitter is None and s.askaryan_model in ("ARZ2019", "ARZ2020"):
+        # ---- 3/4. ARZ semi-analytic model: 3-component efield traces -------
+        from nuradiomc_tpu.ops import arz as arz_ops
+
+        if arz_library is None or batch.profile_idx is None:
+            raise ValueError("ARZ models require arz_library and batch.profile_idx")
+        valid = (sols.mask
+                 & (jnp.abs(delta_C) <= s.delta_C_cut)
+                 & batch.shower_mask[:, :, None, None])
+
+        def arz_one(E, view, em, n_idx, R, ip):
+            ce = arz_ops.select_profile(arz_library, E, em, ip)
+            tr = arz_ops.get_time_trace(E, view, s.n_internal, dt,
+                                        arz_library.depth, ce, em, n_idx, R,
+                                        version=s.askaryan_model)
+            return fft.time2freq(tr, s.sampling_rate)              # (3, F)
+
+        e3 = jax.vmap(arz_one)(
+            flat(jnp.broadcast_to(batch.energies[:, :, None, None], bshape)),
+            flat(viewing_angle),
+            flat(jnp.broadcast_to(batch.is_em[:, :, None, None], bshape)),
+            flat(jnp.broadcast_to(n_vertex[:, :, None, None], bshape)),
+            flat(R_safe),
+            flat(jnp.broadcast_to(batch.profile_idx[:, :, None, None], bshape)),
+        ).reshape(*bshape, 3, -1)
+        e_theta = e3[..., 1, :]
+        e_phi = e3[..., 2, :]
+        # record the on-sky polarization direction from the fluence split
+        pt = jnp.sum(jnp.abs(e_theta) ** 2, axis=-1)
+        pp = jnp.sum(jnp.abs(e_phi) ** 2, axis=-1)
+        norm = jnp.sqrt(jnp.maximum(pt + pp, 1e-30))
+        pol_onsky = jnp.stack([jnp.zeros_like(pt), jnp.sqrt(pt) / norm,
+                               jnp.sqrt(pp) / norm], axis=-1)
+    elif emitter is None:
         valid = (sols.mask
                  & (jnp.abs(delta_C) <= s.delta_C_cut)
                  & batch.shower_mask[:, :, None, None])            # [G,S,C,2]

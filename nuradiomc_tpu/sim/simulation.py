@@ -91,7 +91,8 @@ class Simulation:
                  antenna_replacements: Optional[dict] = None,
                  chunk_size: int = 256,
                  n_base: int = 2048,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64,
+                 arz_library_path: Optional[str] = None):
         self.config = config_util.get_config(config)
         self.det = detector if isinstance(detector, Detector) else Detector(detector)
         self.filter_chain = list(filter_chain)
@@ -243,11 +244,21 @@ class Simulation:
             noise_type="rayleigh",
         )
 
+        # ---- ARZ shower library (signal.model ARZ2019/ARZ2020) --------------
+        self.arz_library = None
+        if cfg["signal"]["model"] in ("ARZ2019", "ARZ2020"):
+            from nuradiomc_tpu.ops import arz as arz_ops
+            if arz_library_path is None:
+                raise ValueError("ARZ models require arz_library_path "
+                                 "(reference-format shower library pickle)")
+            self.arz_library = arz_ops.load_library_pickle(arz_library_path)
+
         # ---- input ----------------------------------------------------------
         self.input = io_hdf5.read_input_hdf5(inputfilename)
         self._jit_pipeline = jax.jit(
             lambda batch, key: simulate_batch(batch, self.channel_params,
-                                              self.settings, noise_key=key))
+                                              self.settings, noise_key=key,
+                                              arz_library=self.arz_library))
 
     # ------------------------------------------------------------------
     def _build_batches(self):
@@ -291,11 +302,19 @@ class Simulation:
             np.maximum(energies, 1.0), is_em, rng).astype(dt)
 
         vertex_times = padded("vertex_times")
+        profile_idx = None
+        if self.arz_library is not None:
+            # per-shower library pick, persisted like shower_realization_ARZ
+            n_em = max(int(self.arz_library.ce_em.shape[0]), 1)
+            n_had = max(int(self.arz_library.ce_had.shape[0]), 1)
+            profile_idx = jnp.asarray(np.where(
+                is_em, rng.integers(0, n_em, is_em.shape),
+                rng.integers(0, n_had, is_em.shape)).astype(np.int32))
         batch = ShowerBatch(
             vertices=jnp.asarray(vert), energies=jnp.asarray(energies),
             is_em=jnp.asarray(is_em), shower_mask=jnp.asarray(mask),
             prop_dir=jnp.asarray(prop_dir.astype(dt)), k_L=jnp.asarray(k_L),
-            vertex_times=jnp.asarray(vertex_times))
+            vertex_times=jnp.asarray(vertex_times), profile_idx=profile_idx)
         return group_ids, start, count, order, batch
 
     def _weights(self, group_ids, start, count, order):
