@@ -70,6 +70,82 @@ def majority_logic(tts, number_of_coincidences: int, time_coincidence, dt):
     return triggered, ttt, first
 
 
+def get_envelope_triggers(trace, threshold):
+    """Hilbert-envelope threshold trigger (envelopeTrigger.py:14-31)."""
+    from nuradiomc_tpu.ops.trace import hilbert_envelope
+
+    return hilbert_envelope(trace) > threshold
+
+
+def get_multiple_high_low_triggers(trace, high_threshold, low_threshold,
+                                   n_high_lows: int, time_coincidence, dt):
+    """n high/low crossings within a window (multiHighLowThreshold.py:24-58).
+
+    The reference counts crossing bins with a boxcar convolution and marks
+    the rising edge of the >= n condition; here the boxcar is a
+    difference-of-cumsum (XLA-fusable) with identical semantics.
+    """
+    nc = max(int(time_coincidence / dt), 1)
+
+    def rising_edge(mask):
+        prev = jnp.pad(mask[..., :-1], [(0, 0)] * (mask.ndim - 1) + [(1, 0)])
+        return mask & ~prev
+
+    # crossings = rising edges of the high/low conditions (strict
+    # inequalities; multiHighLowThreshold.get_high_triggers:12-21)
+    crossings = (rising_edge(trace > high_threshold).astype(jnp.int32)
+                 + rising_edge(trace < low_threshold).astype(jnp.int32))
+    c = jnp.cumsum(crossings, axis=-1)
+    # 'full' convolution with ones(nc), truncated to the trace length:
+    # out[i] = sum of crossings[max(0, i-nc+1) .. i]
+    shifted = jnp.pad(c[..., :-nc], [(0, 0)] * (c.ndim - 1) + [(nc, 0)])
+    tsum = c - shifted
+    cond = tsum >= n_high_lows
+    # rising edge (convolve with [1, -1], 'same')
+    prev = jnp.pad(cond[..., :-1], [(0, 0)] * (cond.ndim - 1) + [(1, 0)])
+    return cond & ~prev
+
+
+# AraSim tunnel-diode response parameters (utilities/diodeSimulator.py:38-45)
+_TD_DOWN1 = (-0.8, 15.0, 2.3)      # (amp, mu [ns], sigma [ns])
+_TD_DOWN2 = (-0.2, 15.0, 4.0)
+_TD_UP_MU, _TD_UP_SIGMA, _TD_UP_SCALE = 18.0, 7.0, 1.0  # scale 1e9/s = 1/ns
+
+
+def tunnel_diode_response(times):
+    """Dimensionless AraSim diode impulse response on a time grid (ns)."""
+    up_amp = (-jnp.sqrt(2 * jnp.pi)
+              * (_TD_DOWN1[0] * _TD_DOWN1[2] + _TD_DOWN2[0] * _TD_DOWN2[2])
+              / (2.0 * _TD_UP_SIGMA ** 3))
+    down1 = _TD_DOWN1[0] * jnp.exp(-(times - _TD_DOWN1[1]) ** 2 / (2 * _TD_DOWN1[2] ** 2))
+    down2 = _TD_DOWN2[0] * jnp.exp(-(times - _TD_DOWN2[1]) ** 2 / (2 * _TD_DOWN2[2] ** 2))
+    up = up_amp * (times - _TD_UP_MU) ** 2 * jnp.exp(-(times - _TD_UP_MU) / _TD_UP_SIGMA)
+    return down1 + down2 + jnp.where(times > _TD_UP_MU, up, 0.0)
+
+
+def tunnel_diode(trace, sampling_rate, antenna_resistance=8.5 * 1.602176462e-10):
+    """Power trace after the AraSim tunnel diode (diodeSimulator.tunnel_diode
+    :59-96): convolve V^2/R with the 3-term diode impulse response.
+    The default resistance is 8.5 ohm in internal units (diodeSimulator.py:83)."""
+    n = trace.shape[-1]
+    times = jnp.arange(n) / sampling_rate
+    diode = tunnel_diode_response(times)
+    power = trace * trace / antenna_resistance
+    # 'full' convolution truncated to n samples, via FFT (batched)
+    m = 2 * n
+    P = jnp.fft.rfft(power, n=m, axis=-1)
+    D = jnp.fft.rfft(diode, n=m)
+    conv = jnp.fft.irfft(P * D, n=m, axis=-1)[..., :n]
+    return conv / sampling_rate
+
+
+def ara_diode_trigger(trace, sampling_rate, power_mean, power_std, threshold_sigma):
+    """ARA tunnel-diode trigger bins: diode output below
+    mean - |threshold| * std (ARA/triggerSimulator.py:26-60)."""
+    out = tunnel_diode(trace, sampling_rate)
+    return out < (power_mean - power_std * jnp.abs(threshold_sigma))
+
+
 def power_integration_triggers(trace, window, threshold, dt):
     """Sliding-window power sum above threshold (powerIntegration.py semantics).
 
