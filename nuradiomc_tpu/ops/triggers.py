@@ -128,11 +128,14 @@ def tunnel_diode(trace, sampling_rate, antenna_resistance=8.5 * 1.602176462e-10)
     :59-96): convolve V^2/R with the 3-term diode impulse response.
     The default resistance is 8.5 ohm in internal units (diodeSimulator.py:83)."""
     n = trace.shape[-1]
-    times = jnp.arange(n) / sampling_rate
+    # the reference evaluates the response on a 100 ns grid (t_max = 1e-7 s,
+    # diodeSimulator.py:82-85)
+    n_resp = int(100.0 * sampling_rate) + 1
+    times = jnp.linspace(0.0, 100.0, n_resp)
     diode = tunnel_diode_response(times)
     power = trace * trace / antenna_resistance
     # 'full' convolution truncated to n samples, via FFT (batched)
-    m = 2 * n
+    m = n + n_resp
     P = jnp.fft.rfft(power, n=m, axis=-1)
     D = jnp.fft.rfft(diode, n=m)
     conv = jnp.fft.irfft(P * D, n=m, axis=-1)[..., :n]
