@@ -1,0 +1,41 @@
+"""Smoke tests executing the example scripts (mirrors the reference's
+test_examples.sh CI job)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+
+
+def _run(script, args=(), cwd=None):
+    return subprocess.run([sys.executable, script, *args], cwd=cwd, env=ENV,
+                          capture_output=True, text=True, timeout=900)
+
+
+def test_veff_example_chain(tmp_path):
+    ex = os.path.join(REPO, "examples", "01_Veff_simulation")
+    # small event count: patch via generating our own input here
+    from nuradiomc_tpu.sim import evtgen
+    from nuradiomc_tpu.utils import units
+    volume = {"fiducial_rmin": 0, "fiducial_rmax": 4 * units.km,
+              "fiducial_zmin": -2.7 * units.km, "fiducial_zmax": 0}
+    inp = str(tmp_path / "events.hdf5")
+    evtgen.generate_eventlist_cylinder(inp, 300, 1e18, 1e18, volume, seed=10)
+
+    r = _run(os.path.join(ex, "T02_run_simulation.py"), [inp], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Veff" in r.stdout
+
+    r3 = _run(os.path.join(ex, "T03_visualize_Veff.py"), cwd=str(tmp_path))
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "km^3 sr" in r3.stdout
+
+
+def test_reconstruction_example(tmp_path):
+    r = _run(os.path.join(REPO, "examples", "03_reconstruction",
+                          "simple_reconstruction.py"), cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "reconstructed efield" in r.stdout
