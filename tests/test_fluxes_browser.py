@@ -1,0 +1,55 @@
+"""Flux-limit utilities and the event viewer."""
+import os
+
+import numpy as np
+
+from nuradiomc_tpu.sim import fluxes
+from nuradiomc_tpu.utils import units
+
+
+def test_limit_scaling():
+    E = np.array([1e17, 1e18, 1e19])
+    veff_sr = np.array([0.1, 1.0, 5.0]) * units.km ** 3 * 4 * np.pi
+    year = 365.25 * 24 * 3600 * units.s
+    lim = fluxes.get_limit_e2_flux(E, veff_sr, livetime=year)
+    assert np.all(lim > 0)
+    # doubling the livetime halves the limit
+    lim2 = fluxes.get_limit_e2_flux(E, veff_sr, livetime=2 * year)
+    np.testing.assert_allclose(lim2, lim / 2)
+    # IceCube flux positive and falling
+    f = fluxes.ice_cube_nu_fit(E)
+    assert np.all(np.diff(f) < 0)
+
+
+def test_expected_events_linear_in_flux():
+    E = np.logspace(17, 19, 5)
+    veff_sr = np.full(5, units.km ** 3)
+    year = 365.25 * 24 * 3600 * units.s
+    n1 = fluxes.get_number_of_events_for_flux(E, fluxes.ice_cube_nu_fit(E),
+                                              veff_sr, year)
+    n2 = fluxes.get_number_of_events_for_flux(E, 2 * fluxes.ice_cube_nu_fit(E),
+                                              veff_sr, year)
+    np.testing.assert_allclose(n2, 2 * n1)
+
+
+def test_event_viewer(tmp_path):
+    from nuradiomc_tpu.framework.event import Channel, Event, Station, Trigger
+    from nuradiomc_tpu.sim import eventbrowser, io_nur
+
+    evt = Event(0, 5)
+    st = Station(42)
+    ch = Channel(0)
+    ch.set_trace(np.sin(np.linspace(0, 20, 256)), 2.0)
+    st.add_channel(ch)
+    trig = Trigger("t", [0])
+    trig.set_triggered(True)
+    st.set_trigger(trig)
+    evt.set_station(st)
+    path = str(tmp_path / "e.nur")
+    w = io_nur.EventWriter(path)
+    w.run(evt)
+    w.end()
+
+    out = str(tmp_path)
+    eventbrowser.main([path, "--out", out])
+    assert os.path.exists(os.path.join(out, "event_5_station_42.png"))
