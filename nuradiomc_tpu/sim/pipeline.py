@@ -54,6 +54,9 @@ class PipelineSettings:
     n_base: int = 2048             # channel time-base samples
     sampling_rate: float = 2.0     # internal rate, GHz
     delta_C_cut: float = 0.698     # rad, speedup cut off the Cherenkov cone
+    distance_cut: bool = False     # polynomial vertex-distance speedup cut
+    distance_cut_coefficients: tuple = (-1.56610502e02, 2.54070157e01,
+                                        -1.34286590e00, 2.43426766e-02)
     n_freq_attenuation: int = 25   # sparse frequencies for the attenuation integral
     attenuation_steps: int = 64    # midpoint-rule steps along the path
     attenuate_ice: bool = True
@@ -238,6 +241,22 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
 
     bshape = (G, S, C, 2)
     R_safe = jnp.where(sols.path_length > 1.0, sols.path_length, 1.0)
+
+    if s.distance_cut:
+        # skip shower-channel pairs whose vertex distance exceeds the
+        # energy-dependent polynomial cut (simulation.py:1399-1409; applied
+        # per shower energy — the reference's local energy sum reduces to
+        # this for spatially separated showers)
+        log10_E = jnp.log10(jnp.maximum(batch.energies, 1.0))
+        coeffs = jnp.asarray(s.distance_cut_coefficients)
+        log10_dmax = (coeffs[0] + coeffs[1] * log10_E
+                      + coeffs[2] * log10_E ** 2 + coeffs[3] * log10_E ** 3)
+        d_max = 10.0 ** log10_dmax                               # [G,S]
+        dist = jnp.linalg.norm(
+            batch.vertices[:, :, None, :] - ch.positions[None, None, :, :],
+            axis=-1)                                             # [G,S,C]
+        distance_ok = (dist <= d_max[:, :, None])[..., None]     # [G,S,C,1]
+        sols = sols._replace(mask=sols.mask & distance_ok)
 
     if emitter is None and s.askaryan_model in ("ARZ2019", "ARZ2020"):
         # ---- 3/4. ARZ semi-analytic model: 3-component efield traces -------

@@ -92,12 +92,14 @@ class Simulation:
                  chunk_size: int = 256,
                  n_base: int = 2048,
                  dtype=jnp.float64,
-                 arz_library_path: Optional[str] = None):
+                 arz_library_path: Optional[str] = None,
+                 nur_outputfilename: Optional[str] = None):
         self.config = config_util.get_config(config)
         self.det = detector if isinstance(detector, Detector) else Detector(detector)
         self.filter_chain = list(filter_chain)
         self.trigger = trigger
         self.outputfilename = outputfilename
+        self.nur_outputfilename = nur_outputfilename
         self.antenna_replacements = antenna_replacements or {}
         self.chunk_size = chunk_size
         self.dtype = dtype
@@ -223,6 +225,8 @@ class Simulation:
             n_base=self.n_base,
             sampling_rate=self.internal_rate,
             delta_C_cut=float(cfg["speedup"]["delta_C_cut"]),
+            distance_cut=bool(cfg["speedup"]["distance_cut"]),
+            distance_cut_coefficients=tuple(cfg["speedup"]["distance_cut_coefficients"]),
             n_freq_attenuation=int(cfg["propagation"]["n_freq"]),
             attenuate_ice=bool(cfg["propagation"]["attenuate_ice"]),
             apply_focusing=bool(cfg["propagation"]["focusing"]),
@@ -497,4 +501,65 @@ class Simulation:
                  "sampling_rate": float(ch.sampling_frequency[0]),
                  "config": str(self.config)})
 
+        if self.nur_outputfilename is not None:
+            self._write_nur(group_ids, start, count, order, batch, triggered,
+                            trigger_times)
+
         return results
+
+    def _write_nur(self, group_ids, start, count, order, batch, triggered,
+                   trigger_times):
+        """Write triggered events with waveforms to a .nur-style file
+        (the reference's outputfilenameNuRadioReco path, eventWriter.run;
+        channel traces downsampled to the detector sampling rate)."""
+        from nuradiomc_tpu.framework import parameters as par
+        from nuradiomc_tpu.framework.event import (Channel, Event, Shower,
+                                                   Station, Trigger)
+        from nuradiomc_tpu.sim import io_nur
+
+        idx = np.where(triggered)[0]
+        if len(idx) == 0:
+            w = io_nur.EventWriter(self.nur_outputfilename)
+            w.end()
+            return
+
+        sub = jax.tree.map(lambda a: a[idx] if a is not None else None, batch)
+        out = jax.jit(lambda b, key: simulate_batch(
+            b, self.channel_params, self.settings, noise_key=key,
+            keep_traces=True, arz_library=self.arz_library))(
+                sub, jax.random.PRNGKey(int(self.config["seed"]) + 1))
+
+        traces = np.asarray(out.traces)          # [n, C, n_base]
+        base_t0 = np.asarray(out.base_t0)
+        ch_det = self.det.get_station(self.station_id).channels
+        shp = par.showerParameters
+        inp = self.input
+
+        writer = io_nur.EventWriter(self.nur_outputfilename)
+        for j, g in enumerate(idx):
+            evt = Event(0, int(group_ids[g]))
+            station = Station(self.station_id)
+            for ci, cid in enumerate(ch_det.channel_ids):
+                ch = Channel(int(cid))
+                ch.set_trace(traces[j, ci], self.internal_rate,
+                             trace_start_time=float(base_t0[j]))
+                # downsample to the detector readout rate
+                ch.resample(float(ch_det.sampling_frequency[ci]))
+                station.add_channel(ch)
+            trig = Trigger(self.trigger.name, list(ch_det.channel_ids),
+                           self.trigger.trigger_type)
+            trig.set_triggered(True)
+            trig.set_trigger_time(float(trigger_times[g]))
+            station.set_trigger(trig)
+            evt.set_station(station)
+            rows = order[start[g]:start[g] + count[g]]
+            for r in rows:
+                sh = Shower(int(inp.shower_ids[r]))
+                sh[shp.energy] = float(inp.shower_energies[r])
+                sh[shp.zenith] = float(inp.zeniths[r])
+                sh[shp.azimuth] = float(inp.azimuths[r])
+                sh[shp.vertex] = np.array([inp.xx[r], inp.yy[r], inp.zz[r]])
+                sh[shp.type] = str(inp.shower_type[r])
+                evt.add_sim_shower(sh)
+            writer.run(evt)
+        writer.end()
