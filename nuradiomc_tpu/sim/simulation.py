@@ -135,59 +135,13 @@ class Simulation:
                                       * self.bandwidth * boltzmann))
         self.Vrms_efield = self.Vrms / self.max_amplification / units.m
 
-        # ---- device-side channel parameters --------------------------------
-        C = len(ch.channel_ids)
-        freqs_int = np.fft.rfftfreq(self.n_internal, dt)
-        freqs_base = np.fft.rfftfreq(self.n_base, dt)
+        # ---- device-side channel parameters (per station) -------------------
+        self.channel_params_per_station = {}
+        for sid in self.det.get_station_ids():
+            self.channel_params_per_station[sid] = self._build_channel_params(sid)
+        self.channel_params = self.channel_params_per_station[self.station_id]
+        ch = station.channels
 
-        rot = np.zeros((C, 3, 3))
-        kind = np.zeros(C, dtype=np.int32)
-        templates = np.zeros((C, 3, len(freqs_int)), dtype=complex)
-        for i in range(C):
-            model = ch.antenna_model[i]
-            model = self.antenna_replacements.get(model, model)
-            if model not in antenna.ANALYTIC_MODELS:
-                raise NotImplementedError(
-                    f"antenna model '{model}' has no tabulated data on disk; "
-                    "provide antenna_replacements to map it to an analytic model")
-            kind[i] = antenna.ANALYTIC_MODELS[model][0]
-            tpl = antenna.build_analytic_template(model, freqs_int)
-            templates[i, :tpl.shape[0]] = tpl
-            if tpl.shape[0] == 1:
-                templates[i, 1:] = tpl[0]
-            rot[i] = antenna.antenna_rotation_matrix(
-                ch.orientation_theta[i], ch.orientation_phi[i],
-                ch.rotation_theta[i], ch.rotation_phi[i])
-
-        filt_base = filters.chain_response(
-            freqs_base, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain])
-        filter_response = np.broadcast_to(filt_base, (C, len(freqs_base))).copy()
-        filt_int = filters.chain_response(
-            freqs_int, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain])
-        filter_response_int = np.broadcast_to(filt_int, (C, len(freqs_int))).copy()
-
-        station_pos = station.absolute_position
-        cdt = jnp.dtype(self.dtype)
-        ctype = jnp.complex128 if cdt == jnp.float64 else jnp.complex64
-        self.channel_params = ChannelParams(
-            positions=jnp.asarray(ch.positions + station_pos, dtype=cdt),
-            cable_delays=jnp.asarray(ch.cable_delay, dtype=cdt),
-            rot=jnp.asarray(rot, dtype=cdt),
-            kind=jnp.asarray(kind),
-            templates=jnp.asarray(templates, dtype=ctype),
-            filter_response=jnp.asarray(filter_response, dtype=ctype),
-            filter_response_int=jnp.asarray(filter_response_int, dtype=ctype),
-            threshold_high=jnp.full((C,), trigger.threshold_high_sigma * self.Vrms, dtype=cdt),
-            threshold_low=jnp.full((C,), trigger.threshold_low_sigma * self.Vrms, dtype=cdt),
-            # noise is generated white up to Nyquist and scaled so the
-            # post-filter RMS equals Vrms (simulation.py:595-600)
-            noise_amplitude=jnp.full(
-                (C,), self.Vrms / np.sqrt(self.bandwidth / (0.5 * self.internal_rate)),
-                dtype=cdt),
-            min_efield_amplitude=jnp.full(
-                (C,), float(cfg["speedup"]["min_efield_amplitude"]) * self.Vrms_efield,
-                dtype=cdt),
-        )
 
         # phased-array static configuration
         pa_rolls = ()
@@ -259,10 +213,73 @@ class Simulation:
 
         # ---- input ----------------------------------------------------------
         self.input = io_hdf5.read_input_hdf5(inputfilename)
-        self._jit_pipeline = jax.jit(
-            lambda batch, key: simulate_batch(batch, self.channel_params,
-                                              self.settings, noise_key=key,
-                                              arz_library=self.arz_library))
+        self._jit_pipeline_ch = jax.jit(
+            lambda batch, key, chp: simulate_batch(batch, chp,
+                                                   self.settings, noise_key=key,
+                                                   arz_library=self.arz_library))
+        self._jit_pipeline = lambda batch, key: self._jit_pipeline_ch(
+            batch, key, self.channel_params)
+
+
+    def _build_channel_params(self, station_id) -> ChannelParams:
+        """Device-side per-channel arrays for one station."""
+        cfg = self.config
+        trigger = self.trigger
+        station = self.det.get_station(station_id)
+        ch = station.channels
+        dt = 1.0 / self.internal_rate
+        C = len(ch.channel_ids)
+        freqs_int = np.fft.rfftfreq(self.n_internal, dt)
+        freqs_base = np.fft.rfftfreq(self.n_base, dt)
+
+        rot = np.zeros((C, 3, 3))
+        kind = np.zeros(C, dtype=np.int32)
+        templates = np.zeros((C, 3, len(freqs_int)), dtype=complex)
+        for i in range(C):
+            model = ch.antenna_model[i]
+            model = self.antenna_replacements.get(model, model)
+            if model not in antenna.ANALYTIC_MODELS:
+                raise NotImplementedError(
+                    f"antenna model '{model}' has no tabulated data on disk; "
+                    "provide antenna_replacements to map it to an analytic model")
+            kind[i] = antenna.ANALYTIC_MODELS[model][0]
+            tpl = antenna.build_analytic_template(model, freqs_int)
+            templates[i, :tpl.shape[0]] = tpl
+            if tpl.shape[0] == 1:
+                templates[i, 1:] = tpl[0]
+            rot[i] = antenna.antenna_rotation_matrix(
+                ch.orientation_theta[i], ch.orientation_phi[i],
+                ch.rotation_theta[i], ch.rotation_phi[i])
+
+        filt_base = filters.chain_response(
+            freqs_base, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain])
+        filter_response = np.broadcast_to(filt_base, (C, len(freqs_base))).copy()
+        filt_int = filters.chain_response(
+            freqs_int, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain])
+        filter_response_int = np.broadcast_to(filt_int, (C, len(freqs_int))).copy()
+
+        station_pos = station.absolute_position
+        cdt = jnp.dtype(self.dtype)
+        ctype = jnp.complex128 if cdt == jnp.float64 else jnp.complex64
+        return ChannelParams(
+            positions=jnp.asarray(ch.positions + station_pos, dtype=cdt),
+            cable_delays=jnp.asarray(ch.cable_delay, dtype=cdt),
+            rot=jnp.asarray(rot, dtype=cdt),
+            kind=jnp.asarray(kind),
+            templates=jnp.asarray(templates, dtype=ctype),
+            filter_response=jnp.asarray(filter_response, dtype=ctype),
+            filter_response_int=jnp.asarray(filter_response_int, dtype=ctype),
+            threshold_high=jnp.full((C,), trigger.threshold_high_sigma * self.Vrms, dtype=cdt),
+            threshold_low=jnp.full((C,), trigger.threshold_low_sigma * self.Vrms, dtype=cdt),
+            # noise is generated white up to Nyquist and scaled so the
+            # post-filter RMS equals Vrms (simulation.py:595-600)
+            noise_amplitude=jnp.full(
+                (C,), self.Vrms / np.sqrt(self.bandwidth / (0.5 * self.internal_rate)),
+                dtype=cdt),
+            min_efield_amplitude=jnp.full(
+                (C,), float(cfg["speedup"]["min_efield_amplitude"]) * self.Vrms_efield,
+                dtype=cdt),
+        )
 
     # ------------------------------------------------------------------
     def _build_batches(self):
@@ -331,15 +348,13 @@ class Simulation:
             inp.zeniths[first], inp.energies[first], inp.flavors[first],
             mode=mode, cross_section_type=xsec)
 
-    def run(self, keep_traces: bool = False):
-        """Run the full simulation; returns a results dict and writes output."""
-        group_ids, start, count, order, batch = self._build_batches()
+    def _run_station(self, station_id, batch, seed_offset=0):
+        """Chunked pipeline over all groups for one station."""
         G = batch.energies.shape[0]
-        weights = self._weights(group_ids, start, count, order)
-
-        key = jax.random.PRNGKey(int(self.config["seed"]))
+        chp = self.channel_params_per_station[station_id]
+        key = jax.random.PRNGKey(int(self.config["seed"]) + seed_offset)
         triggered = np.zeros(G, dtype=bool)
-        max_amp = np.zeros((G, len(self.det.get_channel_ids(self.station_id))))
+        max_amp = np.zeros((G, len(self.det.get_channel_ids(station_id))))
         trigger_times = np.zeros(G)
 
         # per-solution observables of triggered groups for the station output
@@ -358,7 +373,7 @@ class Simulation:
                 lambda a: jnp.pad(a[sl], [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)),
                 batch)
             key, sub = jax.random.split(key)
-            out = self._jit_pipeline(chunk, sub)
+            out = self._jit_pipeline_ch(chunk, sub, chp)
             n_real = sl.stop - sl.start
             trig = np.asarray(out.triggered)[:n_real]
             triggered[sl] = trig
@@ -394,10 +409,31 @@ class Simulation:
                 station_rows["travel_times"].append(np.asarray(out.travel_time)[idx])
                 station_rows["travel_distances"].append(np.asarray(out.path_length)[idx])
                 tt = np.asarray(out.travel_time)[idx]
-                cd = np.asarray(self.channel_params.cable_delays)
+                cd = np.asarray(chp.cable_delays)
                 station_rows["time_shower_and_ray"].append(
                     tt + cd[None, None, :, None])
                 station_rows["sol_mask"].append(np.asarray(out.sol_mask)[idx])
+
+        return triggered, max_amp, trigger_times, station_rows
+
+    def run(self, keep_traces: bool = False):
+        """Run the full simulation over all stations; OR of station triggers
+        (output_writer_hdf5.py:350-381 aggregation semantics)."""
+        group_ids, start, count, order, batch = self._build_batches()
+        G = batch.energies.shape[0]
+        weights = self._weights(group_ids, start, count, order)
+
+        per_station = {}
+        triggered = np.zeros(G, dtype=bool)
+        trigger_times = np.full(G, np.inf)
+        for k, sid in enumerate(self.det.get_station_ids()):
+            trig_s, amp_s, tt_s, rows_s = self._run_station(sid, batch, k)
+            per_station[sid] = (trig_s, amp_s, tt_s, rows_s)
+            triggered |= trig_s
+            trigger_times = np.where(trig_s, np.minimum(trigger_times, tt_s),
+                                     trigger_times)
+        trigger_times = np.where(np.isfinite(trigger_times), trigger_times, 0.0)
+        triggered_primary, max_amp, _, station_rows = per_station[self.station_id]
 
         # minimum-weight speedup cut (simulation.py:1476) is applied as a
         # zero-weight contribution, not by skipping, so results are identical
@@ -429,62 +465,12 @@ class Simulation:
                 w_shower[rows] = weights[g]
                 tt_shower[rows, 0] = trigger_times[g]
 
-            # station group (schema: HDF5_structure.rst:150-182) for showers
-            # of triggered event groups
-            station = {}
-            if station_rows["g_idx"]:
-                g_sel = np.concatenate(station_rows["g_idx"])
-                m_rows = []       # (group position, shower slot) per station row
-                sh_ids = []
-                eg_ids = []
-                for j, g in enumerate(g_sel):
-                    rows = order[start[g]:start[g] + count[g]]
-                    for s_idx, r in enumerate(rows):
-                        m_rows.append((j, s_idx))
-                        sh_ids.append(self.input.shower_ids[r])
-                        eg_ids.append(group_ids[g])
-                jj = np.array([m[0] for m in m_rows])
-                ss = np.array([m[1] for m in m_rows])
-
-                def gather(key):
-                    arr = np.concatenate(station_rows[key])
-                    return arr[jj, ss]
-
-                mask = gather("sol_mask")
-
-                def nanify(key):
-                    a = np.array(gather(key), dtype=float)
-                    a[~mask] = np.nan
-                    return a
-
-                station = {
-                    "event_group_ids": np.array([group_ids[g] for g in g_sel]),
-                    "event_ids": np.zeros(len(g_sel), dtype=int),
-                    "event_group_id_per_shower": np.array(eg_ids),
-                    "event_id_per_shower": np.zeros(len(sh_ids), dtype=int),
-                    "shower_id": np.array(sh_ids),
-                    "triggered": np.ones(len(sh_ids), dtype=bool),
-                    "triggered_per_event": np.ones(len(g_sel), dtype=bool),
-                    "multiple_triggers": np.ones((len(sh_ids), 1), dtype=bool),
-                    "multiple_triggers_per_event": np.ones((len(g_sel), 1), dtype=bool),
-                    "maximum_amplitudes": max_amp[g_sel],
-                    "maximum_amplitudes_envelope": max_amp[g_sel],
-                    "trigger_times": trigger_times[g_sel][:, None][jj],
-                    "trigger_times_per_event": trigger_times[g_sel][:, None],
-                    "max_amp_shower_and_ray": nanify("max_amp_shower_and_ray"),
-                    "ray_tracing_C0": nanify("ray_tracing_C0"),
-                    "ray_tracing_C1": nanify("ray_tracing_C1"),
-                    "ray_tracing_solution_type": nanify("ray_tracing_solution_type"),
-                    "ray_tracing_reflection": nanify("ray_tracing_reflection"),
-                    "ray_tracing_reflection_case": nanify("ray_tracing_reflection_case"),
-                    "focusing_factor": nanify("focusing_factor"),
-                    "travel_times": nanify("travel_times"),
-                    "travel_distances": nanify("travel_distances"),
-                    "time_shower_and_ray": nanify("time_shower_and_ray"),
-                    "launch_vectors": np.concatenate(station_rows["launch_vectors"])[jj, ss],
-                    "receive_vectors": np.concatenate(station_rows["receive_vectors"])[jj, ss],
-                    "polarization": np.concatenate(station_rows["polarization"])[jj, ss],
-                }
+            # station groups (schema: HDF5_structure.rst:150-182) for
+            # showers of triggered event groups, one group per station
+            station_groups = {}
+            for sid, (trig_s, amp_s, tt_s, rows_s) in per_station.items():
+                station_groups[sid] = self._station_group(
+                    rows_s, amp_s, tt_s, group_ids, start, count, order)
 
             ch = self.det.get_station(self.station_id).channels
             io_hdf5.write_output_hdf5(
@@ -492,7 +478,8 @@ class Simulation:
                 {"triggered": trig_shower, "weights": w_shower,
                  "multiple_triggers": trig_shower[:, None],
                  "trigger_times": tt_shower,
-                 f"station_{self.station_id}": station},
+                 **{f"station_{sid}": grp
+                    for sid, grp in station_groups.items()}},
                 {"Veff": veff, "n_triggered": results["n_triggered"],
                  "Vrms": self.Vrms, "bandwidth": self.bandwidth,
                  "trigger_names": np.array([self.trigger.name], dtype="S"),
@@ -506,6 +493,66 @@ class Simulation:
                             trigger_times)
 
         return results
+
+
+    def _station_group(self, station_rows, max_amp, trigger_times,
+                       group_ids, start, count, order):
+        """Build one station's output group from collected per-solution rows."""
+        if not station_rows["g_idx"]:
+            return {}
+        g_sel = np.concatenate(station_rows["g_idx"])
+        m_rows = []
+        sh_ids = []
+        eg_ids = []
+        for j, g in enumerate(g_sel):
+            rows = order[start[g]:start[g] + count[g]]
+            for s_idx, r in enumerate(rows):
+                m_rows.append((j, s_idx))
+                sh_ids.append(self.input.shower_ids[r])
+                eg_ids.append(group_ids[g])
+        jj = np.array([m[0] for m in m_rows])
+        ss = np.array([m[1] for m in m_rows])
+
+        def gather(key):
+            arr = np.concatenate(station_rows[key])
+            return arr[jj, ss]
+
+        mask = gather("sol_mask")
+
+        def nanify(key):
+            a = np.array(gather(key), dtype=float)
+            a[~mask] = np.nan
+            return a
+
+        from nuradiomc_tpu.utils import geometry as geo
+        return {
+            "event_group_ids": np.array([group_ids[g] for g in g_sel]),
+            "event_ids": np.zeros(len(g_sel), dtype=int),
+            "event_group_id_per_shower": np.array(eg_ids),
+            "event_id_per_shower": np.zeros(len(sh_ids), dtype=int),
+            "shower_id": np.array(sh_ids),
+            "triggered": np.ones(len(sh_ids), dtype=bool),
+            "triggered_per_event": np.ones(len(g_sel), dtype=bool),
+            "multiple_triggers": np.ones((len(sh_ids), 1), dtype=bool),
+            "multiple_triggers_per_event": np.ones((len(g_sel), 1), dtype=bool),
+            "maximum_amplitudes": max_amp[g_sel],
+            "maximum_amplitudes_envelope": max_amp[g_sel],
+            "trigger_times": trigger_times[g_sel][:, None][jj],
+            "trigger_times_per_event": trigger_times[g_sel][:, None],
+            "max_amp_shower_and_ray": nanify("max_amp_shower_and_ray"),
+            "ray_tracing_C0": nanify("ray_tracing_C0"),
+            "ray_tracing_C1": nanify("ray_tracing_C1"),
+            "ray_tracing_solution_type": nanify("ray_tracing_solution_type"),
+            "ray_tracing_reflection": nanify("ray_tracing_reflection"),
+            "ray_tracing_reflection_case": nanify("ray_tracing_reflection_case"),
+            "focusing_factor": nanify("focusing_factor"),
+            "travel_times": nanify("travel_times"),
+            "travel_distances": nanify("travel_distances"),
+            "time_shower_and_ray": nanify("time_shower_and_ray"),
+            "launch_vectors": np.concatenate(station_rows["launch_vectors"])[jj, ss],
+            "receive_vectors": np.concatenate(station_rows["receive_vectors"])[jj, ss],
+            "polarization": np.concatenate(station_rows["polarization"])[jj, ss],
+        }
 
     def _write_nur(self, group_ids, start, count, order, batch, triggered,
                    trigger_times):
