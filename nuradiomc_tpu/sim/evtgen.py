@@ -34,18 +34,34 @@ def get_energies(n_events, Emin, Emax, spectrum_type="log_uniform", rnd=None):
         Nmin = Emin ** gamma
         Nmax = Emax ** gamma
         return np.exp(np.log(rnd.uniform(Nmax, Nmin, size=n_events)) / gamma)
-    if spectrum_type in ("IceCube-nu-2017", "IceCube-nu-2022"):
-        slope, offset = (-2.19, 1.01) if spectrum_type.endswith("2017") else (-2.37, 1.44)
-
-        def flux(E):
-            return 3 * offset * (E / (100 * units.TeV)) ** slope * 1e-18
-
-        # inverse-CDF sampling on a fine log grid (get_energy_from_flux:242-270)
-        E_grid = np.logspace(np.log10(Emin), np.log10(Emax), 10000)
+    flux = _spectrum_flux(spectrum_type)
+    if flux is not None:
+        # inverse-CDF sampling on a fine log grid (get_energy_from_flux:242-273)
+        E_grid = np.logspace(np.log10(Emin), np.log10(Emax), 100000)
         cdf = np.concatenate([[0.0], np.cumsum(flux(E_grid[:-1]) * np.diff(E_grid))])
         cdf /= cdf[-1]
         return np.interp(rnd.uniform(0, 1, n_events), cdf, E_grid)
     raise NotImplementedError(f"spectrum {spectrum_type} not implemented")
+
+
+def _spectrum_flux(spectrum_type):
+    """Flux function for a named spectrum (generator.get_energies:352-389),
+    or None if the spectrum is not flux-based."""
+    from nuradiomc_tpu.sim import fluxes
+
+    table = {
+        "IceCube-nu-2017": fluxes.ice_cube_nu_fit,
+        "IceCube-nu-2022": fluxes.ice_cube_nu_fit_2022,
+        "GZK-1": fluxes.get_proton_10,
+        "GZK-2": fluxes.get_TAGZK_flux_ICRC2021,
+    }
+    if spectrum_type in table:
+        return table[spectrum_type]
+    if "+" in spectrum_type:
+        parts = [_spectrum_flux(p) for p in spectrum_type.split("+")]
+        if all(p is not None for p in parts):
+            return lambda E: sum(p(E) for p in parts)
+    return None
 
 
 def get_ccnc(n_events, energy, flavors, rnd=None, model="ctw"):

@@ -26,6 +26,49 @@ def ice_cube_nu_fit_2022(energy, slope=-2.37, offset=1.44):
     return ice_cube_nu_fit(energy, slope, offset)
 
 
+def _table_flux(filename, row_layout):
+    """Linear interpolation (with linear extrapolation, matching the
+    reference's interp1d fill_value='extrapolate') of an E^2*flux table
+    stored as [GeV, GeV/cm^2/s/sr] (E2_fluxes3.py:573-607)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "fluxes",
+                        filename)
+    data = np.loadtxt(path)
+    if row_layout == "rows":        # two rows: energies, E^2 flux
+        E_tab, f2 = data[0, :], data[1, :]
+    else:                           # two columns
+        E_tab, f2 = data[:, 0], data[:, 1]
+    E_tab = E_tab * units.GeV
+    f_tab = (f2 * units.GeV * units.cm ** -2 * units.second ** -1
+             * units.sr ** -1) / E_tab ** 2
+
+    def flux(energy):
+        energy = np.asarray(energy, dtype=float)
+        f = np.interp(energy, E_tab, f_tab)
+        lo = f_tab[0] + (energy - E_tab[0]) * (f_tab[1] - f_tab[0]) / (E_tab[1] - E_tab[0])
+        hi = f_tab[-2] + (energy - E_tab[-2]) * (f_tab[-1] - f_tab[-2]) / (E_tab[-1] - E_tab[-2])
+        return np.where(energy < E_tab[0], lo,
+                        np.where(energy > E_tab[-1], hi, f))
+
+    return flux
+
+
+def get_proton_10(energy):
+    """van Vliet et al. 2019 cosmogenic flux, 10% proton fraction
+    (E2_fluxes3.py:597-604; table bundled in data/fluxes)."""
+    return _table_flux("ReasonableNeutrinos1.txt", "rows")(energy)
+
+
+def get_TAGZK_flux(energy):
+    """GZK flux from the TA combined fit, m=3 (E2_fluxes3.py:573-582)."""
+    return _table_flux("TA_combined_fit_m3.txt", "cols")(energy)
+
+
+def get_TAGZK_flux_ICRC2021(energy):
+    """GZK flux from the TA best fit, ICRC2021 (E2_fluxes3.py:585-594)."""
+    return _table_flux("TA_GZKprediction_ICRC2021.txt", "cols")(energy)
+
+
 def get_limit_flux(energy, veff_sr, livetime, signalEff=1.0,
                    energyBinsPerDecade=1.0, upperLimOnEvents=2.44,
                    cross_section_type="ctw", inttype="total"):

@@ -344,9 +344,11 @@ class Simulation:
         first = order[start]
         mode = self.config["weights"]["weight_mode"]
         xsec = self.config["weights"]["cross_section_type"]
+        vertices = np.c_[inp.xx[first], inp.yy[first], inp.zz[first]]
         return earth_attenuation.get_weight(
             inp.zeniths[first], inp.energies[first], inp.flavors[first],
-            mode=mode, cross_section_type=xsec)
+            mode=mode, cross_section_type=xsec,
+            vertex_position=vertices, phi_nu=inp.azimuths[first])
 
     def _run_station(self, station_id, batch, seed_offset=0):
         """Chunked pipeline over all groups for one station."""

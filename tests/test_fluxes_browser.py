@@ -53,3 +53,28 @@ def test_event_viewer(tmp_path):
     out = str(tmp_path)
     eventbrowser.main([path, "--out", out])
     assert os.path.exists(os.path.join(out, "event_5_station_42.png"))
+
+def test_gzk_fluxes_vs_reference():
+    """Tabulated GZK flux interpolators match the reference exactly
+    (E2_fluxes3.py:573-607); sampled spectra agree within MC noise."""
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden", "gzk.npz"))
+    E = golden["E"]
+    np.testing.assert_allclose(fluxes.get_proton_10(E), golden["proton10"], rtol=1e-12)
+    np.testing.assert_allclose(fluxes.get_TAGZK_flux(E), golden["ta_m3"], rtol=1e-12)
+    np.testing.assert_allclose(fluxes.get_TAGZK_flux_ICRC2021(E),
+                               golden["ta_icrc2021"], rtol=1e-12)
+
+    from nuradiomc_tpu.sim.evtgen import get_energies
+    q = golden["q"]
+    e1 = get_energies(200000, 1e17, 1e19, "GZK-1", np.random.default_rng(8))
+    # seed-to-seed MC noise floor on these quantiles is ~3%
+    assert np.max(np.abs(np.quantile(e1, q) - golden["q_gzk1"])
+                  / golden["q_gzk1"]) < 0.06
+    e2 = get_energies(200000, 1e17, 1e19, "GZK-1+IceCube-nu-2022",
+                      np.random.default_rng(9))
+    assert np.max(np.abs(np.quantile(e2, q) - golden["q_combo"])
+                  / golden["q_combo"]) < 0.06
+    # GZK-2 spectrum samples without error and stays in range
+    e3 = get_energies(5000, 1e17, 1e19, "GZK-2+IceCube-nu-2022",
+                      np.random.default_rng(10))
+    assert e3.min() >= 1e17 and e3.max() <= 1e19
