@@ -108,3 +108,160 @@ class correlationDirectionFitter:
 
     def end(self):
         pass
+
+
+def beamforming_score(zen, az, V, band, positions, t_starts, rots, templates,
+                      kinds, pol, n_index, fs):
+    """cc-beam score for a batch of candidate directions (vectorized).
+
+    Semantics of beamFormingDirectionFitter.ll_regular_station
+    (modules/beamFormingDirectionFitter.py:138-180): per channel, unfold the
+    voltage spectrum to the chosen E-field polarization for the candidate
+    direction, bandpass, time-align with plane-wave delays, form the
+    pair-product cc-beam, sign*sqrt, smooth, and take the maximum.  The
+    reference evaluates one direction per scipy.optimize.brute step; here the
+    whole direction batch is one array program (vmap-able / jit-able).
+
+    Parameters
+    ----------
+    zen, az : (D,) candidate directions
+    V : (C, F) complex voltage spectra
+    band : (F,) passband response (butterabs 120-300 MHz in the reference)
+    positions : (C, 3) antenna positions; t_starts : (C,) trace start times
+    rots, templates, kinds : per-channel antenna descriptions
+    pol : 0 (eTheta) or 1 (ePhi)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nuradiomc_tpu.ops import antenna as antenna_ops
+
+    C, F = V.shape
+    n_t = 2 * (F - 1)
+    freqs = jnp.fft.rfftfreq(n_t, 1.0 / fs)
+
+    def one_dir(zenith, azimuth):
+        def one_ch(rot, tpl, kind, p, t0, v):
+            vt, vp = antenna_ops.analytic_vel(zenith, azimuth, rot, tpl, kind)
+            vel = jnp.where(pol == 0, vt, vp)
+            good = jnp.abs(vel) > 1e-3 * jnp.max(jnp.abs(vel))
+            E = jnp.where(good, v / jnp.where(good, vel, 1.0), 0.0) * band
+            # align to the plane-wave arrival: x(t + tau) <-> X(f) e^{2pi i f tau}
+            k = jnp.array([jnp.sin(zenith) * jnp.cos(azimuth),
+                           jnp.sin(zenith) * jnp.sin(azimuth),
+                           jnp.cos(zenith)])
+            delay = -n_index / speed_of_light * jnp.dot(k, p)
+            tau = delay - t0
+            return jnp.fft.irfft(E * jnp.exp(2j * jnp.pi * freqs * tau), n_t)
+
+        x = jax.vmap(one_ch)(rots, templates, kinds, positions, t_starts, V)
+        x = x / jnp.max(jnp.abs(x))
+        # all-pairs product beam: sum_{j<k} x_j x_k = ((sum x)^2 - sum x^2)/2
+        s = jnp.sum(x, axis=0)
+        cc = (s ** 2 - jnp.sum(x ** 2, axis=0)) / 2.0
+        n_pairs = C * (C - 1) / 2.0
+        cc = cc / n_pairs
+        cc = jnp.abs(jnp.sign(cc) * jnp.sqrt(jnp.abs(cc)))
+        # moving average (reference: np.convolve(ones(2000)/2000, 'same'))
+        w = min(2000, n_t)
+        csum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(cc)])
+        lo = jnp.clip(jnp.arange(n_t) - w // 2, 0, n_t)
+        hi = jnp.clip(jnp.arange(n_t) + (w - w // 2), 0, n_t)
+        ave = (csum[hi] - csum[lo]) / w
+        return jnp.max(ave)
+
+    return jax.vmap(one_dir)(jnp.asarray(zen), jnp.asarray(az))
+
+
+class beamFormingDirectionFitter:
+    """Interferometric (cc-beam) direction fitter
+    (modules/beamFormingDirectionFitter.py:84-231).  The reference brute-forces
+    a 1-degree grid in Python (one antenna unfold + FFT per step); here each
+    refinement stage is a single vectorized batch over directions."""
+
+    def begin(self, debug=False, log_level=None):
+        self._debug = debug
+
+    @register_run()
+    def run(self, evt, station, det, polarization=0, n_index=1.353,
+            channels=None, ZenLim=None, AziLim=None,
+            passband=(120 * units.MHz, 300 * units.MHz),
+            antenna_replacements=None):
+        from nuradiomc_tpu.ops import antenna as antenna_ops
+        from nuradiomc_tpu.ops import filters
+
+        if ZenLim is None:
+            ZenLim = [90 * units.deg, 180 * units.deg]
+        if AziLim is None:
+            AziLim = [0, 360 * units.deg]
+        station_id = station.get_id()
+        if channels is None:
+            channels = list(det.get_channel_ids(station_id))
+
+        reps = antenna_replacements or {}
+        V, positions, t_starts, rots, templates, kinds = [], [], [], [], [], []
+        fs = station.get_channel(channels[0]).get_sampling_rate()
+        F = None
+        for cid in channels:
+            ch = station.get_channel(cid)
+            spec = np.asarray(ch.get_frequency_spectrum())
+            F = len(spec) if F is None else F
+            V.append(spec[:F])
+            positions.append(det.get_relative_position(station_id, cid))
+            t_starts.append(ch.get_trace_start_time())
+            model = reps.get(det.get_antenna_model(station_id, cid),
+                             det.get_antenna_model(station_id, cid))
+            kind = antenna_ops.ANALYTIC_MODELS[model][0]
+            freqs = np.fft.rfftfreq(2 * (F - 1), 1.0 / fs)
+            tpl = antenna_ops.build_analytic_template(model, freqs)
+            full = np.zeros((3, F), dtype=complex)
+            full[:tpl.shape[0]] = tpl
+            if tpl.shape[0] == 1:
+                full[1:] = tpl[0]
+            templates.append(full)
+            rots.append(antenna_ops.antenna_rotation_matrix(
+                *det.get_antenna_orientation(station_id, cid)))
+            kinds.append(kind)
+
+        V = np.asarray(V)
+        freqs = np.fft.rfftfreq(2 * (F - 1), 1.0 / fs)
+        band = filters.chain_response(freqs, [(passband, "butterabs", {"order": 10})])
+        band = np.abs(band)
+        args = (V, band, np.asarray(positions, dtype=float),
+                np.asarray(t_starts, dtype=float), np.asarray(rots),
+                np.asarray(templates), np.asarray(kinds, dtype=np.int32),
+                polarization, n_index, fs)
+
+        def batched_score(zz, aa, chunk=4096):
+            out = np.zeros(len(zz))
+            for i0 in range(0, len(zz), chunk):
+                out[i0:i0 + chunk] = np.asarray(
+                    beamforming_score(zz[i0:i0 + chunk], aa[i0:i0 + chunk], *args))
+            return out
+
+        # dense first stage (the cc-beam landscape is multimodal; the
+        # reference brute-forces 1 degree), then two refinement stages
+        step = 3 * units.deg
+        zg = np.arange(ZenLim[0], ZenLim[1] + 1e-9, step)
+        ag = np.arange(AziLim[0], AziLim[1] + 1e-9, step)
+        ZZ, AA = np.meshgrid(zg, ag, indexing="ij")
+        score = batched_score(ZZ.ravel(), AA.ravel())
+        k = int(np.argmax(score))
+        cz, ca = ZZ.ravel()[k], AA.ravel()[k]
+        span_z = span_a = step * 1.5
+        for n_pts in (15, 15):
+            zg = np.linspace(max(cz - span_z, ZenLim[0]),
+                             min(cz + span_z, ZenLim[1]), n_pts)
+            ag = np.linspace(ca - span_a, ca + span_a, n_pts)
+            ZZ, AA = np.meshgrid(zg, ag, indexing="ij")
+            score = batched_score(ZZ.ravel(), AA.ravel())
+            k = int(np.argmax(score))
+            cz, ca = ZZ.ravel()[k], AA.ravel()[k]
+            span_z = (zg[1] - zg[0]) * 1.5
+            span_a = (ag[1] - ag[0]) * 1.5
+
+        station[stnp.zenith] = float(np.clip(cz, ZenLim[0], ZenLim[1]))
+        station[stnp.azimuth] = float(np.mod(ca, 2 * np.pi))
+
+    def end(self):
+        pass

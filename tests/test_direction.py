@@ -59,3 +59,45 @@ def test_reconstructs_known_direction():
     assert abs(st[stnp.zenith] - zen_true) < 2.5 * units.deg
     d_az = np.mod(st[stnp.azimuth] - az_true + np.pi, 2 * np.pi) - np.pi
     assert abs(d_az) < 2.5 * units.deg
+
+
+def test_beamforming_fitter_recovers_direction():
+    """cc-beam fitter recovers a theta-polarized plane wave synthesized
+    through the same antenna model (beamFormingDirectionFitter.py:84-231)."""
+    from nuradiomc_tpu.ops import antenna as antenna_ops
+    from nuradiomc_tpu.reco.direction import beamFormingDirectionFitter
+
+    det = _det_four()
+    zen_true, az_true = np.deg2rad(122.0), np.deg2rad(203.0)
+    fs, N = 1.0, 512
+    t = np.arange(N) / fs
+    freqs = np.fft.rfftfreq(N, 1.0 / fs)
+    pulse = np.exp(-0.5 * ((t - 200.0) / 3.0) ** 2) * \
+        np.sin(2 * np.pi * 0.2 * (t - 200.0))
+    E_spec = np.fft.rfft(pulse)
+
+    evt = Event(0, 0)
+    st = Station(7)
+    for cid in range(4):
+        p = det.get_relative_position(7, cid)
+        delay = get_time_delay_from_direction(zen_true, az_true, p, n=1.0)
+        rot = antenna_ops.antenna_rotation_matrix(
+            *det.get_antenna_orientation(7, cid))
+        tpl = antenna_ops.build_analytic_template("analytic_LPDA", freqs)
+        vt, _ = antenna_ops.analytic_vel(zen_true, az_true, rot, tpl, 0)
+        V = np.asarray(vt) * E_spec * np.exp(-2j * np.pi * freqs * delay)
+        ch = Channel(cid)
+        ch.set_frequency_spectrum(V, fs)
+        ch.set_trace_start_time(0.0)
+        st.add_channel(ch)
+    evt.set_station(st)
+
+    fitter = beamFormingDirectionFitter()
+    fitter.begin()
+    fitter.run(evt, st, det, polarization=0, n_index=1.0,
+               channels=[0, 1, 2, 3],
+               passband=(120 * units.MHz, 300 * units.MHz))
+
+    assert abs(st[stnp.zenith] - zen_true) < 2.5 * units.deg
+    d_az = np.mod(st[stnp.azimuth] - az_true + np.pi, 2 * np.pi) - np.pi
+    assert abs(d_az) < 2.5 * units.deg
