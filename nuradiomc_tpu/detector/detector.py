@@ -97,8 +97,10 @@ class Detector:
         self._ref_station_id = default_station
 
         by_station: dict[int, list[dict]] = {}
+        self._raw_channels: dict[tuple[int, int], dict] = {}
         for ch in channels_raw:
             by_station.setdefault(int(ch["station_id"]), []).append(ch)
+            self._raw_channels[(int(ch["station_id"]), int(ch["channel_id"]))] = ch
 
         ref_channels = by_station.get(default_station, [None])
         ref_channel = ref_channels[0] if ref_channels else None
@@ -138,6 +140,10 @@ class Detector:
 
     def get_station_ids(self):
         return sorted(self._stations)
+
+    def get_channel(self, station_id: int, channel_id: int) -> dict:
+        """Raw channel description dict (detector_base.get_channel)."""
+        return self._raw_channels[(int(station_id), int(channel_id))]
 
     def get_station(self, station_id: int) -> Station:
         return self._stations[station_id]
