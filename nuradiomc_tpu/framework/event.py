@@ -222,6 +222,16 @@ class BaseStation(ParameterStorage):
     def get_triggers(self):
         return self._triggers
 
+    def get_first_trigger(self):
+        """Earliest trigger that fired (station.get_first_trigger)."""
+        fired = [t for t in self._triggers.values() if t.has_triggered()]
+        if not fired:
+            return None
+        def key(t):
+            tt = t.get_trigger_time()
+            return np.inf if tt is None else tt
+        return min(fired, key=key)
+
     def has_trigger(self, name):
         return name in self._triggers
 
