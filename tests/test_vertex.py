@@ -97,3 +97,62 @@ def test_vertex_reconstruction(table_60):
     assert abs(r_rec - r_true) < 250.0
     assert abs(z_rec - z_true) < 250.0
     assert st.has_parameter(stnp.vertex_2D_fit)
+
+
+def test_vertex_3d_reconstruction(table_60):
+    """3D search with channels on two strings
+    (neutrino3DVertexReconstructor.py:15-999 semantics)."""
+    from nuradiomc_tpu.reco.vertex import neutrino3DVertexReconstructor
+
+    # two strings offset in both x and y (a coplanar array cannot resolve
+    # the mirror image across its plane)
+    chans = {}
+    positions = [(0.0, 0.0, -60.0), (0.0, 0.0, -100.0),
+                 (40.0, 30.0, -80.0), (40.0, 30.0, -120.0)]
+    for cid, (x, y, z) in enumerate(positions):
+        chans[str(cid + 1)] = {
+            "adc_n_samples": 2048, "adc_sampling_frequency": 2.0,
+            "ant_orientation_phi": 0.0, "ant_orientation_theta": 0.0,
+            "ant_position_x": x, "ant_position_y": y, "ant_position_z": z,
+            "ant_rotation_phi": 90.0, "ant_rotation_theta": 90.0,
+            "ant_type": "analytic_VPol", "amp_type": "", "cab_time_delay": 0.0,
+            "adc_nbits": None, "channel_id": cid, "station_id": 22,
+        }
+    det = Detector({"channels": chans,
+                    "stations": {"1": {"station_id": 22, "pos_altitude": 0,
+                                       "pos_easting": 0, "pos_northing": 0}}})
+
+    vx, vy, vz = 380.0, 290.0, -620.0
+    fs, n = 2.0, 2048
+    t = np.arange(n) / fs
+    arrivals = []
+    for (px, py, pz) in positions:
+        d_hor = np.hypot(vx - px, vy - py)
+        sols = raytrace.find_solutions(0.0, vz, d_hor, pz, ICE)
+        arrivals.append(min(float(sols.travel_time[s]) for s in range(2)
+                            if bool(sols.mask[s])))
+    t0 = min(arrivals) - 300.0
+    st = Station(22)
+    for cid, tt_c in enumerate(arrivals):
+        t_arr = tt_c - t0
+        tr = 0.2 * np.exp(-0.5 * ((t - t_arr) / 3.0) ** 2) \
+            * np.sin(2 * np.pi * 0.25 * (t - t_arr))
+        rng = np.random.default_rng(10 + cid)
+        ch = Channel(cid)
+        ch.set_trace(tr + rng.normal(0, 1e-3, n), fs)
+        st.add_channel(ch)
+    evt = Event(0, 0)
+    evt.set_station(st)
+
+    reco = neutrino3DVertexReconstructor(ICE, table_kwargs=TABLE_KW)
+    reco.begin(22, [0, 1, 2, 3], det)
+    vertex = reco.run(evt, st, max_distance=1200.0,
+                      z_range=(-1100.0, -50.0), coarse_steps=20, n_zoom=3)
+    r_rec = np.hypot(vertex[0], vertex[1])
+    r_true = np.hypot(vx, vy)
+    # pair timing constrains direction well; range more loosely
+    assert abs(np.arctan2(vertex[1], vertex[0])
+               - np.arctan2(vy, vx)) < np.deg2rad(15)
+    assert abs(vertex[2] / r_rec - vz / r_true) < 0.3
+    assert abs(r_rec - r_true) < 300.0
+    assert st.has_parameter(stnp.nu_vertex)
