@@ -196,7 +196,7 @@ class Particle(ParameterStorage):
 
 class BaseStation(ParameterStorage):
     def __init__(self, station_id: int):
-        super().__init__((par.stationParameters,))
+        super().__init__((par.stationParameters, par.stationParametersRNOG))
         self._station_id = station_id
         self._station_time = None
         self._triggers = collections.OrderedDict()

@@ -286,3 +286,39 @@ class stationHitFilter:
 
     def end(self):
         pass
+
+
+# ---------------------------------------------------------- coherent sums
+
+class stationCoherentlySummedWaveforms:
+    """SNR / impulsivity / entropy / kurtosis of the coherently-summed
+    waveform (RNO_G/stationCoherentlySummedWaveforms.py:15-143)."""
+
+    def begin(self, coincidence_window_size=6 * units.ns, pad_length=500,
+              channel_ids=(0, 1, 2, 3)):
+        self._window = coincidence_window_size
+        self._pad = pad_length
+        self._channel_ids = list(channel_ids)
+
+    @register_run()
+    def run(self, evt, station, det=None, ref_ch_id=0, use_envelope=True):
+        from nuradiomc_tpu.utils import trace_stats as ts
+        rnog = par.stationParametersRNOG
+
+        ref = station.get_channel(ref_ch_id)
+        ref_trace = np.asarray(ref.get_trace())
+        others = [np.asarray(ch.get_trace())
+                  for ch in station.iter_channels(self._channel_ids)
+                  if ch.get_id() != ref_ch_id]
+        window_bins = int(round(self._window * ref.get_sampling_rate()))
+        csw = ts.get_coherent_sum(others, ref_trace, use_envelope)
+        rms = ts.get_split_trace_noise_RMS(csw, segments=4, lowest=2)
+        station[rnog.coherent_snr] = ts.get_signal_to_noise_ratio(
+            csw, rms, window_size=max(window_bins, 2))
+        station[rnog.coherent_impulsivity] = ts.get_impulsivity(csw)
+        station[rnog.coherent_entropy] = ts.get_entropy(csw)
+        station[rnog.coherent_kurtosis] = ts.get_kurtosis(csw)
+        return csw
+
+    def end(self):
+        pass
