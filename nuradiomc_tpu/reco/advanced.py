@@ -203,3 +203,117 @@ class channelGalacticNoiseAdder:
 
     def end(self):
         pass
+
+
+def get_electric_field_from_temperature(frequencies, noise_temperature,
+                                        solid_angle):
+    """Rayleigh-Jeans E-field amplitude per frequency bin
+    (utilities/signal_processing.py:493-533)."""
+    from nuradiomc_tpu.utils.constants import boltzmann, speed_of_light
+    ff = np.asarray(frequencies, dtype=float)
+    d_f = ff[2] - ff[1]
+    radiance = 2.0 * boltzmann * ff ** 2 * noise_temperature / speed_of_light ** 2
+    radiance = np.nan_to_num(radiance) * d_f * solid_angle
+    Z0 = 376.730313667 * units.ohm
+    return np.sqrt(radiance * Z0) / d_f
+
+
+class channelIceThermalNoiseAdder:
+    """Thermal noise from the ice, folded through the antenna response per
+    sky pixel (modules/channelIceThermalNoiseAdder.py:17-263).
+
+    The effective-temperature input is a dict {antenna_depth: (thetas,
+    T_eff(theta))} — the content of the reference's JSON files produced by
+    NuRadioMC/examples/simulate_effective_ice_temperature.  All (theta, phi)
+    pixels of one channel are folded in one vectorized pass instead of the
+    reference's double Python loop.
+    """
+
+    def begin(self, eff_temperatures, nr_phi_bins=64,
+              channel_depth_matching_error=10.0, seed=None,
+              antenna_replacements=None):
+        self._temps = {float(k): (np.asarray(v[0], float),
+                                  np.asarray(v[1], float))
+                       for k, v in eff_temperatures.items()}
+        self._phis = np.linspace(0, 2 * np.pi, nr_phi_bins)
+        self._depth_tol = channel_depth_matching_error
+        self._rng = np.random.Generator(np.random.Philox(seed))
+        self._reps = antenna_replacements or {}
+
+    @register_run()
+    def run(self, event, station, detector, passband=None):
+        from nuradiomc_tpu.reco.efield_converters import get_channel_vel
+
+        if passband is None:
+            passband = [10 * units.MHz, 1600 * units.MHz]
+        for channel in station.iter_channels():
+            ff = np.asarray(channel.get_frequencies())
+            band = (ff > passband[0]) & (ff < passband[1])
+            depth = detector.get_relative_position(
+                station.get_id(), channel.get_id())[2]
+            matches = [k for k in self._temps
+                       if abs(k - depth) <= self._depth_tol]
+            if len(matches) != 1:
+                raise KeyError(
+                    f"{len(matches)} effective-temperature entries match "
+                    f"depth {depth} within {self._depth_tol}")
+            thetas, t_eff = self._temps[matches[0]]
+            d_thetas = np.diff(thetas)
+            d_phis = np.diff(self._phis)
+
+            spec = np.array(channel.get_frequency_spectrum())
+            add = np.zeros_like(spec)
+            for phi, d_phi in zip(self._phis[:-1], d_phis):
+                for th, d_th, T in zip(thetas[:-1], d_thetas, t_eff[:-1]):
+                    omega = abs(np.sin(th) * np.sin(d_th / 2) * 2 * d_phi)
+                    amp = get_electric_field_from_temperature(
+                        ff[band], T, omega)
+                    phases = np.exp(
+                        1j * self._rng.uniform(0, 2 * np.pi, band.sum()))
+                    pol = self._rng.uniform(0, 2 * np.pi, band.sum())
+                    vt, vp = get_channel_vel(
+                        detector, station.get_id(), channel.get_id(), ff,
+                        th, phi, self._reps)
+                    add[band] += (vt[band] * np.cos(pol)
+                                  + vp[band] * np.sin(pol)) * amp * phases
+            channel.set_frequency_spectrum(spec + add,
+                                           channel.get_sampling_rate())
+
+    def end(self):
+        pass
+
+
+class channelAntennaDedispersion:
+    """Remove the antenna phase response (group-delay dispersion) from the
+    channel traces (modules/channelAntennaDedispersion.py:14-54): divide by
+    exp(i*angle(VEL)) evaluated at the antenna's sensitive direction."""
+
+    def begin(self, antenna_replacements=None):
+        self._reps = antenna_replacements or {}
+
+    def _response(self, det, station_id, channel_id, ff):
+        from nuradiomc_tpu.reco.efield_converters import get_channel_vel
+        name = det.get_antenna_model(station_id, channel_id)
+        name = self._reps.get(name, name)
+        zen_ori, az_ori, _, _ = det.get_antenna_orientation(station_id,
+                                                            channel_id)
+        if "LPDA" in name:
+            zen, az = zen_ori, az_ori   # boresight
+        else:   # dipole-like: sensitive perpendicular to the orientation
+            zen, az = np.pi / 2 + zen_ori, 0.0
+        vt, vp = get_channel_vel(det, station_id, channel_id, ff, zen, az,
+                                 self._reps)
+        vel = vt if np.sum(np.abs(vt)) > np.sum(np.abs(vp)) else vp
+        return np.exp(1j * np.angle(vel))
+
+    @register_run()
+    def run(self, evt, station, det, debug=False):
+        for channel in station.iter_channels():
+            ff = np.asarray(channel.get_frequencies())
+            resp = self._response(det, station.get_id(), channel.get_id(), ff)
+            channel.set_frequency_spectrum(
+                np.asarray(channel.get_frequency_spectrum()) / resp,
+                channel.get_sampling_rate())
+
+    def end(self):
+        pass

@@ -229,3 +229,41 @@ class electricFieldSignalReconstructor:
 
     def end(self):
         pass
+
+
+class voltageToEfieldConverterPerChannel:
+    """Per-channel antenna unfolding assuming a single polarization fraction
+    (modules/voltageToEfieldConverterPerChannel.py:28-81): every channel gets
+    its own ElectricField with E_theta = sqrt(1-pol) V / VEL_theta and
+    E_phi = sqrt(pol) V / VEL_phi (bins with zero response stay zero)."""
+
+    def begin(self, antenna_replacements=None):
+        self._reps = antenna_replacements or {}
+
+    @register_run()
+    def run(self, evt, station, det, pol=0):
+        sim = station.get_sim_station()
+        src = sim if (sim is not None and sim.has_parameter(stnp.zenith)) \
+            else station
+        zenith = src[stnp.zenith]
+        azimuth = src[stnp.azimuth]
+        station_id = station.get_id()
+        for ch in station.iter_channels():
+            ff = np.asarray(ch.get_frequencies())
+            vt, vp = get_channel_vel(det, station_id, ch.get_id(), ff,
+                                     zenith, azimuth, self._reps)
+            spec = np.asarray(ch.get_frequency_spectrum())
+            out = np.zeros((3, len(spec)), dtype=complex)
+            m1 = np.abs(vt) != 0
+            m2 = np.abs(vp) != 0
+            out[1][m1] = (1.0 - pol) ** 0.5 * spec[m1] / vt[m1]
+            out[2][m2] = pol ** 0.5 * spec[m2] / vp[m2]
+            ef = ElectricField([ch.get_id()])
+            ef.set_frequency_spectrum(out, ch.get_sampling_rate())
+            ef[efp.zenith] = zenith
+            ef[efp.azimuth] = azimuth
+            ef.set_trace_start_time(ch.get_trace_start_time())
+            station.add_electric_field(ef)
+
+    def end(self):
+        pass

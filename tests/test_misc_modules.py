@@ -105,3 +105,96 @@ def test_detector_browser(tmp_path):
     browser.main([det_file, "--out", str(tmp_path)])
     import os
     assert os.path.exists(str(tmp_path / "station_3.png"))
+
+
+def test_voltage_to_efield_per_channel():
+    from test_direction import _det_four
+    from nuradiomc_tpu.ops import antenna as antenna_ops
+    from nuradiomc_tpu.reco.efield_converters import (
+        voltageToEfieldConverterPerChannel)
+
+    stnp = par.stationParameters
+    efp = par.electricFieldParameters
+    det = _det_four()
+    zen, az = np.deg2rad(120.0), np.deg2rad(45.0)
+    fs, n = 1.0, 512
+    ff = np.fft.rfftfreq(n, 1.0 / fs)
+    E_true = np.zeros(len(ff), dtype=complex)
+    band = (ff > 0.1) & (ff < 0.4)
+    E_true[band] = np.exp(-ff[band] * 3) * np.exp(1j * 2 * np.pi * ff[band] * 200)
+
+    st = Station(7)
+    st[stnp.zenith] = zen
+    st[stnp.azimuth] = az
+    rot = antenna_ops.antenna_rotation_matrix(*det.get_antenna_orientation(7, 0))
+    tpl = antenna_ops.build_analytic_template("analytic_LPDA", ff)
+    vt, vp = antenna_ops.analytic_vel(zen, az, rot, tpl, 0)
+    ch = Channel(0)
+    ch.set_frequency_spectrum(np.asarray(vt) * E_true, fs)   # pure theta pol
+    st.add_channel(ch)
+
+    conv = voltageToEfieldConverterPerChannel()
+    conv.begin()
+    conv.run(Event(0, 0), st, det, pol=0)
+    ef = st.get_electric_fields()[0]
+    rec = np.asarray(ef.get_frequency_spectrum())[1]
+    good = band & (np.abs(np.asarray(vt)) > 1e-3 * np.max(np.abs(np.asarray(vt))))
+    np.testing.assert_allclose(rec[good], E_true[good], rtol=1e-8)
+
+
+def test_antenna_dedispersion_flattens_phase():
+    from test_direction import _det_four
+    from nuradiomc_tpu.reco.advanced import channelAntennaDedispersion
+
+    det = _det_four()
+    fs, n = 1.0, 512
+    rng = np.random.default_rng(4)
+    st = Station(7)
+    ch = Channel(0)
+    ch.set_trace(rng.normal(0, 1.0, n), fs)
+    st.add_channel(ch)
+    before = np.asarray(ch.get_frequency_spectrum()).copy()
+    mod = channelAntennaDedispersion()
+    mod.begin()
+    mod.run(Event(0, 0), st, det)
+    after = np.asarray(ch.get_frequency_spectrum())
+    # magnitude unchanged, phase rotated by the antenna phase
+    np.testing.assert_allclose(np.abs(after), np.abs(before), rtol=1e-9)
+    assert not np.allclose(np.angle(after[5:50]), np.angle(before[5:50]))
+
+
+def test_ice_thermal_noise_adder():
+    from test_vertex import _det_string
+    from nuradiomc_tpu.reco.advanced import channelIceThermalNoiseAdder
+
+    det = _det_string()
+    fs, n = 2.0, 1024
+    st = Station(21)
+    for cid in range(4):
+        ch = Channel(cid)
+        ch.set_trace(np.zeros(n), fs)
+        st.add_channel(ch)
+
+    thetas = np.linspace(0, np.pi, 20)
+    temps = {z: (thetas, np.full(20, 300.0))
+             for z in (-60.0, -80.0, -100.0, -120.0)}
+    adder = channelIceThermalNoiseAdder()
+    adder.begin(temps, nr_phi_bins=8, seed=1)
+    adder.run(Event(0, 0), st, det)
+    rms = [float(np.std(np.asarray(st.get_channel(c).get_trace())))
+           for c in range(4)]
+    assert all(r > 0 for r in rms)
+    # doubling the temperature doubles the noise power (RMS x sqrt(2))
+    st2 = Station(21)
+    for cid in range(4):
+        ch = Channel(cid)
+        ch.set_trace(np.zeros(n), fs)
+        st2.add_channel(ch)
+    adder2 = channelIceThermalNoiseAdder()
+    adder2.begin({z: (thetas, np.full(20, 600.0)) for z in temps}, 
+                 nr_phi_bins=8, seed=1)
+    adder2.run(Event(0, 0), st2, det)
+    rms2 = [float(np.std(np.asarray(st2.get_channel(c).get_trace())))
+            for c in range(4)]
+    np.testing.assert_allclose(np.array(rms2) / np.array(rms),
+                               np.sqrt(2), rtol=1e-6)
