@@ -27,7 +27,7 @@ def main():
     from __graft_entry__ import _make_settings_and_inputs
     from nuradiomc_tpu.sim.pipeline import simulate_batch
 
-    n_groups = 16384
+    n_groups = 65536
     settings, ch, batch = _make_settings_and_inputs(
         n_groups=n_groups, n_showers=2, n_channels=1,
         n_internal=512, n_base=2048)

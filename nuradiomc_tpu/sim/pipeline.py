@@ -152,6 +152,27 @@ class PipelineOutput(NamedTuple):
     focusing: jnp.ndarray         # [G, S, C, 2]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _placement_matrices(n_int: int, n_base: int):
+    """Dense real-linear maps from a short rFFT spectrum to the spectrum of
+    the zero-padded trace on the n_base grid: X_base = D_r Re(V) + D_i Im(V)
+    (irfft is real-linear, not complex-linear, so two matrices are needed).
+    Built column-by-column with numpy's own irfft/rfft, so edge-bin handling
+    matches the FFT exactly."""
+    import numpy as _np
+    F_int = n_int // 2 + 1
+    eye = _np.eye(F_int)
+    x_r = _np.fft.irfft(eye, n=n_int, axis=1)
+    x_i = _np.fft.irfft(1j * eye, n=n_int, axis=1)
+    pad = ((0, 0), (0, n_base - n_int))
+    D_r = _np.fft.rfft(_np.pad(x_r, pad), axis=1)
+    D_i = _np.fft.rfft(_np.pad(x_i, pad), axis=1)
+    return D_r, D_i
+
+
 def _attenuation_sparse(sols: raytrace.RaySolutions, geom, s: PipelineSettings):
     """Attenuation factors on the internal frequency grid via a sparse grid.
 
@@ -456,23 +477,31 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     base_t0 = jnp.where(any_valid, base_t0, 0.0)
 
     offset = t_start - base_t0[:, None, None, None]
-    n_int_shift = jnp.floor(offset / dt + 0.5).astype(jnp.int32)
-    frac = offset - n_int_shift * dt
 
-    shifted = trace_ops.shift_spectrum(volt_spec, ff_int, frac[..., None])
-    short_traces = fft.freq2time(shifted, s.sampling_rate, n=s.n_internal)
-    padded = jnp.pad(short_traces,
-                     [(0, 0)] * 4 + [(0, s.n_base - s.n_internal)])
-    # circular placement: contributions beyond the window wrap around, which
-    # preserves their full amplitude for the trigger decision (window sizing
-    # should normally prevent wrapping)
-    rolled = jax.vmap(lambda tr, sh: jnp.roll(tr, sh, axis=-1))(
-        padded.reshape(-1, s.n_base), flat(n_int_shift)).reshape(*bshape, s.n_base)
-
-    channel_traces = jnp.sum(rolled, axis=(1, 3))                  # [G,C,n_base]
+    # frequency-domain placement: the old path (irfft at n_internal, pad to
+    # n_base, per-trace dynamic jnp.roll, sum, rfft) compiles to a huge
+    # gather that dominates the whole pipeline on TPU (~75% of runtime).
+    # Instead, interpolate each short spectrum onto the n_base rFFT grid with
+    # a precomputed dense DFT matrix (rfft_base . pad . irfft_int — an
+    # MXU-friendly matmul) and apply the whole time offset (integer +
+    # fractional) as one phase ramp.  Placement stays circular, identical to
+    # the roll semantics up to float association.
+    ctype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+    D_r, D_i = _placement_matrices(s.n_internal, s.n_base)
+    D_r = jnp.asarray(D_r, ctype)
+    D_i = jnp.asarray(D_i, ctype)
+    ff_base = s.freqs_base.astype(real_dtype)
+    chan_spec = jnp.zeros((G, C, s.n_base // 2 + 1), dtype=ctype)
+    for si in range(S):
+        for ri in range(2):
+            V = volt_spec[:, si, :, ri, :]                       # [G,C,F_int]
+            Xb = (jnp.einsum("gcf,fk->gck", V.real.astype(real_dtype), D_r)
+                  + jnp.einsum("gcf,fk->gck", V.imag.astype(real_dtype), D_i))
+            ph = trace_ops.time_shift_phase(ff_base,
+                                            offset[:, si, :, ri, None])
+            chan_spec = chan_spec + Xb * ph.astype(ctype)
 
     # ---- 8. filter chain (+ optional noise) --------------------------------
-    chan_spec = fft.time2freq(channel_traces, s.sampling_rate)     # [G,C,F_base]
     if s.add_noise:
         if noise_key is None:
             raise ValueError("add_noise=True requires a noise_key")
