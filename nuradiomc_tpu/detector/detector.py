@@ -184,3 +184,51 @@ class Detector:
         ch = self._stations[station_id].channels
         idx = int(np.where(ch.channel_ids == channel_id)[0][0])
         return ch.antenna_model[idx]
+
+
+class DetectorSysUncertainties(Detector):
+    """Detector wrapper with systematic-uncertainty offsets on antenna
+    orientations and positions (detector_sys_uncertainties.py:8-172).
+
+    Offsets apply to all stations/channels unless (station_id, channel_id)
+    specific offsets are set; specific offsets win over global ones.
+    """
+
+    def __init__(self, source, default_station=None):
+        super().__init__(source, default_station)
+        self._ori_offsets: dict = {}
+        self._pos_offsets: dict = {}
+
+    def set_antenna_orientation_offsets(self, ori_theta, ori_phi, rot_theta,
+                                        rot_phi, station_id=None,
+                                        channel_id=None):
+        self._ori_offsets[(station_id, channel_id)] = np.array(
+            [ori_theta, ori_phi, rot_theta, rot_phi], dtype=float)
+
+    def reset_antenna_orientation_offsets(self):
+        self._ori_offsets = {}
+
+    def set_antenna_position_offsets(self, x, y, z, station_id=None,
+                                     channel_id=None):
+        self._pos_offsets[(station_id, channel_id)] = np.array(
+            [x, y, z], dtype=float)
+
+    def reset_antenna_position_offsets(self):
+        self._pos_offsets = {}
+
+    def _lookup(self, table, station_id, channel_id):
+        for key in ((station_id, channel_id), (station_id, None),
+                    (None, channel_id), (None, None)):
+            if key in table:
+                return table[key]
+        return None
+
+    def get_antenna_orientation(self, station_id, channel_id):
+        ori = np.array(super().get_antenna_orientation(station_id, channel_id))
+        off = self._lookup(self._ori_offsets, station_id, channel_id)
+        return tuple(ori + off) if off is not None else tuple(ori)
+
+    def get_relative_position(self, station_id, channel_id):
+        pos = np.array(super().get_relative_position(station_id, channel_id))
+        off = self._lookup(self._pos_offsets, station_id, channel_id)
+        return pos + off if off is not None else pos

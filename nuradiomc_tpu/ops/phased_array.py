@@ -103,3 +103,27 @@ def phased_power_trigger(traces, rolls: np.ndarray, threshold,
     trigger_frame = jnp.argmax(any_beam, axis=-1)
     max_power = jnp.max(power, axis=(-2, -1))
     return triggered, trigger_frame, max_power, triggered_beams
+
+
+def phased_envelope_trigger(traces, rolls: np.ndarray, threshold,
+                            return_n_triggers: bool = False):
+    """Beamformed Hilbert-envelope threshold trigger
+    (phasedarray/digitalBeamformedEnvelopeTrigger.py:21-188, ideal-transformer
+    mode): coherent beam sums -> analytic-signal envelope -> compare to an
+    absolute amplitude threshold.
+
+    traces: [..., C, N]; rolls: static (B, C) ints.
+    Returns (triggered[...], first_bin[...], n_triggers[...]).
+    """
+    from nuradiomc_tpu.ops import trace as trace_ops
+
+    beams = phase_signals(traces, rolls)                  # [..., B, N]
+    env = trace_ops.hilbert_envelope(beams)
+    over = env > threshold
+    triggered = jnp.any(over, axis=(-2, -1))
+    first = jnp.argmax(jnp.any(over, axis=-2), axis=-1)
+    if return_n_triggers:
+        # count rising edges over all beams (reference return_n_triggers)
+        rising = over[..., 1:] & ~over[..., :-1]
+        return triggered, first, jnp.sum(rising, axis=(-2, -1))
+    return triggered, first, jnp.zeros_like(first)

@@ -310,3 +310,68 @@ class eventTypeIdentifier:
 
     def end(self):
         pass
+
+
+class channelMeasuredNoiseAdder:
+    """Superimpose measured noise waveforms from .nur files onto simulated
+    channels (measured_noise/channelMeasuredNoiseAdder.py:28-276).
+
+    Noise events are loaded once in begin(); run() picks a random noise
+    event, optionally baseline-subtracts it, and adds the matching channel
+    traces (trimmed/wrapped to the simulated trace length).
+    """
+
+    def begin(self, filenames=None, folder=None, file_pattern="*",
+              random_seed=None, channel_mapping=None,
+              baseline_substraction=True, restrict_station_id=True,
+              station_id=None):
+        import glob
+
+        from nuradiomc_tpu.sim import io_nur
+
+        if filenames is None:
+            filenames = sorted(glob.glob(f"{folder}/**/{file_pattern}.nur",
+                                         recursive=True))
+        if not filenames:
+            raise ValueError("no noise files found")
+        self._rng = np.random.Generator(np.random.Philox(random_seed))
+        self._mapping = channel_mapping or {}
+        self._baseline = baseline_substraction
+        self._noise = []   # list of {channel_id: (trace, fs)} per event
+        for fn in filenames:
+            reader = io_nur.EventReader(fn)
+            for evt in reader.run():
+                for st in evt.get_stations():
+                    if (restrict_station_id and station_id is not None
+                            and st.get_id() != station_id):
+                        continue
+                    entry = {}
+                    for ch in st.iter_channels():
+                        entry[ch.get_id()] = (
+                            np.asarray(ch.get_trace(), dtype=float),
+                            ch.get_sampling_rate())
+                    if entry:
+                        self._noise.append(entry)
+        if not self._noise:
+            raise ValueError("no usable noise stations in the input files")
+
+    @register_run()
+    def run(self, event, station, det=None):
+        entry = self._noise[self._rng.integers(len(self._noise))]
+        for ch in station.iter_channels():
+            src_id = self._mapping.get(ch.get_id(), ch.get_id())
+            if src_id not in entry:
+                continue
+            noise, fs_noise = entry[src_id]
+            if self._baseline:
+                noise = noise - np.mean(noise)
+            tr = np.asarray(ch.get_trace())
+            n = len(tr)
+            if len(noise) < n:
+                reps = int(np.ceil(n / len(noise)))
+                noise = np.tile(noise, reps)
+            start = self._rng.integers(0, len(noise) - n + 1)
+            ch.set_trace(tr + noise[start:start + n], ch.get_sampling_rate())
+
+    def end(self):
+        pass

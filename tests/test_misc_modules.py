@@ -198,3 +198,97 @@ def test_ice_thermal_noise_adder():
             for c in range(4)]
     np.testing.assert_allclose(np.array(rms2) / np.array(rms),
                                np.sqrt(2), rtol=1e-6)
+
+
+def test_sys_uncertainties_detector():
+    from test_direction import _det_four
+    from nuradiomc_tpu.detector.detector import DetectorSysUncertainties
+
+    base = _det_four()
+    # reconstruct a raw dict from the same spec the helper uses
+    chans = {str(c + 1): dict(base.get_channel(7, c)) for c in range(4)}
+    det = DetectorSysUncertainties(
+        {"channels": chans,
+         "stations": {"1": {"station_id": 7, "pos_altitude": 0,
+                            "pos_easting": 0, "pos_northing": 0}}})
+    ori0 = np.array(det.get_antenna_orientation(7, 0))
+    det.set_antenna_orientation_offsets(0.01, 0.02, 0.0, 0.0)
+    ori1 = np.array(det.get_antenna_orientation(7, 0))
+    np.testing.assert_allclose(ori1 - ori0, [0.01, 0.02, 0, 0], atol=1e-12)
+    # channel-specific offset wins over the global one
+    det.set_antenna_orientation_offsets(0.1, 0.0, 0.0, 0.0,
+                                        station_id=7, channel_id=0)
+    np.testing.assert_allclose(
+        np.array(det.get_antenna_orientation(7, 0)) - ori0,
+        [0.1, 0, 0, 0], atol=1e-12)
+    # other channels keep the global offset
+    np.testing.assert_allclose(
+        np.array(det.get_antenna_orientation(7, 1))
+        - np.array([*map(float, _det_orientation(base, 1))]),
+        [0.01, 0.02, 0, 0], atol=1e-12)
+    det.reset_antenna_orientation_offsets()
+    np.testing.assert_allclose(det.get_antenna_orientation(7, 0), ori0)
+    det.set_antenna_position_offsets(1.0, -2.0, 0.5)
+    np.testing.assert_allclose(det.get_relative_position(7, 0)
+                               - base.get_relative_position(7, 0),
+                               [1.0, -2.0, 0.5])
+
+
+def _det_orientation(det, cid):
+    return det.get_antenna_orientation(7, cid)
+
+
+def test_measured_noise_adder(tmp_path):
+    from nuradiomc_tpu.framework.event import Channel, Event, Station
+    from nuradiomc_tpu.reco.channel_processing import channelMeasuredNoiseAdder
+    from nuradiomc_tpu.sim import io_nur
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "noise.nur")
+    w = io_nur.EventWriter(path)
+    for k in range(3):
+        evt = Event(0, k)
+        st = Station(42)
+        for cid in range(2):
+            ch = Channel(cid)
+            ch.set_trace(rng.normal(0.5, 1.0, 512), 2.0)  # with DC baseline
+            st.add_channel(ch)
+        evt.set_station(st)
+        w.run(evt)
+    w.end()
+
+    st = Station(42)
+    for cid in range(2):
+        ch = Channel(cid)
+        ch.set_trace(np.zeros(256), 2.0)
+        st.add_channel(ch)
+    adder = channelMeasuredNoiseAdder()
+    adder.begin(filenames=[path], random_seed=1)
+    adder.run(Event(0, 0), st)
+    tr = np.asarray(st.get_channel(0).get_trace())
+    assert np.std(tr) > 0.5                     # noise actually added
+    assert abs(np.mean(tr)) < 0.3               # baseline removed
+
+
+def test_phased_envelope_trigger():
+    import jax.numpy as jnp
+
+    from nuradiomc_tpu.ops.phased_array import phased_envelope_trigger
+
+    rng = np.random.default_rng(2)
+    C, N = 4, 1024
+    traces = rng.normal(0, 0.01, (C, N))
+    # coherent pulse aligned for the zero-delay beam
+    t = np.arange(N)
+    pulse = 0.2 * np.exp(-0.5 * ((t - 500) / 4.0) ** 2) * np.sin(0.4 * t)
+    traces += pulse
+    rolls = np.array([[0, 0, 0, 0], [0, 3, 6, 9], [0, -3, -6, -9]])
+    trig, first, n_trig = phased_envelope_trigger(
+        jnp.asarray(traces), rolls, threshold=0.5, return_n_triggers=True)
+    assert bool(trig)
+    assert 480 < int(first) < 520
+    assert int(n_trig) >= 1
+    # noise only: no trigger at the same threshold
+    trig0, _, _ = phased_envelope_trigger(
+        jnp.asarray(rng.normal(0, 0.01, (C, N))), rolls, threshold=0.5)
+    assert not bool(trig0)
