@@ -39,3 +39,11 @@ def test_reconstruction_example(tmp_path):
                           "simple_reconstruction.py"), cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "reconstructed efield" in r.stdout
+
+
+def test_vertex_direction_example(tmp_path):
+    r = _run(os.path.join(REPO, "examples", "04_vertex_direction_reco",
+                          "run_reco_chain.py"), cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "vertex:" in r.stdout
+    assert "log10 shower energy" in r.stdout
