@@ -375,3 +375,126 @@ class channelMeasuredNoiseAdder:
 
     def end(self):
         pass
+
+
+class channelTimeOffsetCalculator:
+    """Determine the ray-path type (direct/refracted/reflected) and the
+    per-channel propagation time offsets from a vertex position
+    (modules/channelTimeOffsetCalculator.py:32-163).
+
+    For each ray-type hypothesis, the channels are shifted back by the
+    expected (mean-subtracted) propagation times and correlated with an
+    antenna-folded E-field template; the hypothesis with the largest summed
+    correlation wins and its offsets/receive angles are stored per channel.
+    """
+
+    def begin(self, electric_field_template, medium, use_sim=False,
+              antenna_replacements=None, amp_response=None):
+        self._template = electric_field_template
+        self._medium = medium
+        self._use_sim = use_sim
+        self._reps = antenna_replacements or {}
+        self._amp = amp_response    # optional callable(freqs) -> complex
+
+    @register_run()
+    def run(self, event, station, det, channel_ids=(0, 1, 2, 3),
+            passband=None):
+        import jax
+
+        from nuradiomc_tpu.framework import parameters as _par
+        from nuradiomc_tpu.ops import filters as filt_ops
+        from nuradiomc_tpu.ops import raytrace
+        from nuradiomc_tpu.reco.analytic_efield import normalized_xcorr
+        from nuradiomc_tpu.reco.efield_converters import get_channel_vel
+
+        stnp_ = _par.stationParameters
+        chp_ = _par.channelParameters
+        shp_ = _par.showerParameters
+        ray_names = ["direct", "refracted", "reflected"]
+
+        vertex = None
+        if self._use_sim:
+            for shower in event.get_sim_showers():
+                if shower.has_parameter(shp_.vertex):
+                    vertex = np.asarray(shower[shp_.vertex])
+                    break
+        elif station.has_parameter(stnp_.nu_vertex):
+            vertex = np.asarray(station[stnp_.nu_vertex])
+        elif station.has_parameter(stnp_.vertex_2D_fit):
+            v2 = station[stnp_.vertex_2D_fit]
+            vertex = np.array([v2[0], 0.0, v2[1]])
+        if vertex is None:
+            raise RuntimeError("Could not find vertex position")
+
+        A = len(channel_ids)
+        prop_times = np.zeros((A, 3))
+        rec_zeniths = np.zeros((A, 3))
+        found = np.zeros((A, 3), dtype=bool)
+        for i, cid in enumerate(channel_ids):
+            pos = det.get_relative_position(station.get_id(), cid)
+            geom = raytrace.to_2d(np.asarray(vertex, float),
+                                  np.asarray(pos, float))
+            sols = raytrace.find_solutions(geom.x1y, geom.x1z, geom.x2y,
+                                           geom.x2z, self._medium)
+            _, receive = raytrace.launch_receive_vectors(
+                jax.tree.map(lambda a: np.asarray(a)[None], geom),
+                jax.tree.map(lambda a: np.asarray(a)[None], sols))
+            for s in range(2):
+                if not bool(sols.mask[s]):
+                    continue
+                st_idx = int(sols.sol_type[s]) - 1
+                found[i, st_idx] = True
+                prop_times[i, st_idx] = float(sols.travel_time[s])
+                rz = np.arccos(np.clip(-np.asarray(receive)[0, s, 2], -1, 1))
+                rec_zeniths[i, st_idx] = rz
+
+        for s in range(3):
+            sel = prop_times[:, s] > 0
+            if sel.any():
+                prop_times[sel, s] -= np.mean(prop_times[sel, s])
+
+        ff = np.asarray(self._template.get_frequencies())
+        fs = self._template.get_sampling_rate()
+        band = np.ones(len(ff), dtype=complex)
+        if passband is not None:
+            band = filt_ops.get_filter_response(ff, passband, "butter", order=10)
+        e_spec = np.asarray(self._template.get_frequency_spectrum()) * band
+        amp = self._amp(ff) if self._amp is not None else 1.0
+
+        # sum the correlation FUNCTIONS across channels: only the correct
+        # hypothesis aligns the peaks at the same lag (reference :126-156)
+        corr_sum = None
+        for i, cid in enumerate(channel_ids):
+            ch = station.get_channel(cid)
+            ch_ff = np.asarray(ch.get_frequencies())
+            ch_band = np.ones(len(ch_ff), dtype=complex)
+            if passband is not None:
+                ch_band = filt_ops.get_filter_response(ch_ff, passband,
+                                                       "butter", order=10)
+            ch_spec = np.asarray(ch.get_frequency_spectrum()) * ch_band
+            for s in range(3):
+                if not found[i, s]:
+                    continue
+                vt, vp = get_channel_vel(det, station.get_id(), cid, ff,
+                                         rec_zeniths[i, s], 0.0, self._reps)
+                tpl_spec = e_spec * amp * (vt + vp)
+                tpl = np.fft.irfft(tpl_spec) * fs / np.sqrt(2.0)
+                # undo the expected propagation delay for this hypothesis
+                shifted = ch_spec * np.exp(
+                    2j * np.pi * ch_ff * prop_times[i, s])
+                tr = np.fft.irfft(shifted) * ch.get_sampling_rate() / np.sqrt(2.0)
+                xc = np.abs(normalized_xcorr(tr, tpl))
+                if corr_sum is None:
+                    corr_sum = np.zeros((3, len(xc)))
+                corr_sum[s, :len(xc)] += xc
+
+        best = int(np.argmax(np.max(corr_sum, axis=1)))
+        for i, cid in enumerate(channel_ids):
+            ch = station.get_channel(cid)
+            ch[chp.signal_time_offset] = prop_times[i, best]
+            ch[chp.signal_receiving_zenith] = rec_zeniths[i, best]
+            ch[chp.signal_ray_type] = ray_names[best]
+        return ray_names[best]
+
+    def end(self):
+        pass

@@ -51,6 +51,7 @@ class PipelineSettings:
     attenuation_model: str = "SP1"
     askaryan_model: str = "Alvarez2000"
     n_internal: int = 512          # efield trace samples at internal rate
+    n_bisect: int = 96             # ray-solver bisection iterations (f32: ~40 suffices)
     n_base: int = 2048             # channel time-base samples
     sampling_rate: float = 2.0     # internal rate, GHz
     delta_C_cut: float = 0.698     # rad, speedup cut off the Cherenkov cone
@@ -247,7 +248,7 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     geom = raytrace.to_2d(jnp.broadcast_to(x1, (G, S, C, 3)), x2)
 
     flat = lambda a: a.reshape(-1)
-    sols_flat = jax.vmap(lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, s.ice))(
+    sols_flat = jax.vmap(lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, s.ice, n_bisect=s.n_bisect))(
         flat(geom.x1y), flat(geom.x1z), flat(geom.x2y), flat(geom.x2z))
     sols = jax.tree.map(lambda a: a.reshape(G, S, C, *a.shape[1:]), sols_flat)
 
@@ -395,7 +396,7 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         dz = jnp.asarray(s.focusing_dz, real_dtype)
         x1z_d = jnp.where(geom.swapped, geom.x1z + dz, geom.x1z)
         x2z_d = jnp.where(geom.swapped, geom.x2z, geom.x2z + dz)
-        sols1_flat = jax.vmap(lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, s.ice))(
+        sols1_flat = jax.vmap(lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, s.ice, n_bisect=s.n_bisect))(
             flat(geom.x1y), flat(x1z_d), flat(geom.x2y), flat(x2z_d))
         sols1 = jax.tree.map(lambda a: a.reshape(G, S, C, *a.shape[1:]), sols1_flat)
         geom_d = raytrace.Geometry2D(geom.x1y, x1z_d, geom.x2y, x2z_d,

@@ -292,3 +292,54 @@ def test_phased_envelope_trigger():
     trig0, _, _ = phased_envelope_trigger(
         jnp.asarray(rng.normal(0, 0.01, (C, N))), rolls, threshold=0.5)
     assert not bool(trig0)
+
+
+def test_channel_time_offset_calculator():
+    """Identifies the correct ray type from vertex-consistent pulse timing
+    (channelTimeOffsetCalculator.py:32-163)."""
+    import jax
+    from test_vertex import _det_string, DEPTHS, ICE
+    from nuradiomc_tpu.framework.base_trace import BaseTrace
+    from nuradiomc_tpu.ops import raytrace
+    from nuradiomc_tpu.reco.channel_processing import channelTimeOffsetCalculator
+
+    stnp = par.stationParameters
+    chp_ = par.channelParameters
+    det = _det_string()
+    vertex = np.array([500.0, 0.0, -500.0])
+    fs, n = 2.0, 2048
+    t = np.arange(n) / fs
+
+    # E-field template: short band-limited pulse
+    tpl = BaseTrace()
+    tt = np.arange(512) / fs
+    tpl.set_trace(np.exp(-0.5 * ((tt - 60) / 2.5) ** 2)
+                  * np.sin(2 * np.pi * 0.25 * tt), fs)
+
+    # channels see the DIRECT ray of a pulse from the vertex
+    st = Station(21)
+    times = []
+    for cid, depth in enumerate(DEPTHS):
+        sols = raytrace.find_solutions(0.0, vertex[2], 500.0, depth, ICE)
+        tts = {int(sols.sol_type[s]): float(sols.travel_time[s])
+               for s in range(2) if bool(sols.mask[s])}
+        times.append(tts[1])   # direct
+    t0 = np.mean(times)
+    rng = np.random.default_rng(0)
+    for cid, tc in enumerate(times):
+        tr = np.interp(t - (tc - t0) - 300, tt, np.asarray(tpl.get_trace()),
+                       left=0, right=0)
+        ch = Channel(cid)
+        ch.set_trace(tr + rng.normal(0, 1e-3, n), fs)
+        st.add_channel(ch)
+    st[stnp.nu_vertex] = vertex
+    evt = Event(0, 0)
+    evt.set_station(st)
+
+    calc = channelTimeOffsetCalculator()
+    calc.begin(tpl, ICE)
+    ray_type = calc.run(evt, st, det, channel_ids=[0, 1, 2, 3])
+    assert ray_type == "direct"
+    for cid in range(4):
+        assert st.get_channel(cid).has_parameter(chp_.signal_ray_type)
+        assert st.get_channel(cid)[chp_.signal_ray_type] == "direct"
