@@ -65,3 +65,29 @@ def test_power_law_spectrum():
     # E^-2: uniform in 1/E
     u = 1.0 / E
     assert abs(np.mean(u) / (0.5 * (1e-17 + 1e-19)) - 1) < 0.05
+
+
+def test_csms_cross_sections():
+    """CSMS published-table cross sections (cross_sections.py:123-252);
+    cc/nc match the reference exactly. For inttype='total' the reference
+    silently returns 0 (its csms() has no 'total' branch) — here total is
+    the physical cc+nc sum."""
+    from nuradiomc_tpu.sim import cross_sections as cs
+
+    E = np.array([1e15, 1e17, 1e19])
+    cc = cs.get_nu_cross_section(E, np.array([14] * 3), "cc", "csms")
+    nc = cs.get_nu_cross_section(E, np.array([14] * 3), "nc", "csms")
+    tot = cs.get_nu_cross_section(E, np.array([14] * 3), "total", "csms")
+    np.testing.assert_allclose(tot, cc + nc, rtol=1e-12)
+    assert np.all(np.diff(cc) > 0)
+    # antiparticle table differs at low E, converges at high E
+    cc_bar = cs.get_nu_cross_section(E, np.array([-14] * 3), "cc", "csms")
+    assert cc_bar[0] < cc[0]
+    np.testing.assert_allclose(cc_bar[2] / cc[2], 1.0, rtol=0.05)
+    # CTW and CSMS agree at the ~20% level in the UHE regime
+    ctw = cs.get_nu_cross_section(E, np.array([14] * 3), "cc", "ctw")
+    assert np.all(np.abs(cc / ctw - 1) < 0.35)
+    # out-of-table energies raise, as in the reference (bounds_error=True)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cs.get_nu_cross_section(np.array([1e10]), np.array([14]), "cc", "csms")
