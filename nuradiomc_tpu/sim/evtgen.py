@@ -339,3 +339,134 @@ def group_into_events(start_times, split_time_gap=1e6):
             current += 1
         event_idx[order[k]] = current
     return event_idx
+
+
+def generate_unforced(filename, n_events, Emin, Emax, volume,
+                      thetamin=0.0, thetamax=np.pi,
+                      phimin=0.0, phimax=2 * np.pi,
+                      start_event_id=1,
+                      flavor=(12, -12, 14, -14, 16, -16),
+                      spectrum="log_uniform",
+                      cross_sections_model="ctw",
+                      seed=None, n_chord_samples=2048, chunk=4096):
+    """Unforced event generation (EvtGen/generate_unforced.py:28-601).
+
+    Instead of forcing every neutrino to interact inside the fiducial volume
+    and carrying an Earth-absorption weight, neutrinos are thrown on planes
+    transverse to their direction, their interaction grammage is drawn from
+    an exponential with the energy-dependent interaction length, and the
+    interaction point along the (PREM) Earth chord is computed; only events
+    whose vertex lands in the cylinder are kept (with weight 1).
+
+    The reference walks scipy.brentq/quad per event ("takes days"); here the
+    chord grammage is one cumulative trapezoid per event, vectorized in
+    chunks.
+
+    Returns (data, attributes); writes ``filename`` if not None.
+    """
+    from nuradiomc_tpu.sim import earth_attenuation
+
+    rnd = np.random.default_rng(np.random.Philox(seed))
+    n_events = int(n_events)
+    earth = earth_attenuation.PREM
+    R_e = earth.earth_radius
+
+    attributes = {
+        "n_events": n_events, "start_event_id": start_event_id,
+        "simulation_mode": "neutrino",
+        "thetamin": thetamin, "thetamax": thetamax,
+        "phimin": phimin, "phimax": phimax,
+        "Emin": Emin, "Emax": Emax,
+        "flavors": np.asarray(flavor), "deposited": False,
+        "unforced": True,
+    }
+    set_volume_attributes(volume, attributes)
+    rmax, zmin = attributes["rmax"], attributes["zmin"]
+    # transverse throwing plane must cover the cylinder from any direction
+    d_plane = 2.0 * np.sqrt(rmax ** 2 + (0.5 * zmin) ** 2) * 1.05
+    attributes["throwing_area"] = d_plane ** 2
+
+    energies = get_energies(n_events, Emin, Emax, spectrum, rnd)
+    flavors = np.asarray(flavor)[rnd.integers(0, len(flavor), n_events)]
+    zeniths = np.arccos(rnd.uniform(np.cos(thetamax), np.cos(thetamin), n_events))
+    azimuths = rnd.uniform(phimin, phimax, n_events)
+    L_int = rnd.exponential(cross_sections.get_interaction_length(
+        energies, density=1.0, flavor=flavors, inttype="total",
+        cross_section_type=cross_sections_model))
+
+    # propagation direction (zenith/azimuth point back to the source)
+    v = -np.stack([np.sin(zeniths) * np.cos(azimuths),
+                   np.sin(zeniths) * np.sin(azimuths),
+                   np.cos(zeniths)], axis=-1)
+    # transverse basis
+    up = np.where(np.abs(v[:, 2:3]) < 0.9, [[0.0, 0.0, 1.0]], [[1.0, 0.0, 0.0]])
+    e1 = np.cross(v, up)
+    e1 /= np.linalg.norm(e1, axis=-1, keepdims=True)
+    e2 = np.cross(v, e1)
+    ax = rnd.uniform(-0.5 * d_plane, 0.5 * d_plane, n_events)
+    ay = rnd.uniform(-0.5 * d_plane, 0.5 * d_plane, n_events)
+    center = np.array([attributes.get("x0", 0.0), attributes.get("y0", 0.0),
+                       0.5 * zmin])
+    P = center + ax[:, None] * e1 + ay[:, None] * e2   # surface coords
+
+    keep = np.zeros(n_events, dtype=bool)
+    vertices = np.zeros((n_events, 3))
+    M_TO_CM = 100.0
+    for i0 in range(0, n_events, chunk):
+        sl = slice(i0, min(i0 + chunk, n_events))
+        Pc = P[sl].copy()
+        Pc[:, 2] += R_e                                # earth-centric
+        vv = v[sl]
+        # entry point: going backward along v until |Pc - t v| = R_e
+        b = np.sum(Pc * vv, axis=-1)
+        disc = b ** 2 - np.sum(Pc ** 2, axis=-1) + R_e ** 2
+        ok = disc > 0
+        t_back = b + np.sqrt(np.maximum(disc, 0.0))    # distance to entry
+        t_fwd = -b + np.sqrt(np.maximum(disc, 0.0))    # distance to exit
+        length = t_back + t_fwd
+        ts = np.linspace(0.0, 1.0, n_chord_samples)[None, :] * length[:, None]
+        entry = Pc - t_back[:, None] * vv
+        pts = entry[:, None, :] + ts[..., None] * vv[:, None, :]
+        rr = np.linalg.norm(pts, axis=-1)
+        rho = earth.density(rr)
+        X = np.concatenate([np.zeros((len(rho), 1)), np.cumsum(
+            0.5 * (rho[:, 1:] + rho[:, :-1]) * np.diff(ts, axis=-1), axis=-1)],
+            axis=-1) * M_TO_CM
+        has_int = ok & (L_int[sl] < X[:, -1])
+        # invert the cumulative grammage at the drawn interaction depth
+        idx = np.clip(np.array([np.searchsorted(Xi, Li) for Xi, Li in
+                                zip(X, L_int[sl])]), 1, n_chord_samples - 1)
+        rows = np.arange(len(idx))
+        X0, X1 = X[rows, idx - 1], X[rows, idx]
+        frac = np.where(X1 > X0, (L_int[sl] - X0) / np.maximum(X1 - X0, 1e-30), 0.0)
+        t_int = ts[rows, idx - 1] + frac * (ts[rows, idx] - ts[rows, idx - 1])
+        vert = entry + t_int[:, None] * vv
+        vert[:, 2] -= R_e                              # back to surface coords
+        r_h = np.hypot(vert[:, 0] - center[0], vert[:, 1] - center[1])
+        inside = (r_h <= rmax) & (vert[:, 2] >= zmin) & (vert[:, 2] <= attributes["zmax"])
+        keep[sl] = has_int & inside
+        vertices[sl] = vert
+
+    sel = np.where(keep)[0]
+    n_kept = len(sel)
+    data = {
+        "event_group_ids": np.arange(n_kept) + start_event_id,
+        "xx": vertices[sel, 0], "yy": vertices[sel, 1], "zz": vertices[sel, 2],
+        "vertex_times": np.zeros(n_kept),
+        "azimuths": azimuths[sel], "zeniths": zeniths[sel],
+        "energies": energies[sel], "flavors": flavors[sel],
+        "n_interaction": np.ones(n_kept, dtype=int),
+    }
+    data["interaction_type"] = get_ccnc(n_kept, data["energies"],
+                                        data["flavors"], rnd,
+                                        cross_sections_model)
+    data["inelasticity"] = get_neutrino_inelasticity(n_kept, rnd,
+                                                     cross_sections_model)
+    data["shower_energies"] = data["energies"] * data["inelasticity"]
+    data["shower_type"] = np.full(n_kept, "had", dtype="U3")
+    data["shower_ids"] = np.arange(n_kept, dtype=int)
+    attributes["total_number_of_events"] = n_events
+    attributes["n_events"] = n_events   # thrown, for rate normalization
+    if filename is not None:
+        write_events_to_hdf5(filename, data, attributes)
+    return data, attributes

@@ -91,3 +91,39 @@ def test_csms_cross_sections():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cs.get_nu_cross_section(np.array([1e10]), np.array([14]), "cc", "csms")
+
+
+def test_generate_unforced(tmp_path):
+    """Unforced generation: vertex placement along PREM chords
+    (EvtGen/generate_unforced.py semantics, vectorized)."""
+    import h5py
+
+    from nuradiomc_tpu.sim import cross_sections as cs
+    from nuradiomc_tpu.sim.evtgen import generate_unforced
+    from nuradiomc_tpu.utils import units
+
+    volume = {"fiducial_rmin": 0, "fiducial_rmax": 1 * units.km,
+              "fiducial_zmin": -2 * units.km, "fiducial_zmax": 0}
+    out = str(tmp_path / "unforced.hdf5")
+    # high energy, downgoing only: survival is ~1, acceptance is geometric
+    data, attrs = generate_unforced(out, 30000, 1e19, 1e19, volume,
+                                    thetamax=np.deg2rad(85.0), seed=7)
+    n_kept = len(data["energies"])
+    assert n_kept > 0
+    # all vertices inside the cylinder
+    r = np.hypot(data["xx"], data["yy"])
+    assert np.all(r <= 1000.0 + 1e-6)
+    assert np.all((data["zz"] >= -2000.0) & (data["zz"] <= 0.0))
+
+    # expected interaction count: P ~ <path in cylinder> * rho / L_int; for
+    # near-vertical throws over area A_plane, N_exp ~ N * (V * rho / L_int) / A_plane
+    L_int = float(cs.get_interaction_length(
+        np.array([1e19]), density=1.0, flavor=np.array([14]), inttype="total")[0])
+    rho = 1.02 * units.g / units.cm ** 3   # PREM top layer
+    expect = 30000 * attrs["volume"] * rho * 100.0 / L_int / attrs["throwing_area"]
+    assert 0.3 * expect < n_kept < 3.0 * expect
+
+    with h5py.File(out) as f:
+        assert f.attrs["n_events"] == 30000      # thrown count
+        assert bool(f.attrs["unforced"])
+        assert len(np.asarray(f["xx"])) == n_kept
