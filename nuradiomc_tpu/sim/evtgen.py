@@ -286,10 +286,59 @@ def generate_surface_muons(filename, n_events, Emin, Emax, volume,
             import proposal  # noqa: F401
         except ImportError as exc:
             raise ImportError(
-                "PROPOSAL is not installed; pass secondaries='parametrized' "
-                "for the documented approximation") from exc
+                "PROPOSAL is not installed; pass secondaries='stochastic' for "
+                "the in-repo propagator or 'parametrized' for a single loss") from exc
         raise NotImplementedError(
             "PROPOSAL-driven secondaries: hook NuRadioProposal-equivalent here")
+
+    if secondaries == "stochastic":
+        # in-repo stochastic propagator (sim/muon_propagation.py): full
+        # multi-loss treatment with the standard a + bE parameterization
+        from nuradiomc_tpu.sim import muon_propagation
+        from nuradiomc_tpu.utils.constants import speed_of_light
+
+        prop_dir = -np.stack([np.sin(zeniths) * np.cos(azimuths),
+                              np.sin(zeniths) * np.sin(azimuths),
+                              np.cos(zeniths)], axis=-1)
+        depth_cap = (z_top - attributes["zmin"]) / np.maximum(
+            np.cos(zeniths), 0.05)
+        all_losses, _ = muon_propagation.propagate_muons(
+            energies, depth_cap, rng=rnd)
+
+        rows = {k: [] for k in
+                ("event_group_ids", "xx", "yy", "zz", "vertex_times",
+                 "azimuths", "zeniths", "energies", "flavors",
+                 "n_interaction", "interaction_type", "inelasticity",
+                 "shower_energies", "shower_type")}
+        for i, loss_list in enumerate(all_losses):
+            entry = np.array([xx[i], yy[i], z_top])
+            for k, (dist, e_sh, kind) in enumerate(loss_list):
+                pos = entry + prop_dir[i] * dist
+                r_h = np.hypot(pos[0] - attributes["x0"],
+                               pos[1] - attributes["y0"])
+                if r_h > attributes["rmax"] or pos[2] < attributes["zmin"]:
+                    continue
+                rows["event_group_ids"].append(i + start_event_id)
+                rows["xx"].append(pos[0])
+                rows["yy"].append(pos[1])
+                rows["zz"].append(pos[2])
+                rows["vertex_times"].append(dist / speed_of_light)
+                rows["azimuths"].append(azimuths[i])
+                rows["zeniths"].append(zeniths[i])
+                rows["energies"].append(energies[i])
+                rows["flavors"].append(flavors[i])
+                rows["n_interaction"].append(k + 1)
+                rows["interaction_type"].append(kind)
+                rows["inelasticity"].append(e_sh / energies[i])
+                rows["shower_energies"].append(e_sh)
+                rows["shower_type"].append(kind)
+        data = {k: np.asarray(v) for k, v in rows.items()}
+        data["shower_type"] = data["shower_type"].astype("U3")
+        data["interaction_type"] = data["interaction_type"].astype("U3")
+        data["shower_ids"] = np.arange(len(data["xx"]), dtype=int)
+        if filename is not None:
+            write_events_to_hdf5(filename, data, attributes)
+        return data, attributes
 
     # parametrized single stochastic loss along the track
     prop_dir = -np.stack([np.sin(zeniths) * np.cos(azimuths),

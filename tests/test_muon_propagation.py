@@ -1,0 +1,69 @@
+"""Stochastic muon propagator (simplified PROPOSAL replacement,
+sim/muon_propagation.py) + surface-muon generation with multi-shower groups."""
+import numpy as np
+
+from nuradiomc_tpu.sim import muon_propagation as mp
+from nuradiomc_tpu.utils import units
+
+
+def test_mean_energy_matches_csda():
+    """The stochastic + continuous treatment must reproduce the analytic
+    mean energy-loss profile <E(X)> = (E0 + a/b) exp(-bX) - a/b."""
+    rng = np.random.default_rng(0)
+    E0 = 1e18
+    length = 2000.0                       # m of ice
+    N = 3000
+    _, E_final = mp.propagate_muons(np.full(N, E0), length, rng=rng,
+                                    shower_energy_threshold=1e30)
+    X = length * mp.M_TO_GCM2
+    expected = mp.csda_mean_energy(E0, X)
+    assert abs(np.mean(E_final) / expected - 1) < 0.05
+
+
+def test_stochastic_loss_budget():
+    """Mean stochastic loss per column depth ~ b_total * E."""
+    rng = np.random.default_rng(1)
+    E0 = 1e18
+    length = 50.0                          # short: E ~ constant
+    N = 4000
+    losses, E_final = mp.propagate_muons(
+        np.full(N, E0), length, rng=rng, shower_energy_threshold=0.0)
+    total_stochastic = sum(e for ll in losses for (_, e, _) in ll)
+    X = length * mp.M_TO_GCM2
+    # expected: b (1 - v_cut) E X ~ b E X
+    expected = mp.B_TOTAL * E0 * X * N
+    assert abs(total_stochastic / expected - 1) < 0.1
+
+
+def test_loss_type_fractions():
+    rng = np.random.default_rng(2)
+    losses, _ = mp.propagate_muons(np.full(2000, 1e18), 200.0, rng=rng,
+                                   shower_energy_threshold=0.0)
+    kinds = [k for ll in losses for (_, _, k) in ll]
+    frac_had = np.mean([k == "had" for k in kinds])
+    assert abs(frac_had - mp.B_PHOTONUCL / mp.B_TOTAL) < 0.03
+
+
+def test_surface_muons_stochastic_groups(tmp_path):
+    import h5py
+
+    from nuradiomc_tpu.sim.evtgen import generate_surface_muons
+
+    volume = {"fiducial_rmin": 0, "fiducial_rmax": 2 * units.km,
+              "fiducial_zmin": -2.7 * units.km, "fiducial_zmax": 0}
+    out = str(tmp_path / "muons.hdf5")
+    data, attrs = generate_surface_muons(out, 300, 1e18, 1e18, volume,
+                                         thetamax=np.deg2rad(60.0), seed=5,
+                                         secondaries="stochastic")
+    assert len(data["xx"]) > 0
+    # multi-shower event groups exist
+    _, counts = np.unique(data["event_group_ids"], return_counts=True)
+    assert counts.max() > 1
+    # all shower vertices inside the volume
+    assert np.all(np.hypot(data["xx"], data["yy"]) <= 2000.0 + 1e-6)
+    assert np.all(data["zz"] >= -2700.0)
+    assert set(np.unique(data["shower_type"])) <= {"em", "had"}
+    # shower energies above the default threshold
+    assert np.min(data["shower_energies"]) >= 1e15
+    with h5py.File(out) as f:
+        assert f.attrs["n_events"] == 300
