@@ -38,17 +38,68 @@ class channelBandPassFilter:
 
     @register_run()
     def run(self, evt, station, det, passband, filter_type="rectangular",
-            order=2, rp=None, roll_width=2.5 * units.MHz, half_hann_percent=None):
+            order=2, rp=None, roll_width=2.5 * units.MHz, half_hann_percent=0.1):
         for channel in station.iter_channels():
+            fs = channel.get_sampling_rate()
+            if filter_type == "hann_tapered":
+                # time-domain: rectangular band + half-Hann tapered trace ends
+                # (channelBandPassFilter.py:89-90, 208-215)
+                from nuradiomc_tpu.utils.trace_stats import get_hilbert_envelope  # noqa: F401
+                tr = np.asarray(channel.get_trace())
+                win = half_hann_window(len(tr), half_hann_percent)
+                channel.set_trace(tr * win, fs)
+                spec = channel.get_frequency_spectrum()
+                ff = channel.get_frequencies()
+                filt = filter_ops.get_filter_response(np.asarray(ff), passband,
+                                                      "rectangular")
+                channel.set_frequency_spectrum(spec * filt, fs)
+                continue
+            if isinstance(filter_type, str) and filter_type.startswith("FIR"):
+                # time-domain FIR via scipy firwin (channelBandPassFilter:114-133)
+                from scipy import signal as scisig
+                parts = filter_type.split()
+                window = parts[1] if len(parts) > 1 else "hamming"
+                if window == "kaiser":
+                    beta = float(parts[2]) if len(parts) > 2 else 6.0
+                    window = ("kaiser", beta)
+                nyq = fs / 2
+                lo, hi = passband
+                if lo in (None, 0):
+                    taps = scisig.firwin(order + 1, hi / nyq, window=window)
+                elif hi is None or hi >= nyq:
+                    taps = scisig.firwin(order + 1, lo / nyq, window=window,
+                                         pass_zero=False)
+                else:
+                    taps = scisig.firwin(order + 1, [lo / nyq, hi / nyq],
+                                         window=window, pass_zero=False)
+                tr = np.asarray(channel.get_trace())
+                out = scisig.lfilter(taps, [1.0], tr)
+                # compensate the FIR group delay (linear phase: (N-1)/2 taps)
+                out = np.roll(out, -(len(taps) - 1) // 2)
+                channel.set_trace(out, fs)
+                continue
             spec = channel.get_frequency_spectrum()
             ff = channel.get_frequencies()
-            filt = filter_ops.get_filter_response(ff, passband, filter_type,
-                                                  order=order, rp=rp,
-                                                  roll_width=roll_width)
-            channel.set_frequency_spectrum(spec * filt, channel.get_sampling_rate())
+            filt = filter_ops.get_filter_response(np.asarray(ff), passband,
+                                                  filter_type, order=order,
+                                                  rp=rp, roll_width=roll_width)
+            channel.set_frequency_spectrum(spec * filt, fs)
 
     def end(self):
         pass
+
+
+def half_hann_window(length, half_percent=None, hann_window_length=None):
+    """Window = ones with half-Hann ramps on both ends
+    (signal_processing.half_hann_window:44-67)."""
+    from scipy.signal.windows import hann
+    if half_percent is not None:
+        hann_window_length = int(length * half_percent)
+    hw = hann(2 * hann_window_length)
+    win = np.ones(length, dtype=float)
+    win[:hann_window_length] = hw[:hann_window_length]
+    win[-hann_window_length:] = hw[hann_window_length:]
+    return win
 
 
 class electricFieldBandPassFilter(channelBandPassFilter):

@@ -343,3 +343,48 @@ def test_channel_time_offset_calculator():
     for cid in range(4):
         assert st.get_channel(cid).has_parameter(chp_.signal_ray_type)
         assert st.get_channel(cid)[chp_.signal_ray_type] == "direct"
+
+
+def test_hann_tapered_and_fir_filters():
+    from nuradiomc_tpu.framework.event import Channel, Event, Station
+    from nuradiomc_tpu.reco.channel_processing import (channelBandPassFilter,
+                                                       half_hann_window)
+    from nuradiomc_tpu.utils import units
+
+    rng = np.random.default_rng(0)
+    fs, n = 1.0, 1024
+    st = Station(1)
+    ch = Channel(0)
+    ch.set_trace(rng.normal(0, 1.0, n), fs)
+    st.add_channel(ch)
+    evt = Event(0, 0)
+
+    mod = channelBandPassFilter()
+    mod.begin()
+    mod.run(evt, st, None, passband=[0.1, 0.3], filter_type="hann_tapered",
+            half_hann_percent=0.1)
+    tr = np.asarray(ch.get_trace())
+    # tapered ends are suppressed
+    assert np.max(np.abs(tr[:5])) < 0.2 * np.std(tr[300:700])
+    # out-of-band power killed by the rectangular part
+    spec = np.abs(np.asarray(ch.get_frequency_spectrum()))
+    ff = np.asarray(ch.get_frequencies())
+    assert np.max(spec[ff > 0.35]) < 1e-10
+
+    # FIR filter suppresses out-of-band power in the time domain
+    ch2 = Channel(1)
+    t = np.arange(n) / fs
+    sig = np.sin(2 * np.pi * 0.2 * t) + np.sin(2 * np.pi * 0.45 * t)
+    ch2.set_trace(sig, fs)
+    st2 = Station(1)
+    st2.add_channel(ch2)
+    mod.run(evt, st2, None, passband=[0.1, 0.3], filter_type="FIR kaiser 8",
+            order=64)
+    spec2 = np.abs(np.asarray(ch2.get_frequency_spectrum()))
+    ff2 = np.asarray(ch2.get_frequencies())
+    in_band = spec2[np.argmin(np.abs(ff2 - 0.2))]
+    out_band = spec2[np.argmin(np.abs(ff2 - 0.45))]
+    assert out_band < 0.01 * in_band
+
+    w = half_hann_window(100, 0.2)
+    assert w[0] < 1e-6 and np.all(w[20:80] == 1.0) and len(w) == 100
