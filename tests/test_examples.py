@@ -47,3 +47,17 @@ def test_vertex_direction_example(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "vertex:" in r.stdout
     assert "log10 shower energy" in r.stdout
+
+
+def test_multichip_example(tmp_path):
+    import subprocess
+    import sys
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "05_multichip",
+                                      "run_sharded_veff.py")],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mesh: {'event': 4, 'channel': 2}" in r.stdout
+    assert "triggered" in r.stdout
