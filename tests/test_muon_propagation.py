@@ -67,3 +67,46 @@ def test_surface_muons_stochastic_groups(tmp_path):
     assert np.min(data["shower_energies"]) >= 1e15
     with h5py.File(out) as f:
         assert f.attrs["n_events"] == 300
+
+
+def test_muon_events_through_full_simulation(tmp_path):
+    """Multi-shower muon event groups run through the complete pipeline
+    (several showers of one group summed in one trace window)."""
+    import jax.numpy as jnp
+
+    from nuradiomc_tpu.sim.evtgen import generate_surface_muons
+    from nuradiomc_tpu.sim.simulation import FilterStage, Simulation, TriggerSpec
+    from test_e2e import DETECTOR
+
+    volume = {"fiducial_rmin": 0, "fiducial_rmax": 2 * units.km,
+              "fiducial_zmin": -2.7 * units.km, "fiducial_zmax": 0}
+    inp = str(tmp_path / "muons.hdf5")
+    generate_surface_muons(inp, 400, 3e18, 3e18, volume,
+                           thetamax=np.deg2rad(60.0), seed=9,
+                           secondaries="stochastic")
+
+    out = str(tmp_path / "out.hdf5")
+    sim = Simulation(
+        inp, DETECTOR,
+        config={"sampling_rate": 2.0,
+                "propagation": {"ice_model": "southpole_2015"},
+                "signal": {"model": "Alvarez2000"},
+                "weights": {"weight_mode": "None",
+                            "cross_section_type": "ctw"}},
+        filter_chain=[
+            FilterStage((80 * units.MHz, 1000 * units.GHz), "butter", {"order": 2}),
+            FilterStage((0, 500 * units.MHz), "butter", {"order": 10}),
+        ],
+        # noiseless run: a low threshold keeps the test fast with few muons
+        trigger=TriggerSpec(threshold_high_sigma=0.5, threshold_low_sigma=-0.5),
+        antenna_replacements={
+            "XFDTD_Vpol_CrossFeed_150mmHole_n1.78": "analytic_VPol"},
+        chunk_size=256, dtype=jnp.float64, outputfilename=out)
+    res = sim.run()
+    assert len(res["triggered"]) > 0
+    assert res["triggered"].sum() > 0        # 3 EeV muons do trigger
+    import h5py
+    with h5py.File(out) as f:
+        gids = np.asarray(f["event_group_ids"])
+        _, counts = np.unique(gids, return_counts=True)
+        assert counts.max() > 1              # multi-shower groups persisted
