@@ -155,9 +155,17 @@ def generate_eventlist_cylinder(
         start_shower_id=0,
         interaction_type="ccnc",
         cross_sections_model="ctw",
-        seed=None):
+        seed=None,
+        secondaries=None):
     """Generate a forced-interaction neutrino event list
-    (generate_eventlist_cylinder, generator.py:1023-1414, no-PROPOSAL path).
+    (generate_eventlist_cylinder, generator.py:1023-1414).
+
+    ``secondaries='stochastic'`` inserts secondary showers along the outgoing
+    charged lepton for nu_mu/nu_tau CC events — the reference's
+    ``proposal=True`` path (generator.py:1282-1380) — using the in-repo
+    stochastic propagator (sim/muon_propagation.py): muon/tau catastrophic
+    losses from the 1/v spectrum, in-flight tau decay with the reference's
+    decay kinematics (inelasticities.py:160-271), and daughter-muon follow-up.
 
     Returns the data_sets dict; writes ``filename`` if it is not None.
     """
@@ -223,12 +231,126 @@ def generate_eventlist_cylinder(
         for key in list(data.keys()):
             data[key] = np.concatenate([data[key], insert_rows[key]])[order]
 
+    if secondaries == "stochastic":
+        _insert_lepton_secondaries(data, attributes, rnd)
+
     data["shower_ids"] = np.arange(len(data["shower_energies"]), dtype=int) + start_shower_id
 
     attributes["total_number_of_events"] = n_events
     if filename is not None:
         write_events_to_hdf5(filename, data, attributes)
     return data, attributes
+
+
+def _insert_lepton_secondaries(data, attributes, rnd):
+    """Insert secondary showers from outgoing mu/tau of CC interactions.
+
+    TPU-native equivalent of the reference's PROPOSAL branch
+    (generator.py:1282-1380 + EvtGen/NuRadioProposal.py): the charged lepton
+    of a nu_mu/nu_tau CC event carries E_nu(1-y) from the vertex along the
+    neutrino direction; its catastrophic losses (and the tau decay products,
+    including daughter muons) become additional showers of the same event
+    group, time-offset by flight time. Mutates ``data`` in place.
+    """
+    from nuradiomc_tpu.sim import muon_propagation
+    from nuradiomc_tpu.utils.constants import speed_of_light
+
+    primary = data["n_interaction"] == 1
+    lep_mask = primary & (data["interaction_type"] == "cc") & \
+        np.isin(np.abs(data["flavors"]), (14, 16))
+    idx = np.where(lep_mask)[0]
+    if not len(idx):
+        return
+
+    e_lep = data["energies"][idx] * (1 - data["inelasticity"][idx])
+    zen, azi = data["zeniths"][idx], data["azimuths"][idx]
+    prop_dir = -np.stack([np.sin(zen) * np.cos(azi),
+                          np.sin(zen) * np.sin(azi),
+                          np.cos(zen)], axis=-1)
+    vertex = np.stack([data["xx"][idx], data["yy"][idx], data["zz"][idx]], axis=-1)
+
+    # generous track cap: volume diagonal (losses outside are filtered below)
+    if "rmax" in attributes:
+        diag = np.hypot(2 * attributes["rmax"],
+                        attributes["zmax"] - attributes["zmin"])
+    else:
+        diag = np.sqrt((attributes["xmax"] - attributes["xmin"]) ** 2
+                       + (attributes["ymax"] - attributes["ymin"]) ** 2
+                       + (attributes["zmax"] - attributes["zmin"]) ** 2)
+
+    rows = {k: [] for k in data.keys()}
+
+    def _inside(pos):
+        if "rmax" in attributes:
+            r_h = np.hypot(pos[0] - attributes["x0"], pos[1] - attributes["y0"])
+            if r_h > attributes["rmax"]:
+                return False
+        else:
+            if not (attributes["xmin"] <= pos[0] <= attributes["xmax"]
+                    and attributes["ymin"] <= pos[1] <= attributes["ymax"]):
+                return False
+        return attributes["zmin"] <= pos[2] <= attributes["zmax"]
+
+    for j, i in enumerate(idx):
+        is_tau = abs(data["flavors"][i]) == 16
+        if is_tau:
+            loss_lists, decay_info = muon_propagation.propagate_taus(
+                [e_lep[j]], diag, rng=rnd)
+            track_losses = list(loss_lists[0])
+        else:
+            loss_lists, _ = muon_propagation.propagate_muons(
+                [e_lep[j]], diag, rng=rnd)
+            track_losses = list(loss_lists[0])
+
+        # expand tau daughter muons into their own loss chains
+        expanded = []
+        for dist, e_sh, kind in track_losses:
+            if kind == "mu":
+                mu_losses, _ = muon_propagation.propagate_muons(
+                    [e_sh], diag - dist, rng=rnd)
+                expanded.extend((dist + d2, e2, k2) for d2, e2, k2 in mu_losses[0])
+            else:
+                expanded.append((dist, e_sh, kind))
+
+        n_int = 2
+        for dist, e_sh, kind in sorted(expanded):
+            pos = vertex[j] + prop_dir[j] * dist
+            if not _inside(pos):
+                continue
+            for key in data.keys():
+                if key == "xx":
+                    rows[key].append(pos[0])
+                elif key == "yy":
+                    rows[key].append(pos[1])
+                elif key == "zz":
+                    rows[key].append(pos[2])
+                elif key == "vertex_times":
+                    rows[key].append(data["vertex_times"][i] + dist / speed_of_light)
+                elif key == "shower_energies":
+                    rows[key].append(e_sh)
+                elif key == "shower_type":
+                    rows[key].append(kind)
+                elif key == "interaction_type":
+                    rows[key].append(kind)
+                elif key == "inelasticity":
+                    rows[key].append(e_sh / data["energies"][i])
+                elif key == "n_interaction":
+                    rows[key].append(n_int)
+                else:
+                    rows[key].append(data[key][i])
+            n_int += 1
+
+    if not len(rows["xx"]):
+        return
+    order = np.argsort(np.concatenate(
+        [data["event_group_ids"], np.asarray(rows["event_group_ids"])]),
+        kind="stable")
+    for key in list(data.keys()):
+        extra = np.asarray(rows[key], dtype=data[key].dtype if
+                           data[key].dtype.kind != "U" else None)
+        if data[key].dtype.kind == "U":
+            extra = extra.astype(data[key].dtype)
+        data[key] = np.concatenate([data[key], extra])[order]
 
 
 def generate_surface_muons(filename, n_events, Emin, Emax, volume,

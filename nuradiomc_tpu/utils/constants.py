@@ -16,3 +16,15 @@ m_e = 0.51099895e6 * units.eV
 
 # Avogadro
 N_A = 6.02214076e23 / units.mole
+
+# lepton / meson masses and weak constants used by the tau decay sampler
+# (reference: NuRadioReco/utilities/constants.py:14-25)
+e_mass = m_e
+mu_mass = 105.6583745 * units.MeV
+tau_mass = 1776.86 * units.MeV
+G_F = 1.1663787e-5 * units.GeV ** (-2)    # Fermi coupling constant
+pi_mass = 139.57061 * units.MeV
+rho770_mass = 775.49 * units.MeV
+rho1450_mass = 1465.0 * units.MeV
+a1_mass = 1230.0 * units.MeV
+tau_rest_lifetime = 290.3 * units.fs      # -> c*tau = 87.03 um

@@ -110,3 +110,73 @@ def test_muon_events_through_full_simulation(tmp_path):
         gids = np.asarray(f["event_group_ids"])
         _, counts = np.unique(gids, return_counts=True)
         assert counts.max() > 1              # multi-shower groups persisted
+
+
+# ---------------------------------------------------------------------------
+# tau propagation + decay (reference: NuRadioProposal.get_decays and
+# inelasticities.py:160-271)
+# ---------------------------------------------------------------------------
+
+def test_tau_decay_branches_and_energies():
+    """Branch ratios 0.18/0.18/0.64 and product energies within kinematic
+    bounds (product energy <= E_tau, positive)."""
+    rng = np.random.default_rng(2)
+    E = 1e18
+    kinds, fracs = [], []
+    for _ in range(3000):
+        kind, e_prod = mp.sample_tau_decay(E, rng)
+        kinds.append(kind)
+        fracs.append(e_prod / E)
+    kinds = np.array(kinds)
+    fracs = np.array(fracs)
+    assert abs(np.mean(kinds == "mu") - 0.18) < 0.03
+    assert abs(np.mean(kinds == "em") - 0.18) < 0.03
+    assert abs(np.mean(kinds == "had") - 0.64) < 0.03
+    assert np.all(fracs > 0) and np.all(fracs <= 1.0)
+    # leptonic mean fraction ~ <y_lab> = 0.35-0.40 for massless limit
+    lep = fracs[kinds != "had"]
+    assert 0.25 < np.mean(lep) < 0.5
+    # hadronic fraction: mean (1-y) around 0.55-0.75
+    had = fracs[kinds == "had"]
+    assert 0.45 < np.mean(had) < 0.8
+
+
+def test_tau_decay_length_statistics():
+    """With losses made negligible, the decay distance must follow an
+    exponential with mean gamma c tau."""
+    from nuradiomc_tpu.utils import constants
+    rng = np.random.default_rng(3)
+    E = 1e17                                # gamma c tau ~ 4.9 km
+    N = 800
+    _, decay_info = mp.propagate_taus(np.full(N, E), 1e9, rng=rng,
+                                      shower_energy_threshold=1e30)
+    dists = np.array([d for d, _ in decay_info if d is not None])
+    assert len(dists) > N * 0.95
+    expected = (E / constants.tau_mass) * constants.tau_rest_lifetime \
+        * constants.speed_of_light
+    # losses shift the mean down slightly; 15% window
+    assert abs(np.mean(dists) / expected - 1) < 0.15
+
+
+def test_tau_secondaries_in_eventlist():
+    """nu_tau CC events get tau-track secondary showers (n_interaction>=2)
+    in the same event group; nu_e NC-only events stay single-shower."""
+    from nuradiomc_tpu.sim import evtgen
+    volume = {"fiducial_rmin": 0, "fiducial_rmax": 5 * units.km,
+              "fiducial_zmin": -3 * units.km, "fiducial_zmax": 0}
+    data, _ = evtgen.generate_eventlist_cylinder(
+        None, 200, 1e19, 1e19, volume, flavor=(16, -16),
+        interaction_type="cc", seed=42, secondaries="stochastic")
+    assert np.any(data["n_interaction"] >= 2), "no tau secondaries inserted"
+    sec = data["n_interaction"] >= 2
+    # secondaries inherit the parent flavor and carry positive shower energy
+    assert np.all(np.abs(data["flavors"][sec]) == 16)
+    assert np.all(data["shower_energies"][sec] > 0)
+    assert set(np.unique(data["shower_type"][sec])) <= {"em", "had"}
+    # rows remain sorted by event group and shower_ids are consecutive
+    assert np.all(np.diff(data["event_group_ids"]) >= 0)
+    assert np.all(np.diff(data["shower_ids"]) == 1)
+    # secondaries are displaced from the primary vertex along the track
+    for g in np.unique(data["event_group_ids"][sec])[:5]:
+        grp = data["event_group_ids"] == g
+        assert len(np.unique(data["xx"][grp])) > 1
