@@ -85,8 +85,14 @@ class Detector:
 
     def __init__(self, source, default_station: Optional[int] = None):
         if isinstance(source, str):
-            with open(source) as f:
-                db = json.load(f)
+            if source.endswith((".db", ".sqlite", ".sqlite3")):
+                # SQL backend (reference detector.py:114-118 source="sql"):
+                # buffer the relational DB into the dict format
+                from nuradiomc_tpu.detector.detector_sql import SQLDetector
+                db = SQLDetector(source).buffer()
+            else:
+                with open(source) as f:
+                    db = json.load(f)
         else:
             db = source
 
