@@ -243,6 +243,9 @@ class BaseStation(ParameterStorage):
     def get_electric_fields(self):
         return self._electric_fields
 
+    def set_electric_fields(self, efields):
+        self._electric_fields = list(efields)
+
     def add_electric_field(self, efield: ElectricField):
         self._electric_fields.append(efield)
 
@@ -333,6 +336,18 @@ class Station(BaseStation):
 
     def iter_trigger_channels(self):
         return self.iter_channels()
+
+    def iter_channel_group(self, channel_group_id):
+        """Channels sharing a group id (station.iter_channel_group);
+        channels without an explicit group fall back to their own id."""
+        for ch in self._channels.values():
+            gid = ch.get_group_id()
+            if (gid if gid is not None else ch.get_id()) == channel_group_id:
+                yield ch
+
+    def get_channel_group_ids(self):
+        return sorted({(ch.get_group_id() if ch.get_group_id() is not None
+                        else ch.get_id()) for ch in self._channels.values()})
 
     def get_channel_ids(self):
         return sorted(self._channels.keys())

@@ -1,0 +1,679 @@
+"""LOFAR cosmic-ray pipeline modules, batch-first.
+
+Re-implements the reference LOFAR processing chain
+(NuRadioReco/modules/LOFAR/):
+
+- :func:`find_rfi` / :class:`stationRFIFilter` — the phase-variance RFI
+  flagging method (stationRFIFilter.py:72-597, arXiv:1311.1399 §3.2.2).
+  All blockwise FFTs run as ONE batched rfft over [antenna, block, sample]
+  (the reference loops antenna-by-antenna, block-by-block).
+- :class:`stationGalacticCalibrator` — absolute + relative (Galactic noise)
+  gain calibration (stationGalacticCalibrator.py:33-266); the measured LBA
+  calibration curve + Fourier coefficients are bundled; sidereal time is
+  computed with the IAU GMST polynomial (no astropy dependency).
+- beamforming kernels (beamforming_utilities.py:12-113) as jnp functions.
+- :class:`stationPulseFinder` — beamformed pulse search + per-channel SNR
+  flagging (stationPulseFinder.py:82-324).
+- :class:`planeWaveDirectionFitter` — iterative horizontal-array plane-wave
+  fit with k-sigma outlier removal (planeWaveDirectionFitter_LOFAR.py:70-380).
+- :class:`beamformingDirectionFitter` — direction fit maximizing beamformed
+  power (beamformingDirectionFitter_LOFAR.py:49-212); the Powell simplex is
+  replaced by a vectorized coarse-to-fine grid scan (one jitted batch per
+  zoom level — TPU-friendly, no per-step host round trips).
+
+The TBB raw-data reader (io/LOFAR/_rawTBBio*) requires LOFAR station
+metadata files and is out of scope; these modules consume traces through the
+standard Event/Station/Channel framework regardless of origin.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from nuradiomc_tpu.framework.parameters import channelParameters, stationParameters
+from nuradiomc_tpu.ops.trace import hilbert_envelope
+from nuradiomc_tpu.reco.channel_processing import half_hann_window
+from nuradiomc_tpu.utils import fft, units
+from nuradiomc_tpu.utils.constants import speed_of_light
+
+_DATA = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data",
+                     "galactic_calibration")
+
+
+# ---------------------------------------------------------------------------
+# RFI detection (FindRFI_LOFAR, stationRFIFilter.py:72-485)
+# ---------------------------------------------------------------------------
+
+def num_double_zeros(data, threshold=None):
+    """Number of samples that are zero (|x|<threshold) preceded by a zero
+    (stationRFIFilter.num_double_zeros:15-27), vectorized over leading axes."""
+    data = np.asarray(data)
+    is_zero = (data == 0) if threshold is None else (np.abs(data) < threshold)
+    return np.sum(np.logical_and(is_zero[..., :-1], is_zero[..., 1:]), axis=-1)
+
+
+def median_sorted_by_power(psort):
+    """Reorder a sorted index list starting from the median, alternating
+    right/left (stationRFIFilter.median_sorted_by_power:30-69)."""
+    psort = list(psort)
+    n = len(psort)
+    index = n // 2 - 1 if n % 2 == 0 else n // 2
+    out, start, modifier = [], index, 0
+    for _ in range(n):
+        out.append(psort[index])
+        if modifier == 0:
+            modifier = 1
+        elif modifier > 0:
+            modifier = -modifier
+        else:
+            modifier = -(modifier - 1)
+        index = start + modifier
+    return out
+
+
+def find_rfi(traces, sampling_rate, rfi_block_length=8192, num_dbl_z=1000,
+             flagged_antennas=None):
+    """Phase-variance RFI detection on a station's antenna traces.
+
+    Faithful port of FindRFI_LOFAR (stationRFIFilter.py:72-485) with the
+    per-(antenna, block) FFT loop replaced by one batched rfft.
+
+    Parameters
+    ----------
+    traces : (n_ant, n_samples) array
+        Raw antenna traces; n_samples must be a multiple of
+        ``rfi_block_length``.
+    sampling_rate : float
+        Trace sampling rate (internal units).
+    rfi_block_length : int
+        Block size for spectrum estimation.
+    num_dbl_z : int
+        Max allowed double zeros per block (data-loss guard).
+    flagged_antennas : list[int], optional
+        Antenna indices to exclude.
+
+    Returns
+    -------
+    dict with keys avg_power_spectrum, avg_antenna_power, cleaned_power,
+    phase_stability, dirty_channels (scaled to the full trace length),
+    dirty_channels_block (block-resolution indices), ref_antenna,
+    antenna_is_good.
+    """
+    traces = np.asarray(traces)
+    n_ant, n_samples = traces.shape
+    L = int(rfi_block_length)
+    if n_samples % L != 0:
+        raise ValueError("trace length must be a multiple of rfi_block_length")
+    n_blocks = n_samples // L
+
+    active = np.ones(n_ant, dtype=bool)
+    if flagged_antennas is not None:
+        active[list(flagged_antennas)] = False
+
+    blocks = traces.reshape(n_ant, n_blocks, L)
+
+    # good blocks: few double zeros (data-loss heuristic)
+    blocks_good = num_double_zeros(blocks) < num_dbl_z
+    blocks_good &= active[:, None]
+
+    window = np.asarray(half_hann_window(L, 0.1))
+    # ONE batched FFT for every (antenna, block); keep bins [0, Nyquist)
+    spectra = np.asarray(jnp.fft.rfft(jnp.asarray(blocks * window)))[..., :L // 2]
+    mag2 = np.abs(spectra) ** 2
+
+    # average power per antenna over its good blocks
+    n_good = blocks_good.sum(axis=1)
+    with np.errstate(invalid="ignore"):
+        average_power = np.where(
+            n_good > 0, np.sum(mag2.sum(axis=2) * blocks_good, axis=1)
+            / np.maximum(n_good, 1), 0.0)
+
+    # reference antenna: maximizes usable antennas, most-median power
+    # (stationRFIFilter.py:208-236)
+    allowed = np.zeros(n_ant, dtype=int)
+    for i in range(n_ant):
+        usable_blocks = np.where(blocks_good[i])[0]
+        per_ant = blocks_good[:, usable_blocks].sum(axis=1)
+        allowed[i] = np.sum(per_ant >= n_blocks)
+    if allowed.max() < 2:
+        raise ValueError("cannot find RFI: fewer than 2 fully-good antennas")
+    can_be_ref = allowed == allowed.max()
+    ref_antenna = next(i for i in median_sorted_by_power(np.argsort(average_power))
+                       if can_be_ref[i])
+
+    good_blocks = np.where(blocks_good[ref_antenna])[0]
+    num_good = blocks_good[:, good_blocks].sum(axis=1)
+    antenna_is_good = num_good >= (n_blocks - 1)
+
+    # phase relative to the reference antenna, averaged as unit phasors
+    use = blocks_good[:, good_blocks] & antenna_is_good[:, None]
+    sp = spectra[:, good_blocks, :]
+    phasor = sp / (np.abs(sp) + 1e-15)
+    phasor = phasor / phasor[ref_antenna][None, :, :]
+    phase_mean = np.sum(phasor * use[:, :, None], axis=1)
+    spectrum_mean = np.sum(mag2[:, good_blocks, :] * use[:, :, None], axis=1) \
+        / len(good_blocks)
+
+    phase_stability = 1.0 - np.abs(phase_mean) / len(good_blocks)
+
+    # channel flagging: median spread across good antennas (excl. reference)
+    judge = antenna_is_good.copy()
+    judge[ref_antenna] = False
+    median_spread_by_channel = np.median(phase_stability[judge], axis=0)
+    median_spread = np.median(median_spread_by_channel)
+    sorted_spreads = np.sort(median_spread_by_channel)
+    N = len(median_spread_by_channel)
+    noise = sorted_spreads[int(N * 0.95)] - sorted_spreads[int(N / 2)]
+    dirty = np.where(median_spread_by_channel < (median_spread - 3 * noise))[0]
+
+    # extend shoulders (stationRFIFilter.py:341-352; floored at 1 so block
+    # sizes below the reference's 8192 default still flag the line itself)
+    extended = np.zeros(N, dtype=bool)
+    half_width = max(int(L / 8192), 1)
+    for i in dirty:
+        extended[max(i - half_width, 0):min(i + half_width, N - 1)] = True
+    dirty_block = np.where(extended)[0]
+
+    antenna_is_good[ref_antenna] = True
+    avg_power_spectrum = spectrum_mean.sum(axis=0) / max(spectrum_mean.shape[0], 1)
+    avg_antenna_power = spectrum_mean.sum(axis=1) / spectrum_mean.shape[1]
+    cleaned = spectrum_mean.copy()
+    cleaned[:, dirty_block] = 0.0
+    cleaned_power = 2 * cleaned.sum(axis=1)
+
+    # scale block-resolution channels to the full trace length
+    mult = n_samples // L
+    dirty_channels = np.sort(np.concatenate(
+        [np.arange(mult * c, mult * c + mult) for c in dirty_block])
+        if len(dirty_block) else np.array([], dtype=int))
+
+    return {
+        "avg_power_spectrum": avg_power_spectrum,
+        "avg_antenna_power": avg_antenna_power,
+        "cleaned_power": cleaned_power,
+        "phase_stability": phase_stability,
+        "dirty_channels": dirty_channels,
+        "dirty_channels_block": dirty_block,
+        "dirty_channels_block_size": n_samples,
+        "ref_antenna": ref_antenna,
+        "antenna_is_good": antenna_is_good,
+    }
+
+
+class stationRFIFilter:
+    """Flag and zero RFI-contaminated frequency channels per station
+    (stationRFIFilter.py:488-597).
+
+    Traces are read from the station's channels (no TBB reader needed).
+    """
+
+    def begin(self, rfi_cleaning_trace_length=8192, num_dbl_z=1000):
+        self._L = rfi_cleaning_trace_length
+        self._num_dbl_z = num_dbl_z
+
+    def run(self, event, station=None, det=None):
+        stations = [station] if station is not None else event.get_stations()
+        for st in stations:
+            channel_ids = st.get_channel_ids()
+            traces = np.array([st.get_channel(cid).get_trace()
+                               for cid in channel_ids])
+            fs = st.get_channel(channel_ids[0]).get_sampling_rate()
+
+            flagged = st.get_parameter(stationParameters.flagged_channels) \
+                if st.has_parameter(stationParameters.flagged_channels) else {}
+            flagged = dict(flagged)
+            flagged_idx = [i for i, cid in enumerate(channel_ids) if cid in flagged]
+
+            result = find_rfi(traces, fs, rfi_block_length=min(self._L, traces.shape[1]),
+                              num_dbl_z=self._num_dbl_z,
+                              flagged_antennas=flagged_idx)
+            dirty = result["dirty_channels"]
+            st.set_parameter(stationParameters.dirty_fft_channels, dirty)
+
+            # flag antennas with outlier cleaned power
+            # (stationRFIFilter.py:544-578: <0.5x or >2x the median)
+            median_power = np.median(result["cleaned_power"])
+            outlier = np.logical_or(result["cleaned_power"] < 0.5 * median_power,
+                                    result["cleaned_power"] > 2.0 * median_power)
+            for i, cid in enumerate(channel_ids):
+                if outlier[i]:
+                    flagged.setdefault(cid, []).append("rfi_outliers_cleaned_power")
+            st.set_parameter(stationParameters.flagged_channels, flagged)
+
+            # zero the dirty bins in every channel (batched)
+            spectra = np.array([st.get_channel(cid).get_frequency_spectrum()
+                                for cid in channel_ids])
+            spectra[:, dirty[dirty < spectra.shape[1]]] = 0.0
+            for i, cid in enumerate(channel_ids):
+                st.get_channel(cid).set_frequency_spectrum(spectra[i], fs)
+
+    def end(self):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Galactic calibration (stationGalacticCalibrator.py:16-266)
+# ---------------------------------------------------------------------------
+
+def fourier_series(x, p):
+    """a0/2 + sum a_n sin(nx) + b_n cos(nx)
+    (stationGalacticCalibrator.fourier_series:16-30)."""
+    r = p[0] / 2
+    order = (len(p) - 1) // 2
+    for i in range(order):
+        n = i + 1
+        r = r + p[2 * i + 1] * np.sin(n * x) + p[2 * i + 2] * np.cos(n * x)
+    return r
+
+
+def local_apparent_sidereal_time(unix_time, longitude_deg):
+    """Local sidereal time in hours from Unix time + east longitude.
+
+    GMST via the IAU 1982 polynomial (accurate to <0.1 s here — the
+    reference delegates to astropy); apparent != mean by <1.2 s, negligible
+    against the Fourier fit resolution.
+    """
+    jd = unix_time / 86400.0 + 2440587.5
+    T = (jd - 2451545.0) / 36525.0
+    gmst = 280.46061837 + 360.98564736629 * (jd - 2451545.0) \
+        + 0.000387933 * T ** 2 - T ** 3 / 38710000.0
+    lst = np.mod(gmst + longitude_deg, 360.0)
+    return lst / 15.0
+
+
+class stationGalacticCalibrator:
+    """Absolute (measured curve) + relative (Galactic-noise Fourier fit)
+    gain calibration (stationGalacticCalibrator.py:33-266)."""
+
+    def __init__(self, experiment="LOFAR_LBA"):
+        self._experiment = experiment
+        self._abs_curve = None
+        self._rel_coefficients = None
+
+    def begin(self):
+        self._abs_curve = np.genfromtxt(os.path.join(
+            _DATA, f"{self._experiment}_abs_calibration_curve.txt"))
+        rel = np.genfromtxt(os.path.join(
+            _DATA, f"{self._experiment}_Fourier_coefficients.txt"),
+            dtype=str, delimiter=", ")
+        self._rel_coefficients = {}
+        for col in rel.T:
+            group_id = str(col[0].split(" ")[1])
+            self._rel_coefficients[group_id] = col[1:].astype("f8")
+
+    def _get_absolute_calibration(self, frequencies):
+        curve_ff = np.arange(len(self._abs_curve)) * units.MHz
+        return np.interp(frequencies, curve_ff, self._abs_curve)
+
+    def _get_relative_calibration(self, lst_hours, channel, polarisation):
+        bandwidth = channel.get_sampling_rate() / channel.get_number_of_samples()
+        power = np.sum(np.abs(channel.get_frequency_spectrum()) ** 2) * bandwidth
+        power *= units.Hz  # reference normalization quirk (module line 168)
+        galactic = fourier_series(lst_hours / 24.0 * 2 * np.pi,
+                                  self._rel_coefficients[polarisation])
+        if power == 0:
+            return 0.0
+        return np.sqrt(galactic / power)
+
+    @staticmethod
+    def _polarisation_key(det, station, channel):
+        phi_deg = det.get_antenna_orientation(
+            station.get_id(), channel.get_id())[1] / units.deg
+        if np.isclose(phi_deg, 225.0):
+            return "1"
+        if np.isclose(phi_deg, 135.0):
+            return "0"
+        raise ValueError(f"orientation {phi_deg} is neither X nor Y dipole")
+
+    def run(self, event, det, unix_time=None):
+        if unix_time is None:
+            unix_time = event.get_id()  # LOFAR event ids are unix-ish stamps
+        for station in event.get_stations():
+            lat, lon = det.get_site_coordinates(station.get_id())
+            lst = local_apparent_sidereal_time(unix_time, lon)
+            for channel in station.iter_channels():
+                pol = self._polarisation_key(det, station, channel)
+                spec = channel.get_frequency_spectrum()
+                spec = spec * self._get_absolute_calibration(channel.get_frequencies())
+                spec = spec * self._get_relative_calibration(lst, channel, pol)
+                channel.set_frequency_spectrum(spec, channel.get_sampling_rate())
+
+    def end(self):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Beamforming kernels (beamforming_utilities.py:12-113)
+# ---------------------------------------------------------------------------
+
+def geometric_delay_far_field(positions, direction):
+    """Plane-wave delays: -(r . n)/c (beamforming_utilities.py:94-113)."""
+    direction = jnp.asarray(direction)
+    n = direction / jnp.linalg.norm(direction)
+    return -jnp.dot(jnp.asarray(positions), n) / speed_of_light
+
+
+def geometric_delays_near_field(positions, source):
+    """Spherical-wave delays |r - s|/c (beamforming_utilities.py:71-91)."""
+    return jnp.linalg.norm(jnp.asarray(positions) - jnp.asarray(source),
+                           axis=1) / speed_of_light
+
+
+def beamformer(fft_data, frequencies, delays):
+    """Phase-shift each antenna spectrum by its delay and sum
+    (beamforming_utilities.beamformer:43-69)."""
+    phases = 2 * jnp.pi * frequencies[None, :] * delays[:, None]
+    return jnp.sum(fft_data * jnp.exp(1j * phases), axis=0)
+
+
+def mini_beamformer(fft_data, frequencies, positions, direction):
+    """Far-field beamformer (beamforming_utilities.mini_beamformer:12-40)."""
+    return beamformer(jnp.asarray(fft_data), jnp.asarray(frequencies),
+                      geometric_delay_far_field(positions, direction))
+
+
+def spherical_to_cartesian(zenith, azimuth):
+    return np.array([np.sin(zenith) * np.cos(azimuth),
+                     np.sin(zenith) * np.sin(azimuth),
+                     np.cos(zenith)])
+
+
+def find_snr_of_timeseries(timeseries, sampling_rate=None, window_start=0,
+                           window_end=-1, noise_start=0, noise_end=-1,
+                           resample_factor=1, full_output=False):
+    """Hilbert-envelope SNR of a trace window vs a noise window
+    (stationPulseFinder.find_snr_of_timeseries:13-78)."""
+    timeseries = np.asarray(timeseries)
+    window = timeseries[window_start:window_end]
+    if resample_factor > 1:
+        n_out = len(window) * resample_factor
+        spec = np.fft.rfft(window)
+        window = np.fft.irfft(spec, n_out) * (n_out / len(window))
+    envelope = np.asarray(hilbert_envelope(jnp.asarray(window)))
+    peak = float(np.max(envelope))
+
+    noise_env = np.asarray(hilbert_envelope(
+        jnp.asarray(timeseries[noise_start:noise_end])))
+    std = float(np.std(noise_env))
+    if not full_output:
+        return peak / std
+    rms = float(np.sqrt(np.mean(noise_env ** 2)))
+    signal_time = window_start / sampling_rate \
+        + np.argmax(envelope) / sampling_rate / resample_factor
+    return peak / std, peak, rms, signal_time
+
+
+# ---------------------------------------------------------------------------
+# Pulse finder (stationPulseFinder.py:82-324)
+# ---------------------------------------------------------------------------
+
+class stationPulseFinder:
+    """Beamform toward a guess direction, locate the pulse window, flag
+    channels with sufficient SNR, and record the dominant polarisation."""
+
+    def begin(self, window=256, noise_window=10000, cr_snr=6.5, good_channels=6):
+        self._window = window
+        self._noise_window = noise_window
+        self._snr_cr = cr_snr
+        self._min_good = good_channels
+
+    def run(self, event, det, direction):
+        """``direction`` = (zenith, azimuth) initial guess (e.g. from the
+        particle-detector trigger, the reference's LORA input)."""
+        direction_cartesian = spherical_to_cartesian(*direction)
+        for station in event.get_stations():
+            sid = station.get_id()
+            # group channels by orientation (polarisation)
+            groups = {}
+            for ch in station.iter_channels():
+                key = tuple(np.round(det.get_antenna_orientation(sid, ch.get_id()), 6))
+                groups.setdefault(key, []).append(ch.get_id())
+            orientations = list(groups.keys())
+            channel_ids_per_pol = [groups[k] for k in orientations]
+
+            ch0 = station.get_channel(channel_ids_per_pol[0][0])
+            frequencies = ch0.get_frequencies()
+            fs = ch0.get_sampling_rate()
+            n_samples = ch0.get_number_of_samples()
+
+            noise_start = min(10000, n_samples // 4)
+            noise_end = min(noise_start + self._noise_window, n_samples // 2)
+
+            values = []
+            for ids in channel_ids_per_pol:
+                spectra = jnp.asarray(np.array(
+                    [station.get_channel(c).get_frequency_spectrum() for c in ids]))
+                positions = np.array([det.get_relative_position(sid, c) for c in ids])
+                beamed = mini_beamformer(spectra, frequencies, positions,
+                                         direction_cartesian)
+                ts = np.asarray(fft.freq2time(beamed, fs, n=n_samples))
+                env = np.asarray(hilbert_envelope(jnp.asarray(ts)))
+                peak_idx = int(np.argmax(env))
+                w0 = peak_idx - self._window // 2
+                w1 = peak_idx + self._window // 2
+                snr = find_snr_of_timeseries(ts, window_start=w0, window_end=w1,
+                                             noise_start=noise_start,
+                                             noise_end=noise_end)
+                values.append([snr, w0, w1])
+            values = np.asarray(values)
+            station.set_parameter(stationParameters.triggered,
+                                  bool(values[-1][0] > self._snr_cr))
+            dominant = int(np.argmax(values[:, 0]))
+            w0, w1 = int(values[dominant][1]), int(values[dominant][2])
+            station.set_parameter(stationParameters.cr_dominant_polarisation,
+                                  np.asarray(orientations[dominant]))
+
+            for ch in station.iter_channels():
+                ch.set_parameter(channelParameters.signal_regions, [w0, w1])
+                ch.set_parameter(channelParameters.noise_regions,
+                                 [noise_start, noise_end])
+
+            # per-channel SNR flags (stationPulseFinder._find_good_channels)
+            if station.get_parameter(stationParameters.triggered):
+                good = []
+                for ch in station.iter_channels():
+                    snr, peak, rms, t_sig = find_snr_of_timeseries(
+                        ch.get_trace(), sampling_rate=fs,
+                        window_start=w0, window_end=w1,
+                        noise_start=noise_start, noise_end=noise_end,
+                        resample_factor=16, full_output=True)
+                    ch.set_parameter(channelParameters.SNR, snr)
+                    ch.set_parameter(channelParameters.noise_rms, rms)
+                    ch.set_parameter(channelParameters.signal_time, t_sig)
+                    ch.set_parameter(channelParameters.maximum_amplitude_envelope, peak)
+                    ch.set_parameter(channelParameters.maximum_amplitude,
+                                     float(np.max(ch.get_trace())))
+                    if snr > self._snr_cr:
+                        good.append(ch.get_id())
+                if len(good) < self._min_good:
+                    station.set_parameter(stationParameters.triggered, False)
+
+    def end(self):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Plane-wave direction fitter (planeWaveDirectionFitter_LOFAR.py:70-380)
+# ---------------------------------------------------------------------------
+
+def direction_horizontal_array(positions, times):
+    """lstsq plane-wave fit for a horizontal array: c t = A x + B y + C,
+    zenith = arcsin sqrt(A^2+B^2), azimuth = atan2(-B, -A)
+    (planeWaveDirectionFitter_LOFAR._direction_horizontal_array:157-216)."""
+    x, y = positions[:, 0], positions[:, 1]
+    M = np.vstack([x, y, np.ones(len(x))]).T
+    (A, B, _), *_ = np.linalg.lstsq(M, speed_of_light * times, rcond=None)
+    s = np.hypot(A, B)
+    zenith = np.arcsin(min(s, 1.0))
+    azimuth = np.arctan2(-B, -A)
+    return np.mod(zenith, 2 * np.pi), np.mod(azimuth, 2 * np.pi)
+
+
+class planeWaveDirectionFitter:
+    """Iterative plane-wave fit on pulse arrival times with k-sigma outlier
+    removal (planeWaveDirectionFitter_LOFAR.py)."""
+
+    def begin(self, max_iter=10, cr_snr=6.5, min_amp=None, rmsfactor=2.0,
+              min_number_good_antennas=4):
+        self._max_iter = max_iter
+        self._cr_snr = cr_snr
+        self._min_amp = min_amp
+        self._rmsfactor = rmsfactor
+        self._min_good = min_number_good_antennas
+
+    def run(self, event, det, initial_direction=None):
+        for station in event.get_stations():
+            if not station.get_parameter(stationParameters.triggered):
+                continue
+            sid = station.get_id()
+            dominant = station.get_parameter(
+                stationParameters.cr_dominant_polarisation)
+
+            group_ids = station.get_channel_group_ids()
+            positions, dominant_ids, good = [], [], []
+            for gid in group_ids:
+                positions.append(det.get_relative_position(sid, gid))
+                dom_id = None
+                for ch in station.iter_channel_group(gid):
+                    if np.allclose(det.get_antenna_orientation(sid, ch.get_id()),
+                                   dominant):
+                        dom_id = ch.get_id()
+                if dom_id is None:
+                    dom_id = gid
+                dominant_ids.append(dom_id)
+                ch = station.get_channel(dom_id)
+                if self._min_amp is None:
+                    good.append(ch.get_parameter(channelParameters.SNR)
+                                > self._cr_snr)
+                else:
+                    good.append(np.max(np.abs(ch.get_trace())) >= self._min_amp)
+
+            positions = np.asarray(positions)[np.asarray(good)]
+            dominant_ids = np.asarray(dominant_ids)[np.asarray(good)]
+            num_good = len(dominant_ids)
+            mask = np.ones(num_good, dtype=bool)
+
+            zenith = azimuth = None
+            for _ in range(self._max_iter):
+                if num_good < self._min_good:
+                    break
+                positions = positions[mask]
+                dominant_ids = dominant_ids[mask]
+                times = np.array([station.get_channel(c).get_parameter(
+                    channelParameters.signal_time) for c in dominant_ids])
+                times = times - times[0]
+
+                zenith, azimuth = direction_horizontal_array(positions, times)
+
+                expected = np.asarray(geometric_delay_far_field(
+                    positions, spherical_to_cartesian(zenith, azimuth)))
+                expected = expected - expected[0]
+                residuals = times - expected
+                spread = np.std(residuals)
+                mask = np.abs(residuals - np.mean(residuals)) \
+                    < self._rmsfactor * spread
+                if mask.sum() == num_good:
+                    break
+                num_good = int(mask.sum())
+
+            if zenith is not None:
+                station.set_parameter(stationParameters.zenith, zenith)
+                station.set_parameter(stationParameters.azimuth, azimuth)
+                station.set_parameter(stationParameters.cr_zenith, zenith)
+                station.set_parameter(stationParameters.cr_azimuth, azimuth)
+
+    def end(self):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Beamforming direction fitter (beamformingDirectionFitter_LOFAR.py:49-212)
+# ---------------------------------------------------------------------------
+
+class beamformingDirectionFitter:
+    """Direction fit maximizing the peak power of the beamformed trace.
+
+    The reference iterates a Powell simplex over (zenith, azimuth); here the
+    scan is a coarse-to-fine GRID evaluated as one vmapped batch per zoom
+    level — every candidate direction beamforms in parallel on device.
+    """
+
+    def begin(self, cr_snr=3.0, grid_points=15, zoom_levels=4,
+              initial_half_width=20 * units.deg):
+        self._cr_snr = cr_snr
+        self._grid = grid_points
+        self._levels = zoom_levels
+        self._width0 = initial_half_width
+
+    def _fit(self, spectra, frequencies, positions, fs, n_samples, start):
+        import jax
+
+        spectra = jnp.asarray(spectra)
+        frequencies = jnp.asarray(frequencies)
+        positions = jnp.asarray(positions)
+
+        def peak_power(zenith, azimuth):
+            d = jnp.array([jnp.sin(zenith) * jnp.cos(azimuth),
+                           jnp.sin(zenith) * jnp.sin(azimuth),
+                           jnp.cos(zenith)])
+            beamed = beamformer(spectra, frequencies,
+                                geometric_delay_far_field(positions, d))
+            ts = jnp.fft.irfft(beamed, n_samples)
+            return jnp.max(ts ** 2)
+
+        batched = jax.jit(jax.vmap(jax.vmap(peak_power, (None, 0)), (0, None)))
+
+        zen0, azi0 = float(start[0]), float(start[1])
+        width = float(self._width0)
+        for _ in range(self._levels):
+            zen_grid = jnp.linspace(max(zen0 - width, 0.0),
+                                    min(zen0 + width, np.pi / 2), self._grid)
+            azi_grid = jnp.linspace(azi0 - width, azi0 + width, self._grid)
+            power = np.asarray(batched(zen_grid, azi_grid))
+            i, j = np.unravel_index(np.argmax(power), power.shape)
+            zen0, azi0 = float(zen_grid[i]), float(azi_grid[j])
+            width = 2.5 * width / self._grid
+        return zen0, np.mod(azi0, 2 * np.pi)
+
+    def run(self, event, det, use_channels_per_group=None):
+        for station in event.get_stations():
+            if not station.get_parameter(stationParameters.triggered):
+                continue
+            sid = station.get_id()
+            start = (station.get_parameter(stationParameters.zenith),
+                     station.get_parameter(stationParameters.azimuth))
+
+            # use dominant-polarisation channels with acceptable SNR
+            dominant = station.get_parameter(
+                stationParameters.cr_dominant_polarisation)
+            ids, positions = [], []
+            for gid in station.get_channel_group_ids():
+                chans = list(station.iter_channel_group(gid))
+                if not any(ch.has_parameter(channelParameters.SNR)
+                           and ch.get_parameter(channelParameters.SNR)
+                           > self._cr_snr for ch in chans):
+                    continue
+                pick = next((ch for ch in chans if np.allclose(
+                    det.get_antenna_orientation(sid, ch.get_id()), dominant)),
+                    chans[0])
+                ids.append(pick.get_id())
+                positions.append(det.get_relative_position(sid, gid))
+            if len(ids) < 3:
+                continue
+
+            ch0 = station.get_channel(ids[0])
+            spectra = np.array([station.get_channel(c).get_frequency_spectrum()
+                                for c in ids])
+            zen, azi = self._fit(spectra, ch0.get_frequencies(),
+                                 np.asarray(positions), ch0.get_sampling_rate(),
+                                 ch0.get_number_of_samples(), start)
+            station.set_parameter(stationParameters.zenith, zen)
+            station.set_parameter(stationParameters.azimuth, azi)
+            station.set_parameter(stationParameters.cr_zenith, zen)
+            station.set_parameter(stationParameters.cr_azimuth, azi)
+
+    def end(self):
+        pass
