@@ -126,32 +126,126 @@ class planeWaveDirectionFitter:
         pass
 
 
-class cosmicRayEnergyReconstructor:
-    """CR energy from the geomagnetic-corrected radiation fluence
-    (cosmicRayEnergyReconstructor.py parametrization shape: E ~ sqrt(f/f0)
-    with a site/zenith correction; Glaser et al. energy fluence method)."""
+# geomagnetic field vectors in Gauss, [East, North, Up] (IGRF values as
+# bundled by the public radiotools.helper.get_magnetic_field_vector; the
+# reference uses them through radiotools)
+MAGNETIC_FIELD_VECTORS = {
+    "auger": np.array([0.00871198, 0.19693423, 0.1413841]),
+    "mooresbay": np.array([0.058457, -0.09042, 0.61439]),
+    "summit": np.array([-0.037467, 0.075575, -0.539887]),
+    "southpole": np.array([-0.14390398, 0.08590658, 0.52081228]),
+    "lofar": np.array([0.004675, 0.186270, -0.456412]),
+}
 
-    def begin(self, f0=None, E0=1e18 * units.eV):
-        # calibration point: fluence f0 at energy E0 (site-dependent)
-        self._f0 = f0 if f0 is not None else 100.0 * units.eV / units.m ** 2
-        self._E0 = E0
+
+def get_angle_to_magnetic_field_vector(zenith, azimuth, site):
+    """Angle between the shower propagation direction and the geomagnetic
+    field (radiotools.helper.get_angle_to_magnetic_field_vector)."""
+    v = -np.array([np.sin(zenith) * np.cos(azimuth),
+                   np.sin(zenith) * np.sin(azimuth), np.cos(zenith)])
+    B = MAGNETIC_FIELD_VECTORS[site]
+    return np.arccos(np.clip(np.dot(v, B) / np.linalg.norm(B), -1, 1))
+
+
+class cosmicRayEnergyReconstructor:
+    """CR energy from the unfolded E-field fluence
+    (cosmicRayEnergyReconstructor.py:26-168, algorithm of
+    JCAP 10 (2019) 075): fluence in the (vxB, vxvxB) shower plane with the
+    vxB component corrected by 1/sin(alpha), scaled by the geometric
+    distance to an Xmax of 750 g/cm^2 and the site/zenith parametrization,
+    with separate coefficients inside/outside the Cherenkov ring (chosen by
+    the fitted spectrum quadratic term vs slope).
+
+    Requires: 80-300 MHz 10th-order Butterworth filtering, a reconstructed
+    direction (stationParameters.zenith/azimuth) and an analytic-efield fit
+    (electricFieldParameters.cr_spectrum_slope / cr_spectrum_quadratic_term),
+    as in the reference chain.
+    """
+
+    # coefficients from cosmicRayEnergyReconstructor.py:41-65 (exact)
+    PARAMETRIZATIONS = {
+        "mooresbay": {
+            "scale": np.array([(442.46, -281.75, 324.96), (394.08, -308.36, 436.30)]),
+            "falloff": np.array([(-.1584, -.07943), (.8070, -1.4098)]),
+        },
+        "southpole": {
+            "scale": np.array([(976.30, -1213.43, 626.98), (643.39, -667.08, 478.06)]),
+            "falloff": np.array([(-.2273, .05627), (1.3372, -2.1653)]),
+        },
+        "auger": {
+            "scale": np.array([(229.96, -123.75, 110.51), (214.46, -111.01, 119.18)]),
+            "falloff": np.array([(-.1445, -.09820), (.5936, -1.1763)]),
+        },
+        "summit": {
+            "scale": np.array([[404.5, -131.56, 11.7], [428.97, -92.11, 5.94]]),
+            "falloff": np.array([[-0.3391, 0.1738], [0.9543, -1.6967]]),
+        },
+    }
+    ELEVATIONS = {"mooresbay": 30., "southpole": 2800., "auger": 1560.,
+                  "summit": 3216.}
+
+    def begin(self, site=None):
+        if site is not None and site not in self.PARAMETRIZATIONS:
+            raise ValueError(f"unsupported site {site}; choose one of "
+                             f"{list(self.PARAMETRIZATIONS)}")
+        self._site = site
+        from nuradiomc_tpu.models.atmosphere import Atmosphere
+        self._atmosphere = Atmosphere()
 
     @register_run()
-    def run(self, evt, station, det=None):
+    def run(self, evt, station, det=None, electric_field=None):
+        from nuradiomc_tpu.reco.rit import shower_frame
+        from nuradiomc_tpu.utils.geometry import onsky_basis
+
         efp = par.electricFieldParameters
-        energies = []
-        for ef in station.get_electric_fields():
-            if not ef.has_parameter(efp.signal_energy_fluence):
-                continue
-            fluence = np.sum(np.abs(np.atleast_1d(
-                ef[efp.signal_energy_fluence])))
-            geom_corr = 1.0
-            if ef.has_parameter(efp.zenith):
-                geom_corr = max(np.sin(ef[efp.zenith]) ** 2, 0.1)
-            energies.append(self._E0 * np.sqrt(
-                max(fluence, 0) / self._f0 / geom_corr))
-        if energies:
-            station[stnp.cr_energy] = float(np.mean(energies))
+        zenith = station[stnp.zenith]
+        azimuth = station[stnp.azimuth]
+        site = self._site
+        if site is None:
+            site = det.get_site(station.get_id())
+        parametrization = self.PARAMETRIZATIONS[site]
+        elevation = self.ELEVATIONS[site]
+
+        if electric_field is None:
+            efields = station.get_electric_fields()
+            if not efields:
+                return None
+            electric_field = efields[-1]
+
+        spectrum_slope = electric_field[efp.cr_spectrum_slope]
+        alpha = get_angle_to_magnetic_field_vector(zenith, azimuth, site)
+
+        # onsky (eR,eTheta,ePhi) -> ground -> (vxB, vxvxB) shower plane
+        trace_onsky = np.asarray(electric_field.get_trace())
+        basis = np.asarray(onsky_basis(zenith, azimuth))      # rows eR/eTheta/ePhi
+        trace_ground = basis.T @ trace_onsky
+        e1, e2, v = shower_frame(zenith, azimuth, MAGNETIC_FIELD_VECTORS[site])
+        trace_vxB = np.vstack([e1 @ trace_ground, e2 @ trace_ground,
+                               v @ trace_ground])
+        trace_vxB[0] /= np.sin(alpha)
+
+        # energy fluence per component: eps0 c sum(E^2) dt
+        # (trace_utilities.get_electric_field_energy_fluence)
+        dt = 1.0 / electric_field.get_sampling_rate()
+        from nuradiomc_tpu.utils.constants import Z_0
+        eps0_c = 1.0 / Z_0  # eps0 * c = 1/Z0
+        fluence = eps0_c * np.sum(trace_vxB ** 2, axis=1) * dt
+        energy_fluence = np.abs(fluence[0]) + np.abs(fluence[1])
+
+        xmax_distance = self._atmosphere.get_distance_xmax_geometric(
+            zenith, 750.0, elevation)
+        xmax_distance = np.abs(xmax_distance)
+
+        quadratic = electric_field[efp.cr_spectrum_quadratic_term]
+        branch = 0 if quadratic <= spectrum_slope * 0.1 else 1
+        s = parametrization["scale"][branch]
+        f = parametrization["falloff"][branch]
+        scale = s[0] * zenith ** 2 + s[1] * zenith + s[2]
+        falloff = f[0] * zenith + f[1]
+        rec_energy = 1e18 * np.sqrt(energy_fluence) * (xmax_distance / units.km) \
+            / (scale * np.exp(falloff * np.abs(spectrum_slope) ** 0.8))
+        station[stnp.cr_energy_em] = rec_energy
+        return rec_energy
 
     def end(self):
         pass

@@ -388,3 +388,75 @@ def test_hann_tapered_and_fir_filters():
 
     w = half_hann_window(100, 0.2)
     assert w[0] < 1e-6 and np.all(w[20:80] == 1.0) and len(w) == 100
+
+
+def test_cosmic_ray_energy_reconstructor():
+    """Exact reference parametrization (cosmicRayEnergyReconstructor.py:41-65,
+    JCAP 10 (2019) 075): hand-evaluate the formula on a synthetic efield and
+    compare, and check the inside/outside-Cherenkov branch switch."""
+    from nuradiomc_tpu.framework.event import ElectricField, Event, Station
+    from nuradiomc_tpu.framework import parameters as par
+    from nuradiomc_tpu.models.atmosphere import Atmosphere
+    from nuradiomc_tpu.reco.advanced import (
+        MAGNETIC_FIELD_VECTORS, cosmicRayEnergyReconstructor,
+        get_angle_to_magnetic_field_vector)
+    from nuradiomc_tpu.reco.rit import shower_frame
+    from nuradiomc_tpu.utils.constants import Z_0
+    from nuradiomc_tpu.utils.geometry import onsky_basis
+    from nuradiomc_tpu.utils import units
+
+    efp = par.electricFieldParameters
+    stnp = par.stationParameters
+    rng = np.random.default_rng(11)
+    fs = 1.0  # GHz
+    n = 512
+    zenith, azimuth = np.deg2rad(55.0), np.deg2rad(230.0)
+
+    event = Event(0, 1)
+    station = Station(42)
+    station[stnp.zenith] = zenith
+    station[stnp.azimuth] = azimuth
+    trace = np.zeros((3, n))
+    tt = np.arange(n) / fs
+    trace[1] = 60e-3 * np.exp(-0.5 * ((tt - 200.0) / 8.0) ** 2) \
+        * np.cos(2 * np.pi * 0.15 * tt)             # eTheta pulse
+    trace[2] = 25e-3 * np.exp(-0.5 * ((tt - 200.0) / 8.0) ** 2) \
+        * np.sin(2 * np.pi * 0.15 * tt)             # ePhi pulse
+    ef = ElectricField([0])
+    ef.set_trace(trace, fs)
+    slope, quad = -2.5, 0.1
+    ef[efp.cr_spectrum_slope] = slope
+    ef[efp.cr_spectrum_quadratic_term] = quad
+    station.add_electric_field(ef)
+    event.set_station(station)
+
+    rec = cosmicRayEnergyReconstructor()
+    rec.begin(site="southpole")
+    energy = rec.run(event, station)
+    assert energy == station[stnp.cr_energy_em]
+
+    # hand evaluation
+    alpha = get_angle_to_magnetic_field_vector(zenith, azimuth, "southpole")
+    basis = np.asarray(onsky_basis(zenith, azimuth))
+    ground = basis.T @ trace
+    e1, e2, v = shower_frame(zenith, azimuth, MAGNETIC_FIELD_VECTORS["southpole"])
+    comp = np.vstack([e1 @ ground / np.sin(alpha), e2 @ ground])
+    fluence = np.sum(comp ** 2, axis=1) / fs / Z_0
+    f_tot = fluence[0] + fluence[1]
+    dxmax = Atmosphere().get_distance_xmax_geometric(zenith, 750.0, 2800.0)
+    # quad > 0.1*slope (slope negative) -> outside-ring branch (index 1)
+    scale = 643.39 * zenith ** 2 - 667.08 * zenith + 478.06
+    falloff = 1.3372 * zenith - 2.1653
+    expected = 1e18 * np.sqrt(f_tot) * (dxmax / units.km) \
+        / (scale * np.exp(falloff * abs(slope) ** 0.8))
+    np.testing.assert_allclose(energy, expected, rtol=1e-10)
+    assert 1e15 < energy < 1e21
+
+    # inside-ring branch: quadratic term below 0.1*slope
+    ef[efp.cr_spectrum_quadratic_term] = slope  # <= slope*0.1
+    energy_in = rec.run(event, station)
+    scale0 = 976.30 * zenith ** 2 - 1213.43 * zenith + 626.98
+    falloff0 = -0.2273 * zenith + 0.05627
+    expected_in = 1e18 * np.sqrt(f_tot) * (dxmax / units.km) \
+        / (scale0 * np.exp(falloff0 * abs(slope) ** 0.8))
+    np.testing.assert_allclose(energy_in, expected_in, rtol=1e-10)
