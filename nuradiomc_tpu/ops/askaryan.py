@@ -88,16 +88,16 @@ def spectrum_alvarez2000(energy, theta, N: int, dt: float, is_em, n_index, R):
          * units.V / units.m / units.MHz
          * jnp.sin(theta) / jnp.sin(cherenkov))
 
-    spec_em = E * jnp.exp(-jnp.log(2.0) * ((theta - cherenkov) / dThetaEM) ** 2) / R
-
     # missing energy factor for hadronic cascades (DOI:10.1016/S0370-2693(98)00905-8)
     f_eps = (-1.27e-2 - 4.76e-2 * (epsilon + 3) - 2.07e-3 * (epsilon + 3) ** 2
              + 0.52 * jnp.sqrt(epsilon + 3))
-    spec_had = (E * jnp.exp(-jnp.log(2.0) * ((theta - cherenkov) / dThetaHad) ** 2)
-                / R * f_eps)
-    spec_had = jnp.where(had_valid, spec_had, 0.0)
 
-    spec = jnp.where(is_em, spec_em, spec_had)
+    # select the cone width / scale factor BEFORE the exponential: the exp
+    # over [batch, F] dominates this model's cost, so evaluate it once
+    dTheta = jnp.where(is_em, dThetaEM, dThetaHad)
+    scale = jnp.where(is_em, 1.0, jnp.where(had_valid, f_eps, 0.0))
+    spec = (E * jnp.exp(-jnp.log(2.0) * ((theta - cherenkov) / dTheta) ** 2)
+            / R * scale)
     spec = jnp.where(ff > 0, spec, 0.0)
     return 0.5 * spec
 

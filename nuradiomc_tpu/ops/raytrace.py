@@ -792,6 +792,61 @@ def _rot_to_3d(geom: Geometry2D, sin_component, cos_component):
     ], axis=-1)
 
 
+def focusing_dtheta_dz(geom: Geometry2D, sols: RaySolutions, ice: IceModelSimple):
+    """|d(theta_launch at the true emitter) / d(z of the true receiver)| at
+    the solved roots — the exact dz->0 limit of the displaced-receiver
+    numeric focusing (get_focusing, analyticraytracing.py:2778-2888), at the
+    cost of ONE gradient evaluation instead of a second full bisection solve.
+
+    Derivation: the root condition miss(logC0; z1, z2) = 0 defines
+    logC0(z_receiver) implicitly, so dlogC0/dz_r = -(dmiss/dz_r)/(dmiss/dlogC0).
+    Both partials are evaluated by central differences of the closed-form
+    miss function (4 evaluations; autodiff hits an inf-inf cancellation at
+    the turning-point antiderivative, so finite differences are the stable
+    choice). Along the ray the Snell invariant gives
+    sin(theta(z)) = 1/(C0 n(z)), hence at the fixed emitter depth
+    |dtheta/dC0| = tan(theta)/C0; dC0/dlogC0 = C0 - 1/n_ice completes the
+    chain.
+
+    Returns an array shaped like ``sols.c0``; values at masked-out slots are
+    meaningless (guard with ``sols.mask``).
+    """
+    tiny = jnp.asarray(1e-30, sols.c0.dtype)
+    logc0 = jnp.log(jnp.maximum(sols.c0 - 1.0 / ice.n_ice, tiny))
+    dy_target = (geom.x2y - geom.x1y)[..., None]
+    is_mirror = sols.sol_type != SOL_DIRECT
+    z1 = jnp.broadcast_to(geom.x1z[..., None], logc0.shape)
+    z2 = jnp.broadcast_to(geom.x2z[..., None], logc0.shape)
+
+    def miss_vec(lg, z1_, z2_):
+        md, mm = _branch_misses(lg, z1_, z2_, dy_target, ice)
+        return jnp.where(is_mirror, mm, md)
+
+    f64 = sols.c0.dtype == jnp.float64
+    h_l = jnp.asarray(1e-6 if f64 else 1e-3, sols.c0.dtype) \
+        * jnp.maximum(jnp.abs(logc0), 1.0)
+    h_z = jnp.asarray(0.005, sols.c0.dtype)  # receiver displaced +-5 mm
+
+    g_l = (miss_vec(logc0 + h_l, z1, z2)
+           - miss_vec(logc0 - h_l, z1, z2)) / (2 * h_l)
+    # the true receiver is the 2D x1 when the pair was swapped
+    swapped = jnp.broadcast_to(geom.swapped[..., None], logc0.shape)
+    z1_p = jnp.where(swapped, z1 + h_z, z1)
+    z2_p = jnp.where(swapped, z2, z2 + h_z)
+    z1_m = jnp.where(swapped, z1 - h_z, z1)
+    z2_m = jnp.where(swapped, z2, z2 - h_z)
+    g_zr = (miss_vec(logc0, z1_p, z2_p)
+            - miss_vec(logc0, z1_m, z2_m)) / (2 * h_z)
+    dlog_dzr = -g_zr / jnp.where(jnp.abs(g_l) > tiny, g_l, tiny)
+
+    # emitter-side angle: launch_angle at 2D x1, receive_angle at 2D x2
+    theta_e = jnp.where(swapped, sols.receive_angle, sols.launch_angle)
+    sin_t, cos_t = jnp.sin(theta_e), jnp.cos(theta_e)
+    dth_dc0 = sin_t / (sols.c0 * jnp.maximum(jnp.abs(cos_t), 1e-6))
+    dc0_dlog = sols.c0 - 1.0 / ice.n_ice
+    return jnp.abs(dth_dc0 * dc0_dlog * dlog_dzr)
+
+
 def launch_receive_vectors(geom: Geometry2D, sols: RaySolutions):
     """3D launch and receive unit vectors (get_launch_vector/get_receive_vector,
     analyticraytracing.py:2561-2624), handling the swap case.

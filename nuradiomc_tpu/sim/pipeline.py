@@ -64,6 +64,7 @@ class PipelineSettings:
     apply_focusing: bool = False
     focusing_limit: float = 2.0
     focusing_dz: float = -0.01             # receiver displacement (-1 cm), numeric focusing
+    focusing_mode: str = "implicit"        # "implicit" (exact dz->0 grad) | "numeric"
     # trigger block
     trigger_type: str = "high_low"         # 'high_low' | 'simple_threshold' | 'phased_array'
     highlow_coincidence: float = 5.0       # ns within a channel
@@ -389,31 +390,37 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     e_phi = e_phi * jnp.where(is_reflected, r_s, one_c)[..., None]
 
     if s.apply_focusing:
-        # numeric focusing: re-solve the ray tracing for a receiver displaced
-        # by dz and measure the launch-angle convergence (get_focusing,
-        # analyticraytracing.py:2778-2888 — the simulation default). The true
-        # receiver is x1 in the 2D frame when swapped.
-        dz = jnp.asarray(s.focusing_dz, real_dtype)
-        x1z_d = jnp.where(geom.swapped, geom.x1z + dz, geom.x1z)
-        x2z_d = jnp.where(geom.swapped, geom.x2z, geom.x2z + dz)
-        sols1_flat = jax.vmap(lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, s.ice, n_bisect=s.n_bisect))(
-            flat(geom.x1y), flat(x1z_d), flat(geom.x2y), flat(x2z_d))
-        sols1 = jax.tree.map(lambda a: a.reshape(G, S, C, *a.shape[1:]), sols1_flat)
-        geom_d = raytrace.Geometry2D(geom.x1y, x1z_d, geom.x2y, x2z_d,
-                                     geom.swapped, geom.dphi, geom.ux, geom.uy)
-        launch1, _ = raytrace.launch_receive_vectors(geom_d, sols1)
-
+        # Focusing from the launch-angle convergence toward a displaced
+        # receiver (get_focusing, analyticraytracing.py:2778-2888 — the
+        # simulation default).  "implicit" (default) evaluates the exact
+        # dz->0 derivative by implicit differentiation at the solved root —
+        # one gradient pass instead of a second full bisection solve;
+        # "numeric" keeps the reference's finite-difference re-solve.
         lau_ang = jnp.arccos(jnp.clip(launch[..., 2], -1.0, 1.0))
-        lau_ang1 = jnp.arccos(jnp.clip(launch1[..., 2], -1.0, 1.0))
-        d_launch = jnp.abs(lau_ang1 - lau_ang)
         rec_ang = jnp.arccos(jnp.clip(-receive[..., 2], -1.0, 1.0))
+
+        if s.focusing_mode == "implicit":
+            d_launch_dz = raytrace.focusing_dtheta_dz(geom, sols, s.ice)
+            foc_valid = sols.mask
+        else:
+            dz = jnp.asarray(s.focusing_dz, real_dtype)
+            x1z_d = jnp.where(geom.swapped, geom.x1z + dz, geom.x1z)
+            x2z_d = jnp.where(geom.swapped, geom.x2z, geom.x2z + dz)
+            sols1_flat = jax.vmap(lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, s.ice, n_bisect=s.n_bisect))(
+                flat(geom.x1y), flat(x1z_d), flat(geom.x2y), flat(x2z_d))
+            sols1 = jax.tree.map(lambda a: a.reshape(G, S, C, *a.shape[1:]), sols1_flat)
+            geom_d = raytrace.Geometry2D(geom.x1y, x1z_d, geom.x2y, x2z_d,
+                                         geom.swapped, geom.dphi, geom.ux, geom.uy)
+            launch1, _ = raytrace.launch_receive_vectors(geom_d, sols1)
+            lau_ang1 = jnp.arccos(jnp.clip(launch1[..., 2], -1.0, 1.0))
+            d_launch_dz = jnp.abs(lau_ang1 - lau_ang) / jnp.abs(dz)
+            foc_valid = sols1.mask & sols.mask
 
         r_h = jnp.abs(geom.x2y - geom.x1y)[..., None]
         dist = jnp.maximum(sols.path_length, 1.0)
-        foc = jnp.sqrt(dist / jnp.maximum(jnp.sin(rec_ang), 1e-6)
-                       * d_launch / jnp.abs(dz))
+        foc = jnp.sqrt(dist / jnp.maximum(jnp.sin(rec_ang), 1e-6) * d_launch_dz)
         foc = foc * jnp.sqrt(dist * jnp.sin(lau_ang) / jnp.maximum(r_h, 1e-6))
-        foc = jnp.where(sols1.mask & sols.mask, foc, 1.0)
+        foc = jnp.where(foc_valid, foc, 1.0)
         foc = jnp.minimum(foc, s.focusing_limit)
         # refractive-index correction between emitter and receiver
         n1 = s.ice.index_of_refraction(batch.vertices[..., 2])[:, :, None, None]

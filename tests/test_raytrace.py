@@ -107,3 +107,42 @@ def test_f32_c0_accuracy(golden):
     ref = golden["C0"]
     mask = ~np.isnan(ref) & np.asarray(sols.mask)
     np.testing.assert_allclose(np.asarray(sols.c0)[mask], ref[mask], rtol=2e-4)
+
+
+def test_focusing_implicit_matches_numeric():
+    """The implicit-differentiation focusing derivative (one gradient pass)
+    must match the displaced-receiver numeric re-solve (get_focusing,
+    analyticraytracing.py:2778-2888) to <1% on valid slots."""
+    import jax
+    from nuradiomc_tpu.models.ice import get_ice_model
+
+    ice = get_ice_model("southpole_2015")
+    rng = np.random.default_rng(7)
+    N = 200
+    x1 = np.stack([rng.uniform(-3000, 3000, N), rng.uniform(-3000, 3000, N),
+                   rng.uniform(-2500, -5, N)], -1)
+    x2 = np.stack([np.zeros(N), np.zeros(N), rng.uniform(-200, -5, N)], -1)
+    geom = raytrace.to_2d(jnp.asarray(x1), jnp.asarray(x2))
+    solve = jax.vmap(lambda a, b, c, d: raytrace.find_solutions(
+        a, b, c, d, ice, n_bisect=96))
+    sols = solve(geom.x1y, geom.x1z, geom.x2y, geom.x2z)
+
+    d_imp = np.asarray(raytrace.focusing_dtheta_dz(geom, sols, ice))
+
+    dz = -0.01
+    x1z_d = jnp.where(geom.swapped, geom.x1z + dz, geom.x1z)
+    x2z_d = jnp.where(geom.swapped, geom.x2z, geom.x2z + dz)
+    sols1 = solve(geom.x1y, x1z_d, geom.x2y, x2z_d)
+    geom_d = raytrace.Geometry2D(geom.x1y, x1z_d, geom.x2y, x2z_d,
+                                 geom.swapped, geom.dphi, geom.ux, geom.uy)
+    l0, _ = raytrace.launch_receive_vectors(geom, sols)
+    l1, _ = raytrace.launch_receive_vectors(geom_d, sols1)
+    la0 = np.arccos(np.clip(np.asarray(l0)[..., 2], -1, 1))
+    la1 = np.arccos(np.clip(np.asarray(l1)[..., 2], -1, 1))
+    d_num = np.abs(la1 - la0) / abs(dz)
+
+    m = np.asarray(sols.mask & sols1.mask) & (d_num > 1e-9)
+    assert m.sum() > 100
+    rel = np.abs(d_imp - d_num) / np.maximum(d_num, 1e-12)
+    assert np.median(rel[m]) < 1e-3
+    assert rel[m].max() < 0.01
