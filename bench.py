@@ -39,17 +39,23 @@ def main():
     # fooled by async dispatch through the device tunnel
     int(step(batch))
 
-    # per-iteration timing, best-of-N: the readback goes through the device
-    # tunnel and the chip is shared, so iteration times drift by 2x within a
-    # process (thermal / neighbor load); the min reflects the pipeline itself
-    n_iter = 9
-    times = []
-    for _ in range(n_iter):
+    # A single host readback through the device tunnel costs ~70 ms (measured
+    # with a no-op jit), so per-iteration syncs would understate the pipeline
+    # by ~25%. Dispatch a block of iterations asynchronously — as a real
+    # production loop does — and force ONE readback of the summed trigger
+    # counts at the end (the data dependency syncs every step). Repeat the
+    # block and take the best block rate (the shared chip drifts 2x with
+    # thermal/neighbor load; the min reflects the pipeline itself).
+    n_iter = 5
+    n_blocks = 3
+    rates = []
+    for _ in range(n_blocks):
         t0 = time.perf_counter()
-        int(step(batch))
-        times.append(time.perf_counter() - t0)
+        totals = [step(batch) for _ in range(n_iter)]
+        int(sum(totals))
+        rates.append(n_groups * n_iter / (time.perf_counter() - t0))
 
-    events_per_sec = n_groups / float(np.min(times))
+    events_per_sec = float(np.max(rates))
     result = {
         "metric": "veff_pipeline_events_per_sec_per_chip",
         "value": round(events_per_sec, 1),
