@@ -47,6 +47,17 @@ class Station:
     station_id: int
     absolute_position: np.ndarray  # (3,) easting/northing/altitude, m
     channels: ChannelArrays
+    site: str = ""
+
+
+# geographic coordinates of the known sites (lat, east lon in deg)
+SITE_COORDINATES = {
+    "southpole": (-90.0, 0.0),
+    "mooresbay": (-78.74, 165.02),
+    "summit": (72.57, -38.46),
+    "auger": (-35.10, -69.30),
+    "lofar": (52.91, 6.87),
+}
 
 
 _CHANNEL_DEFAULTS: dict[str, Any] = {
@@ -140,7 +151,8 @@ class Detector:
             abs_pos = np.array([st.get("pos_easting", 0.0) or 0.0,
                                 st.get("pos_northing", 0.0) or 0.0,
                                 st.get("pos_altitude", 0.0) or 0.0], dtype=float)
-            self._stations[sid] = Station(sid, abs_pos, arr)
+            self._stations[sid] = Station(sid, abs_pos, arr,
+                                          site=str(st.get("pos_site", "")))
 
     # -- accessors mirroring the reference API (detector_base.py) -----------
 
@@ -190,6 +202,15 @@ class Detector:
         ch = self._stations[station_id].channels
         idx = int(np.where(ch.channel_ids == channel_id)[0][0])
         return ch.antenna_model[idx]
+
+    def get_site(self, station_id: int) -> str:
+        """Site name (detector_base.get_site)."""
+        return self._stations[station_id].site
+
+    def get_site_coordinates(self, station_id: int):
+        """(latitude, east longitude) in degrees
+        (detector_base.get_site_coordinates)."""
+        return SITE_COORDINATES[self.get_site(station_id)]
 
 
 class DetectorSysUncertainties(Detector):

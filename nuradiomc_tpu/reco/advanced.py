@@ -266,34 +266,179 @@ def cane_galactic_temperature(freqs):
     return i_nu * c_si ** 2 / (2 * kb_si * f_si ** 2)
 
 
-class channelGalacticNoiseAdder:
-    """Galactic noise from the isotropic Cane sky temperature folded with an
-    effective antenna bandwidth (sky-map folding as in the reference requires
-    pygdsm/healpy; this built-in model adds noise with the correct spectral
-    shape and normalization for an isotropic sky)."""
+def fibonacci_sky(n_pixels):
+    """Equal-area full-sky pixelization: (lon, lat) arrays in radians.
 
-    def begin(self, seed=None, n_side=None):
+    Replaces healpy's pixel grid (same equal-solid-angle property; solid
+    angle per pixel = 4 pi / n_pixels)."""
+    i = np.arange(n_pixels) + 0.5
+    lat = np.arcsin(1.0 - 2.0 * i / n_pixels)
+    lon = np.mod(i * np.pi * (3.0 - np.sqrt(5.0)), 2 * np.pi)
+    return lon, lat
+
+
+def galactic_to_equatorial(l, b):
+    """Galactic (l, b) -> equatorial J2000 (ra, dec), radians (standard
+    rotation; NGP at ra 192.85948 deg, dec 27.12825 deg, l_NCP 122.93192)."""
+    ra_gp = np.deg2rad(192.85948)
+    dec_gp = np.deg2rad(27.12825)
+    l_cp = np.deg2rad(122.93192)
+    sin_dec = (np.sin(dec_gp) * np.sin(b)
+               + np.cos(dec_gp) * np.cos(b) * np.cos(l_cp - l))
+    dec = np.arcsin(np.clip(sin_dec, -1, 1))
+    y = np.cos(b) * np.sin(l_cp - l)
+    x = np.cos(dec_gp) * np.sin(b) - np.sin(dec_gp) * np.cos(b) * np.cos(l_cp - l)
+    ra = np.mod(np.arctan2(y, x) + ra_gp, 2 * np.pi)
+    return ra, dec
+
+
+def equatorial_to_horizontal(ra, dec, lst_hours, lat_deg):
+    """(ra, dec) -> (zenith, NRR azimuth East=0 ccw), radians."""
+    lat = np.deg2rad(lat_deg)
+    H = np.deg2rad(lst_hours * 15.0) - ra
+    sin_alt = np.sin(lat) * np.sin(dec) + np.cos(lat) * np.cos(dec) * np.cos(H)
+    alt = np.arcsin(np.clip(sin_alt, -1, 1))
+    # astronomical azimuth from North, eastward
+    y = -np.cos(dec) * np.sin(H)
+    x = (np.sin(dec) - sin_alt * np.sin(lat)) / np.maximum(np.cos(lat), 1e-12)
+    A = np.arctan2(y, x)
+    zenith = np.pi / 2 - alt
+    azimuth = np.mod(np.pi / 2 - A, 2 * np.pi)   # NRR convention: East=0, ccw
+    return zenith, azimuth
+
+
+class channelGalacticNoiseAdder:
+    """Galactic noise by folding a directional sky-temperature model with
+    the antenna response per sky pixel (channelGalacticNoiseAdder.py:54-408).
+
+    The reference evaluates a pygdsm healpix map per pixel in a Python loop
+    with astropy coordinate transforms. Here the pixelization is an in-repo
+    equal-area Fibonacci grid, the galactic->horizontal chain is closed-form
+    (J2000 rotation + IAU sidereal time), and the per-pixel E-field synthesis
+    is vectorized over frequencies. The sky model is pluggable:
+
+    * ``None`` (default): isotropic Cane (1979) temperature — works offline.
+    * a callable ``T(freq, l, b)`` in internal units/radians.
+    * a pygdsm model name ('gsm2008', 'gsm2016', 'lfss', 'haslam', 'lfmap')
+      when the optional pygdsm package is installed.
+    """
+
+    def begin(self, skymodel=None, n_pixels=192, freq_range=None, seed=None,
+              antenna_replacements=None, scaling=1.0, n_side=None,
+              n_ice=1.35, n_air=1.000293):
+        if n_side is not None:            # healpy-style API parity
+            n_pixels = 12 * int(n_side) ** 2
         self._rng = np.random.Generator(np.random.Philox(seed))
+        self._n_pixels = int(n_pixels)
+        self._scaling = scaling
+        self._reps = antenna_replacements or {}
+        self._n_ice, self._n_air = n_ice, n_air
+        if freq_range is None:
+            freq_range = np.array([10, 1000]) * units.MHz
+        self._interp_freqs = np.logspace(*np.log10(np.asarray(freq_range)), 15)
+
+        lon, lat = fibonacci_sky(self._n_pixels)
+        self._gal_l, self._gal_b = lon, lat
+        self._solid_angle = 4 * np.pi / self._n_pixels
+
+        if skymodel is None:
+            def model(freq, l, b):
+                return cane_galactic_temperature(freq) * units.kelvin
+        elif callable(skymodel):
+            model = skymodel
+        else:
+            import pygdsm  # noqa: F401 — optional dependency
+
+            name = str(skymodel).lower()
+            gsm = {"gsm2008": pygdsm.GlobalSkyModel,
+                   "gsm2016": pygdsm.GlobalSkyModel16,
+                   "lfss": pygdsm.LowFrequencySkyModel,
+                   "haslam": pygdsm.HaslamSkyModel,
+                   "lfmap": pygdsm.LFmap}[name](freq_unit="MHz")
+            import healpy
+
+            def model(freq, l, b):
+                sky = gsm.generate(freq / units.MHz)
+                nside = healpy.npix2nside(len(sky))
+                return sky[healpy.ang2pix(nside, np.pi / 2 - b, l)]
+
+        # log10(T) at the interpolation frequencies per pixel
+        self._log_temps = np.array([
+            np.log10(np.broadcast_to(
+                np.maximum(model(f, self._gal_l, self._gal_b), 1e-30),
+                (self._n_pixels,)))
+            for f in self._interp_freqs])                    # [n_interp, P]
 
     @register_run()
-    def run(self, evt, station, det=None, passband=(10 * units.MHz, 1000 * units.MHz)):
-        impedance = 50 * units.ohm
-        for channel in station.iter_channels():
-            spec = np.array(channel.get_frequency_spectrum())
-            ff = channel.get_frequencies()
-            n = channel.get_number_of_samples()
-            fs = channel.get_sampling_rate()
-            df = ff[1] - ff[0]
-            band = (ff >= passband[0]) & (ff <= passband[1])
-            t_sky = cane_galactic_temperature(ff[band]) * units.kelvin
-            # noise spectral amplitude so that sum |S|^2 df = T k Z Delta f
-            sigma = np.sqrt(t_sky * boltzmann * impedance)
-            # NuRadioMC spectrum normalization: V/GHz amplitude density
-            amp = sigma * self._rng.rayleigh(1.0 / np.sqrt(2), band.sum())
-            phases = np.exp(1j * self._rng.random(band.sum()) * 2 * np.pi)
-            noise = np.zeros_like(spec)
-            noise[..., band] = amp * phases
-            channel.set_frequency_spectrum(spec + noise, fs)
+    def run(self, evt, station, det, passband=None, excluded_channels=None):
+        from nuradiomc_tpu.reco.efield_converters import get_channel_vel
+        from nuradiomc_tpu.reco.lofar import local_apparent_sidereal_time
+        from nuradiomc_tpu.utils.geometry import (fresnel_angle, fresnel_t_p,
+                                                  fresnel_t_s)
+
+        cids = [c for c in station.get_channel_ids()
+                if not excluded_channels or c not in excluded_channels]
+        ch0 = station.get_channel(cids[0])
+        ff = np.asarray(ch0.get_frequencies())
+        fs = ch0.get_sampling_rate()
+        if passband is None:
+            passband = [10 * units.MHz, 1000 * units.MHz]
+        band = (ff > passband[0]) & (ff < passband[1])
+
+        lat, lon = det.get_site_coordinates(station.get_id())
+        t_station = station.get_station_time()
+        if hasattr(t_station, "timestamp"):
+            t_station = t_station.timestamp()
+        lst = local_apparent_sidereal_time(float(t_station or 0.0), lon)
+
+        ra, dec = galactic_to_equatorial(self._gal_l, self._gal_b)
+        zenith, azimuth = equatorial_to_horizontal(ra, dec, lst, lat)
+        up = zenith < np.pi / 2
+
+        # log-quadratic interpolation of T to the trace frequencies [P, F]
+        logf = np.log10(np.maximum(ff[band], self._interp_freqs[0]))
+        temps = np.empty((self._n_pixels, band.sum()))
+        logfi = np.log10(self._interp_freqs)
+        for p in range(self._n_pixels):
+            temps[p] = 10 ** np.interp(logf, logfi, self._log_temps[:, p])
+
+        spectra = {c: np.array(station.get_channel(c).get_frequency_spectrum())
+                   for c in cids}
+        positions = {c: det.get_relative_position(station.get_id(), c)
+                     for c in cids}
+
+        for p in np.where(up)[0]:
+            zen, azi = zenith[p], azimuth[p]
+            # refraction into the ice for submerged antennas
+            fr_zen = fresnel_angle(zen, n_2=self._n_ice, n_1=self._n_air)
+            if np.isnan(fr_zen):
+                continue
+            t_theta = fresnel_t_p(zen, n_2=self._n_ice, n_1=self._n_air)
+            t_phi = fresnel_t_s(zen, n_2=self._n_ice, n_1=self._n_air)
+
+            amp = get_electric_field_from_temperature(
+                ff[band], temps[p], self._solid_angle)
+            phases = np.exp(1j * self._rng.uniform(0, 2 * np.pi, band.sum()))
+
+            for c in cids:
+                in_ice = positions[c][2] < 0
+                zen_c = float(fr_zen) if in_ice else zen
+                tt, tp = (t_theta, t_phi) if in_ice else (1.0, 1.0)
+                n_med = self._n_ice if in_ice else self._n_air
+                # plane-wave arrival delay wrt the station center
+                axis = np.array([np.sin(zen_c) * np.cos(azi),
+                                 np.sin(zen_c) * np.sin(azi),
+                                 np.cos(zen_c)])
+                dt = -(n_med / speed_of_light) * np.dot(positions[c], axis)
+                delay = np.exp(-2j * np.pi * ff[band] * dt)
+                pol = self._rng.uniform(0, 2 * np.pi, band.sum())
+                vt, vp = get_channel_vel(det, station.get_id(), c, ff,
+                                         zen_c, azi, self._reps)
+                spectra[c][band] += self._scaling * amp * phases * delay * (
+                    vt[band] * np.cos(pol) * tt + vp[band] * np.sin(pol) * tp)
+
+        for c in cids:
+            station.get_channel(c).set_frequency_spectrum(spectra[c], fs)
 
     def end(self):
         pass

@@ -130,17 +130,71 @@ def test_spherical_and_planewave_fitters():
     assert abs(st[stnp.zenith] - zen_true) < np.deg2rad(2.0)
 
 
+class _GalacticDet:
+    """Surface LPDA + shallow in-ice dipole at mooresbay."""
+
+    def get_site_coordinates(self, station_id):
+        return -78.74, 165.02
+
+    def get_relative_position(self, station_id, channel_id):
+        return np.array([3.0, 0.0, 1.0]) if channel_id == 0 \
+            else np.array([0.0, 0.0, -2.0])
+
+    def get_antenna_orientation(self, station_id, channel_id):
+        return np.deg2rad([180.0, 0.0, 90.0, 90.0])
+
+    def get_antenna_model(self, station_id, channel_id):
+        return "analytic_LPDA"
+
+
 def test_galactic_noise_spectral_shape():
     t = advanced.cane_galactic_temperature(np.array([30, 100, 300]) * units.MHz)
     assert t[0] > t[1] > t[2] > 0  # steeply falling with frequency
     assert 1e3 < t[0] < 1e6  # tens of MHz: thousands of kelvin
 
+
+def test_galactic_noise_directional_folding():
+    """Full sky-map folding (channelGalacticNoiseAdder.py:54-408): noise is
+    added with the Cane spectral shape, in-ice channels see the refracted
+    (Fresnel-transmitted) field, and the power scales with the sky model."""
     evt, st = Event(0, 0), Station(3)
+    for cid in (0, 1):
+        ch = Channel(cid)
+        ch.set_trace(np.zeros(4096), 2.0)
+        st.add_channel(ch)
+    evt.set_station(st)
+    st.set_station_time(1.4e9)  # unix seconds
+    det = _GalacticDet()
+
+    g = advanced.channelGalacticNoiseAdder()
+    g.begin(seed=1, n_pixels=64)
+    g.run(evt, st, det)
+    tr0 = np.array(st.get_channel(0).get_trace())
+    assert np.std(tr0) > 0
+    assert np.std(st.get_channel(1).get_trace()) > 0
+    # spectral content concentrated at low frequencies (steep Cane spectrum)
+    spec = np.abs(st.get_channel(0).get_frequency_spectrum())
+    ff = st.get_channel(0).get_frequencies()
+    low = spec[(ff > 0.02) & (ff < 0.1)].mean()
+    high = spec[(ff > 0.5) & (ff < 0.9)].mean()
+    assert low > 3 * high
+
+    # a 100x hotter sky gives ~10x the field amplitude
+    evt2, st2 = Event(0, 1), Station(3)
     ch = Channel(0)
     ch.set_trace(np.zeros(4096), 2.0)
-    st.add_channel(ch)
-    evt.set_station(st)
-    g = advanced.channelGalacticNoiseAdder()
-    g.begin(seed=1)
-    g.run(evt, st, None)
-    assert np.std(ch.get_trace()) > 0
+    st2.add_channel(ch)
+    evt2.set_station(st2)
+    st2.set_station_time(1.4e9)
+    g2 = advanced.channelGalacticNoiseAdder()
+    g2.begin(seed=1, n_pixels=64, skymodel=lambda f, l, b:
+             100 * advanced.cane_galactic_temperature(f) * units.kelvin)
+    g2.run(evt2, st2, det)
+    ratio = np.std(st2.get_channel(0).get_trace()) / np.std(tr0)
+    assert 7 < ratio < 13
+
+    # pixel grid is equal-area and the coordinate chain is consistent:
+    # a pixel at the NGP has dec ~ +27 deg
+    ra, dec = advanced.galactic_to_equatorial(np.array([0.0]), np.array([np.pi / 2]))
+    assert abs(np.rad2deg(dec[0]) - 27.13) < 0.01
+    assert abs(np.rad2deg(ra[0]) - 192.86) < 0.01
