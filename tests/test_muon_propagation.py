@@ -180,3 +180,39 @@ def test_tau_secondaries_in_eventlist():
     for g in np.unique(data["event_group_ids"][sec])[:5]:
         grp = data["event_group_ids"] == g
         assert len(np.unique(data["xx"][grp])) > 1
+
+
+def test_nuradio_proposal_api():
+    """NuRadioProposal-compatible wrapper (sim/nuradio_proposal.py): same
+    entry points as the reference's PROPOSAL interface, backed by the
+    stochastic propagators."""
+    from nuradiomc_tpu.sim.nuradio_proposal import ProposalFunctions, SecondaryProperties
+
+    pf = ProposalFunctions(seed=5)
+    # muons: losses only, time-ordered, codes in the private range
+    secs = pf.get_secondaries_array([1e19, 1e19], [13, -13],
+                                    min_energy_loss_nu=1e15,
+                                    propagation_length_nu=5000.0)
+    assert len(secs) == 2
+    assert all(isinstance(s, SecondaryProperties) for s in secs[0])
+    assert any(len(s) > 0 for s in secs)
+    for track in secs:
+        dists = [s.distance for s in track]
+        assert dists == sorted(dists)
+        assert all(s.code in (81, 83, 85) for s in track)
+        assert all(s.shower_type in ("em", "had") for s in track)
+        assert all(s.parent_energy == 1e19 for s in track)
+    # taus: decay products appear (hadrons code 86 or e- code 11)
+    secs_tau = pf.get_secondaries_array([1e18] * 30, [15] * 30,
+                                        min_energy_loss_nu=1e15,
+                                        propagation_length_nu=1e6)
+    codes = {s.code for track in secs_tau for s in track}
+    assert 86 in codes or 11 in codes
+    # get_decays: tau decay distances follow gamma*c*tau scale
+    decays = pf.get_decays([1e17] * 50, [15] * 50, propagation_length_nu=1e9)
+    dists = np.array([d for d, _ in decays if d is not None])
+    assert len(dists) > 40
+    assert 1000 < np.mean(dists) < 20000   # gamma c tau ~ 4.9 km at 1e17 eV
+    # non-tau inputs yield (None, None)
+    assert pf.get_decays([1e17], [13]) == [(None, None)]
+    str(secs_tau[0][0]) if secs_tau[0] else None
