@@ -288,6 +288,32 @@ class Simulation:
 
         inp = self.input
         group_ids, start, count, order = native.group_showers(inp.event_group_ids)
+
+        # split each group's showers into sub-events when their vertex times
+        # gap by more than split_event_time_diff (group_into_events,
+        # simulation.py:906-1016 — the reference splits on voltage-trace
+        # start times; vertex time is the dominant term for track
+        # secondaries, which are the only multi-time sources)
+        split_gap = float(self.config.get("split_event_time_diff", 1e6))
+        if np.any(count > 1):
+            from nuradiomc_tpu.sim.evtgen import group_into_events
+            new_order, new_start, new_count, new_gids = [], [], [], []
+            pos = 0
+            for g in range(len(group_ids)):
+                rows = order[start[g]:start[g] + count[g]]
+                sub = group_into_events(inp.vertex_times[rows], split_gap)
+                for s_idx in np.unique(sub):
+                    sel = rows[sub == s_idx]
+                    new_order.append(sel)
+                    new_start.append(pos)
+                    new_count.append(len(sel))
+                    new_gids.append(group_ids[g])
+                    pos += len(sel)
+            order = np.concatenate(new_order)
+            start = np.asarray(new_start, dtype=start.dtype)
+            count = np.asarray(new_count, dtype=count.dtype)
+            group_ids = np.asarray(new_gids, dtype=group_ids.dtype)
+
         G = len(group_ids)
         S = int(count.max())
         dt = np.float64 if jnp.dtype(self.dtype) == jnp.float64 else np.float32
@@ -444,7 +470,15 @@ class Simulation:
 
         n_events = int(self.input.attrs["n_events"])
         volume = float(self.input.attrs.get("volume", np.nan))
-        veff = volume * float(np.sum(eff_weights * triggered)) / n_events
+        # aggregate sub-events (time-gap splits) back to their parent event
+        # group so each primary contributes its weight at most once
+        # (output_writer_hdf5.py:350-381 per-shower OR semantics)
+        uniq, inv = np.unique(group_ids, return_inverse=True)
+        trig_parent = np.zeros(len(uniq), dtype=bool)
+        np.logical_or.at(trig_parent, inv, triggered)
+        w_parent = np.zeros(len(uniq))
+        w_parent[inv] = eff_weights
+        veff = volume * float(np.sum(w_parent * trig_parent)) / n_events
 
         results = {
             "group_ids": group_ids,
@@ -453,7 +487,7 @@ class Simulation:
             "max_amplitude": max_amp,
             "trigger_times": trigger_times,
             "veff": veff,
-            "n_triggered": int(np.sum(triggered)),
+            "n_triggered": int(np.sum(trig_parent)),
         }
 
         if self.outputfilename is not None:

@@ -24,6 +24,9 @@ DEFAULT_CONFIG: dict = {
     "noise": False,
     "sampling_rate": 5.0,  # GHz, internal simulation sampling rate
     "seed": 1235,
+    # minimal time difference (ns) between signal start times to split an
+    # event group into separate events (config_default.yaml:8)
+    "split_event_time_diff": 1e6,
     "speedup": {
         "minimum_weight_cut": 1e-5,
         "delta_C_cut": 0.698,  # 40 deg

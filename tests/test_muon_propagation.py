@@ -216,3 +216,55 @@ def test_nuradio_proposal_api():
     # non-tau inputs yield (None, None)
     assert pf.get_decays([1e17], [13]) == [(None, None)]
     str(secs_tau[0][0]) if secs_tau[0] else None
+
+
+def test_time_gap_event_splitting(tmp_path):
+    """Showers of one event group separated by >split_event_time_diff are
+    simulated as separate events (group_into_events semantics,
+    simulation.py:906-1016): a far-displaced late secondary must not share a
+    trace window with the prompt shower, and the group weight counts once."""
+    import h5py
+    import jax.numpy as jnp
+    from test_e2e import DETECTOR
+    from nuradiomc_tpu.sim.simulation import FilterStage, Simulation, TriggerSpec
+
+    # two showers in one group: identical prompt positions + one 3 km / 10 us
+    # late secondary
+    infile = str(tmp_path / "in.hdf5")
+    with h5py.File(infile, "w") as f:
+        f["event_group_ids"] = np.array([1, 1, 2])
+        f["xx"] = np.array([0.0, 0.0, 100.0])
+        f["yy"] = np.array([0.0, 3000.0, 0.0])
+        f["zz"] = np.array([-500.0, -500.0, -600.0])
+        f["vertex_times"] = np.array([0.0, 1.2e4, 0.0])
+        f["azimuths"] = np.zeros(3)
+        f["zeniths"] = np.full(3, np.pi / 2)
+        f["energies"] = np.full(3, 1e18)
+        f["shower_energies"] = np.full(3, 1e18)
+        f["flavors"] = np.array([14, 14, 14])
+        f["n_interaction"] = np.array([1, 2, 1])
+        f["interaction_type"] = np.array([b"cc", b"had", b"cc"])
+        f["inelasticity"] = np.full(3, 0.5)
+        f["shower_type"] = np.array([b"had", b"had", b"had"])
+        f["shower_ids"] = np.arange(3)
+        f.attrs["n_events"] = 2
+        f.attrs["volume"] = 1e9
+        f.attrs["thetamin"] = 0.0
+        f.attrs["thetamax"] = np.pi
+
+    sim = Simulation(
+        infile, DETECTOR,
+        config={"sampling_rate": 2.0, "split_event_time_diff": 1e3,
+                "propagation": {"ice_model": "southpole_2015"},
+                "signal": {"model": "Alvarez2000"}},
+        filter_chain=[FilterStage((80 * units.MHz, 1000 * units.GHz), "butter", {"order": 2}),
+                      FilterStage((0, 500 * units.MHz), "butter", {"order": 10})],
+        trigger=TriggerSpec(threshold_high_sigma=2.0, threshold_low_sigma=-2.0),
+        antenna_replacements={"XFDTD_Vpol_CrossFeed_150mmHole_n1.78": "analytic_VPol"},
+        chunk_size=8, dtype=jnp.float64)
+    res = sim.run()
+    # group 1 split into two sub-events + group 2 -> 3 rows
+    assert len(res["group_ids"]) == 3
+    assert list(res["group_ids"]).count(1) == 2
+    # weight of group 1 enters the Veff sum at most once
+    assert res["n_triggered"] <= 2
