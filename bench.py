@@ -32,28 +32,34 @@ def main():
         n_groups=n_groups, n_showers=2, n_channels=1,
         n_internal=512, n_base=2048)
 
-    step = jax.jit(
-        lambda b: jnp.sum(simulate_batch(b, ch, settings).triggered.astype(jnp.int32)))
+    # Each host->device dispatch through the device tunnel costs ~70-110 ms
+    # (measured with a no-op jit), which would dominate a per-call loop. Run
+    # the production pattern instead: k pipeline steps inside ONE jitted
+    # fori_loop (fresh batch each step via an i-dependent energy jitter so
+    # XLA cannot hoist the body), one trigger-count readback per block.
+    # Repeat blocks and take the best (the shared chip drifts ~2x with
+    # thermal / neighbor load; the min reflects the pipeline itself).
+    k_steps = 5
 
+    def block(b):
+        def body(i, acc):
+            bb = b._replace(energies=b.energies
+                            * (1.0 + 1e-7 * i.astype(b.energies.dtype)))
+            out = simulate_batch(bb, ch, settings)
+            return acc + jnp.sum(out.triggered.astype(jnp.int32))
+        return jax.lax.fori_loop(0, k_steps, body, jnp.int32(0))
+
+    step = jax.jit(block)
     # compile + warmup; int() forces a host readback so timing can't be
     # fooled by async dispatch through the device tunnel
     int(step(batch))
 
-    # A single host readback through the device tunnel costs ~70 ms (measured
-    # with a no-op jit), so per-iteration syncs would understate the pipeline
-    # by ~25%. Dispatch a block of iterations asynchronously — as a real
-    # production loop does — and force ONE readback of the summed trigger
-    # counts at the end (the data dependency syncs every step). Repeat the
-    # block and take the best block rate (the shared chip drifts 2x with
-    # thermal/neighbor load; the min reflects the pipeline itself).
-    n_iter = 5
     n_blocks = 3
     rates = []
     for _ in range(n_blocks):
         t0 = time.perf_counter()
-        totals = [step(batch) for _ in range(n_iter)]
-        int(sum(totals))
-        rates.append(n_groups * n_iter / (time.perf_counter() - t0))
+        int(step(batch))
+        rates.append(n_groups * k_steps / (time.perf_counter() - t0))
 
     events_per_sec = float(np.max(rates))
     result = {
