@@ -434,13 +434,23 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     # candidate cut: a group is only simulated/triggered if at least one
     # efield exceeds min_efield_amplitude (simulation.py:283-286, speedup
     # min_efield_amplitude; the reference skips such stations entirely)
-    ef_traces = fft.freq2time(jnp.stack([e_theta, e_phi]), s.sampling_rate,
-                              n=s.n_internal)
-    ef_max = jnp.max(jnp.abs(ef_traces), axis=(0, -1))          # [G,S,C,2]
-    ef_max = jnp.where(valid, ef_max, 0.0)
-    candidate = jnp.any(ef_max > ch.min_efield_amplitude[None, None, :, None],
-                        axis=(1, 2, 3))                          # [G]
-    candidate = candidate | jnp.all(ch.min_efield_amplitude <= 0)
+    cut_statically_off = isinstance(ch.min_efield_amplitude, np.ndarray) \
+        and bool(np.all(ch.min_efield_amplitude <= 0))
+    if cut_statically_off:
+        # candidate cut disabled: skip the efield time-domain round trip
+        # entirely (only when ChannelParams leaves are host numpy — under a
+        # jit-traced ChannelParams the dynamic path below is used)
+        ef_max = jnp.zeros(bshape, dtype=real_dtype)
+        candidate = jnp.ones((G,), dtype=bool)
+    else:
+        ef_traces = fft.freq2time(jnp.stack([e_theta, e_phi]), s.sampling_rate,
+                                  n=s.n_internal)
+        ef_max = jnp.max(jnp.abs(ef_traces), axis=(0, -1))      # [G,S,C,2]
+        ef_max = jnp.where(valid, ef_max, 0.0)
+        candidate = jnp.any(
+            ef_max > ch.min_efield_amplitude[None, None, :, None],
+            axis=(1, 2, 3))                                      # [G]
+        candidate = candidate | jnp.all(ch.min_efield_amplitude <= 0)
 
     # ---- 6. antenna response (VEL dot product) -----------------------------
     zen_r, az_r = geometry.cartesian_to_spherical(receive)         # [G,S,C,2]
@@ -470,10 +480,11 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     # the filter/amp chain on each per-efield SimChannel before measuring
     # amplitudes, simulation.py:465-527 + channelSignalReconstructor)
     sol_spec_filtered = volt_spec * ch.filter_response_int[None, None, :, None, :]
-    sol_traces = fft.freq2time(sol_spec_filtered, s.sampling_rate, n=s.n_internal)
     # ... and the observable is the Hilbert-envelope maximum
-    # (simulation._calculate_amp_per_ray_solution:1868-1886)
-    max_amp_sol = jnp.max(trace_ops.hilbert_envelope(sol_traces), axis=-1)
+    # (simulation._calculate_amp_per_ray_solution:1868-1886); computed
+    # straight from the spectrum (one complex ifft, no time-domain round trip)
+    max_amp_sol = jnp.max(trace_ops.hilbert_envelope_from_rfft(
+        sol_spec_filtered, s.n_internal, s.sampling_rate), axis=-1)
 
     # ---- 7. placement into the common time base ----------------------------
     # trace start: center of trace = vertex time + travel time (simulation.py:262-272)
