@@ -61,3 +61,13 @@ def test_multichip_example(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "mesh: {'event': 4, 'channel': 2}" in r.stdout
     assert "triggered" in r.stdout
+
+
+def test_rnog_station_example(tmp_path):
+    r = _run(os.path.join(REPO, "examples", "06_rno_g_station",
+                          "run_rnog_station.py"), ["120"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "deep PA:" in r.stdout
+    assert "FLOWER board" in r.stdout
+    assert "surface trigger fired: True" in r.stdout
+    assert "hit filter -> True" in r.stdout
