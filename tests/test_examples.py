@@ -71,3 +71,11 @@ def test_rnog_station_example(tmp_path):
     assert "FLOWER board" in r.stdout
     assert "surface trigger fired: True" in r.stdout
     assert "hit filter -> True" in r.stdout
+
+
+def test_snr_curves_example(tmp_path):
+    r = _run(os.path.join(REPO, "examples", "07_snr_curves",
+                          "run_snr_curves.py"), ["60"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "threshold tuned" in r.stdout
+    assert "saved snr_curve.npz" in r.stdout
