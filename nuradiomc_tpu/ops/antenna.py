@@ -144,6 +144,26 @@ def _lpda_sector(kind, theta_a):
     return jnp.where(kind == KIND_LPDA, sector, 0)
 
 
+def analytic_vel_mix(zenith, azimuth, rot, kind):
+    """Frequency-independent part of :func:`analytic_vel`:
+    (mix_theta, mix_phi, template_sector). Splitting this out lets batched
+    callers gather the (small) frequency templates ONCE instead of
+    broadcasting them per element."""
+    v_global = geometry.spherical_to_cartesian(zenith, azimuth)
+    v_ant = rot @ v_global
+    theta_a, phi_a = geometry.cartesian_to_spherical(v_ant)
+
+    d_theta, d_phi = _direction_factors(kind, theta_a, phi_a)
+
+    B_out = geometry.onsky_basis(zenith, azimuth)
+    B_ant = geometry.onsky_basis(theta_a, phi_a)
+    M = B_out @ rot.T @ B_ant.T
+
+    mix_theta = M[1, 1] * d_theta + M[1, 2] * d_phi
+    mix_phi = M[2, 1] * d_theta + M[2, 2] * d_phi
+    return mix_theta, mix_phi, _lpda_sector(kind, theta_a)
+
+
 def analytic_vel(zenith, azimuth, rot, templates, kind):
     """On-sky VEL (theta, phi components) of an analytic antenna.
 

@@ -455,20 +455,20 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     # ---- 6. antenna response (VEL dot product) -----------------------------
     zen_r, az_r = geometry.cartesian_to_spherical(receive)         # [G,S,C,2]
 
-    def vel_one(zen, az, rot, templates, kind):
-        return antenna.analytic_vel(zen, az, rot, templates, kind)
-
+    # frequency-independent mixing factors per element, then ONE gather of
+    # the small [C, n_sector, F] templates (avoids materializing a
+    # [G,S,C,2,n_sector,F] broadcast of the templates)
     rot_b = jnp.broadcast_to(ch.rot[None, None, :, None, :, :], (*bshape, 3, 3))
-    tpl_b = jnp.broadcast_to(ch.templates[None, None, :, None, :, :],
-                             (*bshape, *ch.templates.shape[1:]))
     kind_b = jnp.broadcast_to(ch.kind[None, None, :, None], bshape)
-    vel_t, vel_p = jax.vmap(vel_one)(
-        flat(zen_r), flat(az_r),
-        rot_b.reshape(-1, 3, 3),
-        tpl_b.reshape(-1, *ch.templates.shape[1:]),
-        flat(kind_b))
-    vel_t = vel_t.reshape(*bshape, -1)
-    vel_p = vel_p.reshape(*bshape, -1)
+    mix_t, mix_p, sector = jax.vmap(antenna.analytic_vel_mix)(
+        flat(zen_r), flat(az_r), rot_b.reshape(-1, 3, 3), flat(kind_b))
+    mix_t = mix_t.reshape(bshape)
+    mix_p = mix_p.reshape(bshape)
+    sector = sector.reshape(bshape)
+    c_idx = jnp.broadcast_to(jnp.arange(C)[None, None, :, None], bshape)
+    T = jnp.asarray(ch.templates)[c_idx, sector]                   # [G,S,C,2,F]
+    vel_t = T * mix_t[..., None]
+    vel_p = T * mix_p[..., None]
 
     volt_spec = vel_t * e_theta + vel_p * e_phi                    # [G,S,C,2,F]
     volt_spec = jnp.where(valid[..., None], volt_spec, 0.0)
