@@ -236,6 +236,76 @@ def _bracketed_solve(f, lo, hi, f_lo, n_bisect: int):
     return 0.5 * (a + b)
 
 
+_GOLDEN_ITERS = 48
+_INV_PHI = 0.6180339887498949
+
+
+def _golden_min(f, lo, hi, n_iter: int = _GOLDEN_ITERS):
+    """Argmin of a unimodal f on [lo, hi] by golden-section (fixed trip count)."""
+    a, b = lo, hi
+    c = b - _INV_PHI * (b - a)
+    d = a + _INV_PHI * (b - a)
+    fc, fd = f(c), f(d)
+
+    def body(_, st):
+        a, b, c, d, fc, fd = st
+        # <= tie-break: the advance is exactly flat (in f64) over most of the
+        # wide logC0 domain; a strict < would walk the bracket into the
+        # plateau on the right instead of keeping the minimum on the left
+        left = fc <= fd
+        a2 = jnp.where(left, a, c)
+        b2 = jnp.where(left, d, b)
+        c2 = b2 - _INV_PHI * (b2 - a2)
+        d2 = a2 + _INV_PHI * (b2 - a2)
+        # only one of (c2, d2) is a new point; evaluate both for simplicity
+        return a2, b2, c2, d2, f(c2), f(d2)
+
+    a, b, _, _, _, _ = jax.lax.fori_loop(0, n_iter, body, (a, b, c, d, fc, fd))
+    return 0.5 * (a + b)
+
+
+def _solve_branch_pair(f_direct, f_mirror, lo0, hi0, n_bisect: int):
+    """Up to two roots of the (direct, mirror) branch pair of one path family.
+
+    The direct branch (final leg rising) is strictly monotone: at most one
+    root. The mirror branch (final leg descending after the turn) is
+    *unimodal* but NOT monotone: near the shadow boundary both physical
+    solutions sit on it (the reference's combined delta_y objective finds them
+    as the root pair around its maximum, find_solutions:1500-1543). We locate
+    the mirror branch's minimum by golden-section and bisect each side.
+
+    Since advance_mirror(C0_min) == advance_direct(C0_min) (the turning point
+    sits exactly at the receiver, so the descending leg has zero length), a
+    direct root existing implies f_mirror(lo0) < 0 and the low-side mirror
+    root cannot coexist with it: the layout stays 2 slots.
+
+    Returns (root0, valid0, mirror0, root1, valid1); root1 is always mirror.
+    """
+    def bisect(f, lo, hi, f_lo):
+        return _bracketed_solve(f, lo, hi, f_lo, n_bisect)
+
+    fd_lo = f_direct(lo0)
+    fd_hi = f_direct(hi0)
+    has_direct = jnp.sign(fd_lo) != jnp.sign(fd_hi)
+    r_direct = bisect(f_direct, lo0, hi0, fd_lo)
+
+    mid = _golden_min(f_mirror, lo0, hi0)
+    fm_lo = f_mirror(lo0)
+    fm_mid = f_mirror(mid)
+    fm_hi = f_mirror(hi0)
+    has_m_hi = jnp.sign(fm_mid) != jnp.sign(fm_hi)
+    r_m_hi = bisect(f_mirror, mid, hi0, fm_mid)
+    has_m_lo = (jnp.sign(fm_lo) != jnp.sign(fm_mid)) & ~has_direct
+    r_m_lo = bisect(f_mirror, lo0, mid, fm_lo)
+
+    # grazing (tangent) geometry: both branches touch zero at C0_min
+    tangent = (~has_direct) & (~has_m_lo) & (jnp.abs(fd_lo) < _TANGENT_TOL)
+    root0 = jnp.where(has_direct, r_direct, jnp.where(has_m_lo, r_m_lo, lo0))
+    valid0 = has_direct | has_m_lo | tangent
+    mirror0 = ~has_direct & has_m_lo
+    return root0, valid0, mirror0, r_m_hi, has_m_hi
+
+
 def _solve_two_roots(x1y, x1z, x2y, x2z, ice: IceModelSimple, n_bisect: int):
     """Find the two ray-tracing roots (direct + mirror branch) for one geometry.
 
@@ -254,26 +324,13 @@ def _solve_two_roots(x1y, x1z, x2y, x2z, ice: IceModelSimple, n_bisect: int):
     lo0 = _logc0_min(x2z, ice) + eps
     hi0 = jnp.asarray(_LOGC0_HI, x1y.dtype)
 
-    def bisect(f, lo, hi, f_lo):
-        return _bracketed_solve(f, lo, hi, f_lo, n_bisect)
+    # observables downstream self-classify from the C0 geometry, so the
+    # mirror0 flag is not needed here
+    root0, valid0, _, root1, valid1 = _solve_branch_pair(
+        f_direct, f_mirror, lo0, hi0, n_bisect)
 
-    fd_lo = f_direct(lo0)
-    fd_hi = f_direct(hi0)
-    fm_lo = f_mirror(lo0)
-    fm_hi = f_mirror(hi0)
-
-    has_direct = jnp.sign(fd_lo) != jnp.sign(fd_hi)
-    has_mirror = jnp.sign(fm_lo) != jnp.sign(fm_hi)
-
-    r_direct = bisect(f_direct, lo0, hi0, fd_lo)
-    r_mirror = bisect(f_mirror, lo0, hi0, fm_lo)
-
-    # grazing (tangent) geometry: both branches touch zero at C0_min
-    tangent = (~has_direct) & (jnp.abs(fd_lo) < _TANGENT_TOL)
-    r_direct = jnp.where(has_direct, r_direct, lo0)
-
-    roots = jnp.stack([r_direct, r_mirror])
-    valid = jnp.stack([has_direct | tangent, has_mirror])
+    roots = jnp.stack([root0, root1])
+    valid = jnp.stack([valid0, valid1])
     # sort the two slots by C0 ascending (reference find_solutions:1547),
     # pushing invalid slots last
     key = jnp.where(valid, roots, jnp.inf)
@@ -314,25 +371,28 @@ def _advance_general(logc0, x1z, x2z, ice: IceModelSimple, r: int, case: int,
 
 def _solve_reflection_roots(x1y, x1z, x2y, x2z, ice: IceModelSimple,
                             r: int, case: int, n_bisect: int):
-    """Roots (direct-final-leg, mirror-final-leg) for an r-bounce path."""
+    """Roots (direct-final-leg, mirror-final-leg) for an r-bounce path.
+
+    Returns (logc0[2], valid[2], is_mirror[2]): near the shadow boundary both
+    solutions can sit on the mirror branch (see _solve_branch_pair), in which
+    case slot 0 carries a mirror root and is_mirror[0] is True.
+    """
     x1y, x1z, x2y, x2z = map(jnp.asarray, (x1y, x1z, x2y, x2z))
     dy_target = x2y - x1y
     eps = jnp.asarray(1e-12 if x1y.dtype == jnp.float64 else 1e-5, x1y.dtype)
     lo0 = _logc0_min(x2z, ice) + eps
     hi0 = jnp.asarray(_LOGC0_HI, x1y.dtype)
 
-    def bisect(f, lo, hi, f_lo):
-        return _bracketed_solve(f, lo, hi, f_lo, n_bisect)
+    def f_direct(lg):
+        return dy_target - _advance_general(lg, x1z, x2z, ice, r, case, False)
 
-    roots, valid = [], []
-    for mirror in (False, True):
-        f = lambda lg: dy_target - _advance_general(lg, x1z, x2z, ice, r, case, mirror)
-        f_lo = f(lo0)
-        f_hi = f(hi0)
-        has = jnp.sign(f_lo) != jnp.sign(f_hi)
-        roots.append(bisect(f, lo0, hi0, f_lo))
-        valid.append(has)
-    return jnp.stack(roots), jnp.stack(valid)
+    def f_mirror(lg):
+        return dy_target - _advance_general(lg, x1z, x2z, ice, r, case, True)
+
+    root0, valid0, mirror0, root1, valid1 = _solve_branch_pair(
+        f_direct, f_mirror, lo0, hi0, n_bisect)
+    return (jnp.stack([root0, root1]), jnp.stack([valid0, valid1]),
+            jnp.stack([mirror0, jnp.ones_like(mirror0)]))
 
 
 def path_length_general(c0, x1z, x2z, ice: IceModelSimple, r, case, mirror):
@@ -433,23 +493,31 @@ def find_solutions_all(x1y, x1z, x2y, x2z, ice: IceModelSimple,
     parts = [base]
     for r in range(1, n_reflections + 1):
         for case in (1, 2):
-            logc0, valid = _solve_reflection_roots(x1y, x1z, x2y, x2z, ice, r, case, n_bisect)
+            logc0, valid, is_mirror = _solve_reflection_roots(
+                x1y, x1z, x2y, x2z, ice, r, case, n_bisect)
             c0 = _c0_from_log(logc0, ice.n_ice)
             c1 = _c1_of(x1y, x1z, c0, ice)
             slots = []
-            for k, mirror in enumerate((False, True)):
+            for k in range(2):
                 c0k = c0[k]
+                mk = is_mirror[k]
                 _, z_turn = _turning_point(c0k, ice)
-                sol_type = jnp.where(mirror,
+                sol_type = jnp.where(mk,
                                      jnp.where(z_turn >= 0, SOL_REFLECTED, SOL_REFRACTED),
                                      SOL_DIRECT)
+
+                def pick(fn):
+                    return jnp.where(mk, fn(True), fn(False))
+
                 slots.append(RaySolutions(
                     c0=c0k, c1=c1[k], mask=valid[k],
                     sol_type=jnp.where(valid[k], sol_type, 0),
                     launch_angle=launch_angle_general(c0k, x1z, ice, case),
-                    receive_angle=receive_angle_general(c0k, x2z, ice, mirror),
-                    path_length=path_length_general(c0k, x1z, x2z, ice, r, case, mirror),
-                    travel_time=travel_time_general(c0k, x1z, x2z, ice, r, case, mirror),
+                    receive_angle=pick(lambda m: receive_angle_general(c0k, x2z, ice, m)),
+                    path_length=pick(lambda m: path_length_general(
+                        c0k, x1z, x2z, ice, r, case, m)),
+                    travel_time=pick(lambda m: travel_time_general(
+                        c0k, x1z, x2z, ice, r, case, m)),
                     reflection=jnp.full_like(sol_type, r),
                     refl_case=jnp.full_like(sol_type, case),
                 ))
