@@ -203,6 +203,14 @@ class Detector:
         idx = int(np.where(ch.channel_ids == channel_id)[0][0])
         return ch.antenna_model[idx]
 
+    def get_channel_group_id(self, station_id: int, channel_id: int):
+        """Group id of a channel; falls back to the channel id when the
+        description carries none (detector_base.get_channel_group_id:957-977).
+        Used to pair orthogonally-polarized antennas sharing one structure."""
+        ch = self._raw_channels.get((int(station_id), int(channel_id)), {})
+        gid = ch.get("channel_group_id")
+        return int(channel_id) if gid is None else int(gid)
+
     def get_site(self, station_id: int) -> str:
         """Site name (detector_base.get_site)."""
         return self._stations[station_id].site

@@ -444,6 +444,83 @@ class channelGalacticNoiseAdder:
         pass
 
 
+class efieldGalacticNoiseAdder(channelGalacticNoiseAdder):
+    """Galactic noise added to the station's ``ElectricField`` objects
+    instead of channel voltages (modules/efieldGalacticNoiseAdder.py:11-167).
+
+    Shares the sky model / pixelization / temperature interpolation machinery
+    with channelGalacticNoiseAdder; per pixel the on-sky (eTheta, ePhi) noise
+    spectrum with a random polarization and plane-wave delay is summed onto
+    every efield (no antenna folding — that is downstream)."""
+
+    @register_run()
+    def run(self, evt, station, det, passband=None):
+        from nuradiomc_tpu.reco.lofar import local_apparent_sidereal_time
+        from nuradiomc_tpu.utils.geometry import (fresnel_angle, fresnel_t_p,
+                                                  fresnel_t_s)
+
+        efields = station.get_electric_fields()
+        if not efields:
+            return
+        ff = np.asarray(efields[0].get_frequencies())
+        for ef in efields[1:]:
+            if not np.allclose(ff, ef.get_frequencies(), rtol=0,
+                               atol=0.1 * units.MHz):
+                raise ValueError("all efields must share one frequency grid")
+        fs = efields[0].get_sampling_rate()
+        if passband is None:
+            passband = [10 * units.MHz, 1000 * units.MHz]
+        band = (ff > passband[0]) & (ff < passband[1])
+
+        lat, lon = det.get_site_coordinates(station.get_id())
+        t_station = station.get_station_time()
+        if hasattr(t_station, "timestamp"):
+            t_station = t_station.timestamp()
+        lst = local_apparent_sidereal_time(float(t_station or 0.0), lon)
+
+        ra, dec = galactic_to_equatorial(self._gal_l, self._gal_b)
+        zenith, azimuth = equatorial_to_horizontal(ra, dec, lst, lat)
+        up = zenith < np.pi / 2
+
+        logf = np.log10(np.maximum(ff[band], self._interp_freqs[0]))
+        logfi = np.log10(self._interp_freqs)
+
+        spectra = {ef.get_unique_identifier():
+                   np.array(ef.get_frequency_spectrum()) for ef in efields}
+        for p in np.where(up)[0]:
+            zen, azi = zenith[p], azimuth[p]
+            fr_zen = fresnel_angle(zen, n_2=self._n_ice, n_1=self._n_air)
+            if np.isnan(fr_zen):
+                continue
+            t_theta = fresnel_t_p(zen, n_2=self._n_ice, n_1=self._n_air)
+            t_phi = fresnel_t_s(zen, n_2=self._n_ice, n_1=self._n_air)
+
+            temps = 10 ** np.interp(logf, logfi, self._log_temps[:, p])
+            amp = get_electric_field_from_temperature(ff[band], temps,
+                                                      self._solid_angle)
+            phases = np.exp(1j * self._rng.uniform(0, 2 * np.pi, band.sum()))
+
+            for ef in efields:
+                pos = np.asarray(ef.get_position() if ef.get_position()
+                                 is not None else (0.0, 0.0, 0.0))
+                in_ice = pos[2] < 0
+                zen_e = float(fr_zen) if in_ice else zen
+                tt, tp = (t_theta, t_phi) if in_ice else (1.0, 1.0)
+                n_med = self._n_ice if in_ice else self._n_air
+                axis = np.array([np.sin(zen_e) * np.cos(azi),
+                                 np.sin(zen_e) * np.sin(azi),
+                                 np.cos(zen_e)])
+                dt = -(n_med / speed_of_light) * np.dot(pos, axis)
+                delay = np.exp(-2j * np.pi * ff[band] * dt)
+                pol = self._rng.uniform(0, 2 * np.pi, band.sum())
+                s = spectra[ef.get_unique_identifier()]
+                s[1][band] += self._scaling * amp * phases * delay * np.cos(pol) * tt
+                s[2][band] += self._scaling * amp * phases * delay * np.sin(pol) * tp
+
+        for ef in efields:
+            ef.set_frequency_spectrum(spectra[ef.get_unique_identifier()], fs)
+
+
 def get_electric_field_from_temperature(frequencies, noise_temperature,
                                         solid_angle):
     """Rayleigh-Jeans E-field amplitude per frequency bin

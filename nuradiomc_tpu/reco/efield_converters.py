@@ -231,6 +231,146 @@ class electricFieldSignalReconstructor:
         pass
 
 
+def _refractive_index_for_signal(det, station_id, channel_id, sim_zenith):
+    """Medium index at the antenna for a signal from above/below
+    (utilities/ice.get_refractive_index semantics)."""
+    site = str(det.get_site(station_id)).lower()
+    if site in ("lofar", "auger", "ska"):
+        return 1.000293
+    if sim_zenith is not None and sim_zenith > np.pi / 2:      # from below: ice
+        return 1.3
+    return 1.000293
+
+
+def calculate_time_shift_for_cosmic_ray(det, sim_station, efield, channel_id):
+    """Plane-wave arrival delay of one efield at a displaced antenna
+    (efieldToVoltageConverter.calculate_time_shift_for_cosmic_ray:382-422)."""
+    from nuradiomc_tpu.reco.direction import get_time_delay_from_direction
+
+    station_id = sim_station.get_id()
+    zen = sim_station[stnp.zenith] if sim_station.has_parameter(stnp.zenith) \
+        else efield[efp.zenith]
+    n = _refractive_index_for_signal(det, station_id, channel_id, zen)
+    rel = (np.asarray(det.get_relative_position(station_id, channel_id))
+           - np.asarray(efield.get_position()))
+    return get_time_delay_from_direction(
+        efield[efp.zenith], efield[efp.azimuth], rel, n)
+
+
+class efieldToVoltageConverterPerEfield:
+    """Antenna folding per electric field: one SimChannel per (channel,
+    efield) so every shower/ray contribution stays separately inspectable
+    (modules/efieldToVoltageConverterPerEfield.py:15-108)."""
+
+    def begin(self, antenna_replacements=None):
+        self._reps = antenna_replacements or {}
+
+    @register_run()
+    def run(self, evt, station, det):
+        sim_station = station.get_sim_station() \
+            if hasattr(station, "get_sim_station") else station
+        if sim_station is None or len(sim_station.get_electric_fields()) == 0:
+            raise LookupError(f"station {station.get_id()} has no efields")
+        station_id = sim_station.get_id()
+
+        for channel_id in det.get_channel_ids(station_id):
+            pos_ch = np.asarray(det.get_relative_position(station_id, channel_id))
+            for ef in sim_station.get_electric_fields_for_channels([channel_id]):
+                from nuradiomc_tpu.framework.event import SimChannel
+
+                sim_channel = SimChannel(channel_id, shower_id=ef.get_shower_id(),
+                                         ray_tracing_id=ef.get_ray_tracing_solution_id())
+                if ef.has_parameter(efp.ray_path_type):
+                    sim_channel[chp.signal_ray_type] = ef[efp.ray_path_type]
+
+                ff = ef.get_frequencies()
+                spec = np.asarray(ef.get_frequency_spectrum())
+                vt, vp = get_channel_vel(det, station_id, channel_id, ff,
+                                         ef[efp.zenith], ef[efp.azimuth], self._reps)
+                volt_spec = vt * spec[1] + vp * spec[2]
+                volt_spec[ff < 5 * units.MHz] = 0  # remove DC (:87)
+
+                # cosmic-ray style: one efield shared by displaced antennas
+                if np.linalg.norm(pos_ch - np.asarray(ef.get_position())) > 0.01 * units.mm:
+                    shift = calculate_time_shift_for_cosmic_ray(
+                        det, sim_station, ef, channel_id)
+                else:
+                    shift = 0.0
+                sim_channel.set_frequency_spectrum(volt_spec, ef.get_sampling_rate())
+                sim_channel.set_trace_start_time(ef.get_trace_start_time() + shift)
+                sim_station.add_channel(sim_channel)
+
+    def end(self):
+        pass
+
+
+def select_channels_per_station(det, station_id, requested_channel_ids):
+    """channel_group_id -> [channel ids] mapping
+    (modules/io/coreas/readCoREASDetector.select_channels_per_station)."""
+    groups = {}
+    for cid in requested_channel_ids:
+        gid = det.get_channel_group_id(station_id, cid)
+        groups.setdefault(gid, []).append(cid)
+    return groups
+
+
+class voltageToEfieldConverterPerChannelGroup:
+    """Unfold E(f) per channel *group* — two orthogonally polarized antennas
+    in one mechanical structure (LOFAR/Auger style), analytic 2x2 inverse per
+    frequency bin (modules/voltageToEfieldConverterPerChannelGroup.py:12-106)."""
+
+    def begin(self, use_MC_direction=False, antenna_replacements=None):
+        self._use_mc = use_MC_direction
+        self._reps = antenna_replacements or {}
+
+    @register_run()
+    def run(self, evt, station, det):
+        if self._use_mc:
+            sim = station.get_sim_station()
+            if sim is None or not sim.has_parameter(stnp.zenith):
+                raise ValueError("MC direction requested but no simulation present")
+            zenith, azimuth = sim[stnp.zenith], sim[stnp.azimuth]
+        else:
+            zenith, azimuth = station[stnp.zenith], station[stnp.azimuth]
+
+        station_id = station.get_id()
+        all_ids = station.get_channel_ids()
+        ch0 = station.get_channel(all_ids[0])
+        ff = np.asarray(ch0.get_frequencies())
+        fs = ch0.get_sampling_rate()
+
+        for gid, use_channels in select_channels_per_station(
+                det, station_id, all_ids).items():
+            pos = np.mean([det.get_relative_position(station_id, cid)
+                           for cid in use_channels], axis=0)
+            factor = np.array([
+                get_channel_vel(det, station_id, cid, ff, zenith, azimuth, self._reps)
+                for cid in use_channels])                     # (n_ch, 2, F)
+            V = np.array([np.asarray(station.get_channel(cid).get_frequency_spectrum())
+                          for cid in use_channels])
+
+            E1 = np.zeros_like(V[0])
+            E2 = np.zeros_like(V[0])
+            # first/second and first/last pairings, as the reference (:86-96)
+            for j in (1, -1):
+                denom = factor[0, 0] * factor[j, 1] - factor[0, 1] * factor[j, 0]
+                mask = np.abs(denom) != 0
+                E1[mask] = (V[0] * factor[j, 1] - V[j] * factor[0, 1])[mask] / denom[mask]
+                E2[mask] = (V[j] - factor[j, 0] * E1)[mask] / factor[j, 1][mask]
+
+            efield = ElectricField(use_channels, pos)
+            efield.set_frequency_spectrum(
+                np.array([np.zeros_like(E1), E1, E2]), fs)
+            efield.set_trace_start_time(
+                station.get_channel(use_channels[0]).get_trace_start_time())
+            efield[efp.zenith] = zenith
+            efield[efp.azimuth] = azimuth
+            station.add_electric_field(efield)
+
+    def end(self):
+        pass
+
+
 class voltageToEfieldConverterPerChannel:
     """Per-channel antenna unfolding assuming a single polarization fraction
     (modules/voltageToEfieldConverterPerChannel.py:28-81): every channel gets
