@@ -39,6 +39,10 @@ class EventInput:
     inelasticity: np.ndarray
     vertex_times: np.ndarray
     attrs: dict
+    # persisted per-shower signal-model realizations of a previous run
+    # (simulation.py:737-740); None when absent from the input file
+    shower_realization_Alvarez2009: np.ndarray = None
+    shower_realization_ARZ: np.ndarray = None
 
     @property
     def n_showers(self) -> int:
@@ -69,6 +73,8 @@ def read_input_hdf5(path: str) -> EventInput:
             inelasticity=get("inelasticity"),
             vertex_times=get("vertex_times", np.zeros(n)),
             attrs=dict(f.attrs),
+            shower_realization_Alvarez2009=get("shower_realization_Alvarez2009"),
+            shower_realization_ARZ=get("shower_realization_ARZ"),
         )
 
 

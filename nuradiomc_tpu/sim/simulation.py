@@ -343,10 +343,16 @@ class Simulation:
         prop_dir = -axis
 
         # per-shower Alvarez2009 k_L (persisted shower realization,
-        # simulation.py:235-242) — pre-drawn on the host
+        # simulation.py:235-242) — pre-drawn on the host, or reused from the
+        # input file when a previous run persisted it (simulation.py:737-740)
         rng = np.random.default_rng(np.random.Philox(int(self.config["seed"])))
         k_L = askaryan.draw_alvarez2009_k_L(
             np.maximum(energies, 1.0), is_em, rng).astype(dt)
+        if inp.shower_realization_Alvarez2009 is not None:
+            reuse, _ = native.pad_columns(
+                {"k_L": inp.shower_realization_Alvarez2009.astype(float)},
+                order, start, count, S)
+            k_L = reuse["k_L"].astype(dt)
 
         vertex_times = padded("vertex_times")
         profile_idx = None
@@ -354,9 +360,30 @@ class Simulation:
             # per-shower library pick, persisted like shower_realization_ARZ
             n_em = max(int(self.arz_library.ce_em.shape[0]), 1)
             n_had = max(int(self.arz_library.ce_had.shape[0]), 1)
-            profile_idx = jnp.asarray(np.where(
+            profile_np = np.where(
                 is_em, rng.integers(0, n_em, is_em.shape),
-                rng.integers(0, n_had, is_em.shape)).astype(np.int32))
+                rng.integers(0, n_had, is_em.shape)).astype(np.int32)
+            if inp.shower_realization_ARZ is not None:
+                reuse, _ = native.pad_columns(
+                    {"iN": inp.shower_realization_ARZ.astype(float)},
+                    order, start, count, S)
+                profile_np = reuse["iN"].astype(np.int32)
+            profile_idx = jnp.asarray(profile_np)
+
+        # unpad the drawn/reused realizations back to per-input-row arrays for
+        # output persistence (output_writer_hdf5.py:182-184)
+        self._realizations = {}
+        model = self.config["signal"]["model"]
+        if model == "Alvarez2009" or model.startswith("ARZ"):
+            flat = np.zeros(inp.n_showers,
+                            dtype=np.int64 if model.startswith("ARZ") else float)
+            src = np.asarray(profile_idx) if model.startswith("ARZ") else np.asarray(k_L)
+            for g in range(G):
+                rows = order[start[g]:start[g] + count[g]]
+                flat[rows] = src[g, :count[g]]
+            key_name = ("shower_realization_ARZ" if model.startswith("ARZ")
+                        else "shower_realization_Alvarez2009")
+            self._realizations[key_name] = flat
         batch = ShowerBatch(
             vertices=jnp.asarray(vert), energies=jnp.asarray(energies),
             is_em=jnp.asarray(is_em), shower_mask=jnp.asarray(mask),
@@ -514,6 +541,7 @@ class Simulation:
                 {"triggered": trig_shower, "weights": w_shower,
                  "multiple_triggers": trig_shower[:, None],
                  "trigger_times": tt_shower,
+                 **getattr(self, "_realizations", {}),
                  **{f"station_{sid}": grp
                     for sid, grp in station_groups.items()}},
                 {"Veff": veff, "n_triggered": results["n_triggered"],
