@@ -82,6 +82,12 @@ class PipelineSettings:
     pa_adc_fs: float = 0.5                 # ADC sampling rate, GHz
     pa_adc_nbits: int = 8
     pa_adc_range: float = 0.0              # full-scale voltage range (host-computed)
+    # birefringence block (config propagation.birefringence*,
+    # apply_propagation_effects analyticraytracing.py:3020-3030)
+    birefringence: bool = False
+    birefringence_model: str = "southpole_A"
+    birefringence_points: int = 256        # fixed path samples (jit static)
+    birefringence_iceflow: float = 0.0     # ice-flow azimuth (rad)
     # noise block
     add_noise: bool = False
     noise_type: str = "rayleigh"
@@ -152,6 +158,9 @@ class PipelineOutput(NamedTuple):
     viewing_angle: jnp.ndarray
     max_amp_per_solution: jnp.ndarray  # [G, S, C, 2]
     focusing: jnp.ndarray         # [G, S, C, 2]
+    # propagated on-sky efield spectra [2(theta,phi), G, S, C, 2, F_int]
+    # (only when requested with keep_efields)
+    efields: Optional[jnp.ndarray] = None
 
 
 import functools
@@ -228,6 +237,7 @@ class EmitterParams(NamedTuple):
 def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                    noise_key: Optional[jnp.ndarray] = None,
                    keep_traces: bool = False,
+                   keep_efields: bool = False,
                    emitter: Optional[EmitterParams] = None,
                    arz_library=None) -> PipelineOutput:
     """Run the full chain on a padded batch. jit/pjit over the G axis.
@@ -431,6 +441,29 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     else:
         foc = jnp.ones(bshape, dtype=real_dtype)
 
+    if s.birefringence:
+        # birefringent eigenbasis propagation, applied LAST like the
+        # reference (apply_propagation_effects:3020-3030); fixed-K path
+        # sampling keeps the shape static under jit
+        from nuradiomc_tpu.ops import birefringence as bire_ops
+
+        def bire_one(st, sp, c0, x1y, x1z, x2y, x2z, swapped, dphi, ux, uy):
+            g = raytrace.Geometry2D(x1y, x1z, x2y, x2z, swapped, dphi, ux, uy)
+            path = bire_ops.path_points_3d(
+                c0, g, s.ice, s.birefringence_points,
+                iceflow_angle=s.birefringence_iceflow)
+            return bire_ops.propagate_pulse(st, sp, path, ff_int, s.ice,
+                                            s.birefringence_model)
+
+        F = e_theta.shape[-1]
+        bcast = lambda a: flat(jnp.broadcast_to(a[..., None], bshape))
+        bt, bp = jax.vmap(bire_one)(
+            e_theta.reshape(-1, F), e_phi.reshape(-1, F), flat(sols.c0),
+            bcast(geom.x1y), bcast(geom.x1z), bcast(geom.x2y), bcast(geom.x2z),
+            bcast(geom.swapped), bcast(geom.dphi), bcast(geom.ux), bcast(geom.uy))
+        e_theta = jnp.where(valid[..., None], bt.reshape(e_theta.shape), e_theta)
+        e_phi = jnp.where(valid[..., None], bp.reshape(e_phi.shape), e_phi)
+
     # candidate cut: a group is only simulated/triggered if at least one
     # efield exceeds min_efield_amplitude (simulation.py:283-286, speedup
     # min_efield_amplitude; the reference skips such stations entirely)
@@ -600,4 +633,5 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         polarization=pol_onsky, viewing_angle=viewing_angle,
         max_amp_per_solution=max_amp_sol,
         focusing=foc,
+        efields=jnp.stack([e_theta, e_phi]) if keep_efields else None,
     )

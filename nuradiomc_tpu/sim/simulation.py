@@ -198,9 +198,17 @@ class Simulation:
             pa_adc_fs=pa_adc_fs,
             pa_adc_nbits=pa_adc_nbits,
             pa_adc_range=pa_adc_range,
+            birefringence=bool(cfg["propagation"].get("birefringence", False)),
+            birefringence_model=str(cfg["propagation"].get(
+                "birefringence_model", "southpole_A")),
             add_noise=bool(cfg["noise"]),
             noise_type="rayleigh",
         )
+        if (self.settings.birefringence and cfg["propagation"].get(
+                "birefringence_propagation", "analytical") != "analytical"):
+            raise NotImplementedError(
+                "only analytical birefringence propagation is implemented "
+                "(config propagation.birefringence_propagation)")
 
         # ---- ARZ shower library (signal.model ARZ2019/ARZ2020) --------------
         self.arz_library = None

@@ -54,3 +54,71 @@ def test_pulse_propagation_matches_reference(golden):
                                    atol=2e-2, err_msg=f"sol {k} theta")
         np.testing.assert_allclose(np.asarray(out_p) / scale, ref[2] / scale,
                                    atol=2e-2, err_msg=f"sol {k} phi")
+
+
+def test_pipeline_birefringence_toggle_matches_ops():
+    """Toggling PipelineSettings.birefringence applies exactly the standalone
+    ops transformation (propagate_pulse on the same fixed-K path) to the
+    propagated efield spectra (apply_propagation_effects order: last)."""
+    import dataclasses
+
+    import jax
+
+    from nuradiomc_tpu.ops import antenna, filters
+    from nuradiomc_tpu.sim.pipeline import (ChannelParams, PipelineSettings,
+                                            ShowerBatch, simulate_batch)
+
+    ice = ice_models.southpole_2015
+    n_int, n_base = 256, 512
+    K = 128
+    base = PipelineSettings(
+        ice=ice, askaryan_model="Alvarez2000", n_internal=n_int, n_base=n_base,
+        sampling_rate=2.0, attenuate_ice=False, apply_focusing=False,
+        birefringence_points=K)
+    bire = dataclasses.replace(base, birefringence=True)
+
+    freqs_int = np.fft.rfftfreq(n_int, 0.5)
+    freqs_base = np.fft.rfftfreq(n_base, 0.5)
+    tpl = antenna.build_analytic_template("analytic_VPol", freqs_int)
+    templates = np.broadcast_to(tpl[0], (1, 3, len(freqs_int))).astype(complex)
+    rot = antenna.antenna_rotation_matrix(0.0, 0.0, np.pi / 2, 0.0)[None]
+    filt = np.ones((1, len(freqs_base)), dtype=complex)
+    ch = ChannelParams(
+        positions=np.array([[0.0, 0.0, -100.0]]),
+        cable_delays=np.zeros(1), rot=rot, kind=np.ones(1, dtype=np.int32),
+        templates=templates, filter_response=filt,
+        filter_response_int=np.ones((1, len(freqs_int)), dtype=complex),
+        threshold_high=np.full(1, 1e-6), threshold_low=np.full(1, -1e-6),
+        noise_amplitude=np.zeros(1), min_efield_amplitude=np.zeros(1))
+    batch = ShowerBatch(
+        vertices=np.array([[[400.0, 300.0, -800.0]]]),
+        energies=np.array([[1e18]]), is_em=np.array([[False]]),
+        shower_mask=np.array([[True]]),
+        prop_dir=np.array([[[0.3, -0.2, 0.933]]]) / np.linalg.norm([0.3, -0.2, 0.933]),
+        k_L=np.array([[30.0]]), vertex_times=np.zeros((1, 1)))
+
+    out0 = jax.jit(lambda b: simulate_batch(b, ch, base, keep_efields=True))(batch)
+    out1 = jax.jit(lambda b: simulate_batch(b, ch, bire, keep_efields=True))(batch)
+
+    mask = np.asarray(out0.sol_mask)[0, 0, 0]
+    assert mask.any()
+    ff = jnp.asarray(freqs_int)
+    x1 = jnp.asarray(batch.vertices[0, 0])
+    x2 = jnp.asarray(ch.positions[0])
+    geom = raytrace.to_2d(x1, x2)
+
+    for slot in np.where(mask)[0]:
+        c0 = out0.c0[0, 0, 0, slot]
+        path = birefringence.path_points_3d(c0, geom, ice, K)
+        want_t, want_p = birefringence.propagate_pulse(
+            out0.efields[0][0, 0, 0, slot], out0.efields[1][0, 0, 0, slot],
+            path, ff, ice)
+        got_t = np.asarray(out1.efields[0][0, 0, 0, slot])
+        got_p = np.asarray(out1.efields[1][0, 0, 0, slot])
+        scale = max(np.abs(np.asarray(want_t)).max(),
+                    np.abs(np.asarray(want_p)).max())
+        np.testing.assert_allclose(got_t, np.asarray(want_t), atol=1e-9 * scale)
+        np.testing.assert_allclose(got_p, np.asarray(want_p), atol=1e-9 * scale)
+        # the effect is non-trivial: birefringence moved power between pols
+        assert not np.allclose(got_p, np.asarray(out0.efields[1][0, 0, 0, slot]),
+                               atol=1e-6 * scale)
