@@ -93,7 +93,8 @@ class Simulation:
                  n_base: int = 2048,
                  dtype=jnp.float64,
                  arz_library_path: Optional[str] = None,
-                 nur_outputfilename: Optional[str] = None):
+                 nur_outputfilename: Optional[str] = None,
+                 mesh=None):
         self.config = config_util.get_config(config)
         self.det = detector if isinstance(detector, Detector) else Detector(detector)
         self.filter_chain = list(filter_chain)
@@ -103,6 +104,22 @@ class Simulation:
         self.antenna_replacements = antenna_replacements or {}
         self.chunk_size = chunk_size
         self.dtype = dtype
+
+        # ---- device mesh (SPMD data parallelism over event groups) ----------
+        # mesh=None: single-device (default). mesh="auto": all visible
+        # devices on one event axis. mesh=jax.sharding.Mesh: as given.
+        # Replaces the reference's file splitting + cluster jobs
+        # (EvtGen/generator.py:88-199, utilities/runner.py:9-99).
+        from nuradiomc_tpu.parallel import mesh as mesh_util
+        if mesh == "auto":
+            mesh = mesh_util.make_mesh()
+        self.mesh = mesh
+        if self.mesh is not None:
+            n_ev = self.mesh.shape["event"]
+            if self.chunk_size % n_ev:
+                # chunks are padded to a fixed size; keep it divisible so
+                # every chunk shards evenly over the event axis
+                self.chunk_size = ((self.chunk_size + n_ev - 1) // n_ev) * n_ev
 
         self.station_id = self.det.get_station_ids()[0]
         station = self.det.get_station(self.station_id)
@@ -221,10 +238,15 @@ class Simulation:
 
         # ---- input ----------------------------------------------------------
         self.input = io_hdf5.read_input_hdf5(inputfilename)
-        self._jit_pipeline_ch = jax.jit(
-            lambda batch, key, chp: simulate_batch(batch, chp,
-                                                   self.settings, noise_key=key,
-                                                   arz_library=self.arz_library))
+
+        def _step(batch, key, chp):
+            out = simulate_batch(batch, chp, self.settings, noise_key=key,
+                                 arz_library=self.arz_library)
+            # device-side trigger-count reduction: under a sharded batch this
+            # compiles to a per-shard sum + AllReduce over the event axis
+            return out, jnp.sum(out.triggered.astype(jnp.int32))
+
+        self._jit_pipeline_ch = jax.jit(_step)
         self._jit_pipeline = lambda batch, key: self._jit_pipeline_ch(
             batch, key, self.channel_params)
 
@@ -412,9 +434,18 @@ class Simulation:
             vertex_position=vertices, phi_nu=inp.azimuths[first])
 
     def _run_station(self, station_id, batch, seed_offset=0):
-        """Chunked pipeline over all groups for one station."""
+        """Chunked pipeline over all groups for one station.
+
+        With a mesh set, every chunk is placed with a NamedSharding over the
+        event axis and the channel constants are sharded/replicated once; the
+        jitted program then runs SPMD across all devices (GSPMD inserts the
+        trigger-count AllReduce)."""
+        from nuradiomc_tpu.parallel import mesh as mesh_util
+
         G = batch.energies.shape[0]
         chp = self.channel_params_per_station[station_id]
+        if self.mesh is not None:
+            chp = mesh_util.shard_channels(chp, self.mesh)
         key = jax.random.PRNGKey(int(self.config["seed"]) + seed_offset)
         triggered = np.zeros(G, dtype=bool)
         max_amp = np.zeros((G, len(self.det.get_channel_ids(station_id))))
@@ -435,8 +466,10 @@ class Simulation:
             chunk = jax.tree.map(
                 lambda a: jnp.pad(a[sl], [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)),
                 batch)
+            if self.mesh is not None:
+                chunk = mesh_util.shard_batch(chunk, self.mesh)
             key, sub = jax.random.split(key)
-            out = self._jit_pipeline_ch(chunk, sub, chp)
+            out, n_trig_dev = self._jit_pipeline_ch(chunk, sub, chp)
             n_real = sl.stop - sl.start
             trig = np.asarray(out.triggered)[:n_real]
             triggered[sl] = trig

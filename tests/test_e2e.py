@@ -98,7 +98,7 @@ def test_per_solution_observables(golden, results):
     # rebuild the padded batch to rerun the pipeline for the triggered groups
     group_ids, start, count, order, batch = sim._build_batches()
     import jax
-    out = sim._jit_pipeline(
+    out, _ = sim._jit_pipeline(
         jax.tree.map(lambda a: a, batch), jax.random.PRNGKey(0))
 
     gid_to_idx = {g: i for i, g in enumerate(group_ids)}
