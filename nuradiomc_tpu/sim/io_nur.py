@@ -181,15 +181,30 @@ class EventWriter:
 
 
 class EventReader:
-    """Sequential event reader (NuRadioRecoio semantics)."""
+    """Sequential event reader (NuRadioRecoio semantics).
+
+    Transparently reads both our own container (MAGIC header) and
+    REFERENCE-written .nur files (version 2.x block format) — the latter via
+    sim/io_nur_reference.NuRadioRecoio."""
 
     def __init__(self, filename: str):
+        self._ref_io = None
         self._f = open(filename, "rb")
         magic = self._f.read(len(MAGIC))
         if magic != MAGIC:
-            raise IOError(f"{filename} is not a nur-tpu event file")
+            version = int.from_bytes(magic[:6], "little")
+            self._f.close()
+            self._f = None
+            if version == 2:
+                from nuradiomc_tpu.sim import io_nur_reference
+                self._ref_io = io_nur_reference.NuRadioRecoio(filename)
+            else:
+                raise IOError(f"{filename} is not a .nur event file")
 
     def run(self):
+        if self._ref_io is not None:
+            yield from self._ref_io.get_events()
+            return
         while True:
             head = self._f.read(4)
             if len(head) < 4:
@@ -202,4 +217,5 @@ class EventReader:
         return self.run()
 
     def end(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
