@@ -154,9 +154,27 @@ def get_ara_system_response():
     return response
 
 
+def get_cable_response_parametrized(frequencies, cable_type, cable_length):
+    """LMR cable attenuation from the spec-sheet parametrization
+    (detector/ARIANNA/analog_components.get_cable_response_parametrized
+    :112-133); amplitude-only (real) response."""
+    from nuradiomc_tpu.utils import units
+
+    f_MHz = np.asarray(frequencies) / units.MHz
+    if cable_type == "LMR_400":
+        attn_db_per_100ft = 0.122290 * f_MHz ** 0.5 + 0.000260 * f_MHz
+    elif cable_type == "LMR_240":
+        attn_db_per_100ft = 0.242080 * f_MHz ** 0.5 + 0.000330 * f_MHz
+    else:
+        raise NotImplementedError(f"cable type {cable_type} not defined")
+    attn = attn_db_per_100ft / (100 * units.feet) * cable_length
+    attn = attn + 0.01  # dB connector loss
+    return 1.0 / (10 ** (attn / 10.0)) ** 0.5
+
+
 class hardwareResponseIncorporator:
     """Fold (sim_to_data) or unfold (data_to_sim) the measured amp + cable
-    chain (ARIANNA/hardwareResponseIncorporator.py:29-60 pattern)."""
+    chain (ARIANNA/hardwareResponseIncorporator.py:29-110)."""
 
     def begin(self, debug=False):
         pass
@@ -164,11 +182,22 @@ class hardwareResponseIncorporator:
     def get_filter(self, ff, station_id, channel_id, det, sim_to_data=True,
                    mode=None):
         amp_type = "100"
+        cable = 1.0
         if hasattr(det, "get_station"):
             ch = det.get_station(station_id).channels
             idx = int(np.where(ch.channel_ids == channel_id)[0][0])
             amp_type = ch.amp_type[idx] or "100"
-        resp = get_amplifier_response(ff, amp_type)
+            # parametrized cable loss when the description carries it
+            # (ARIANNA get_filter:81)
+            try:
+                raw = det.get_channel(station_id, channel_id)
+                if raw.get("cab_type") and raw.get("cab_length") is not None:
+                    from nuradiomc_tpu.utils import units
+                    cable = get_cable_response_parametrized(
+                        ff, raw["cab_type"], float(raw["cab_length"]) * units.m)
+            except (KeyError, AttributeError, TypeError):
+                pass
+        resp = get_amplifier_response(ff, amp_type) * cable
         return resp if sim_to_data else 1.0 / np.where(resp == 0, np.inf, resp)
 
     def run(self, evt, station, det, sim_to_data=True, **kwargs):

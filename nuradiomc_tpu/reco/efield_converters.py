@@ -48,57 +48,149 @@ def get_channel_vel(det, station_id, channel_id, freqs, zenith, azimuth,
 
 
 class efieldToVoltageConverter:
-    """Forward antenna folding: V(f) = VEL_theta E_theta + VEL_phi E_phi,
-    efields placed into a common channel time base with cable delays
-    (efieldToVoltageConverter.py:111-345)."""
+    """Forward antenna folding: V(f) = VEL_theta E_theta + VEL_phi E_phi on a
+    GLOBAL time base shared by all channels, with per-efield integer-bin
+    placement + sub-bin time shift and trace_start_time = times_min — the
+    reference's exact window semantics (efieldToVoltageConverter.py:111-345)."""
 
     def begin(self, debug=False, time_resolution=None, pre_pulse_time=200 * units.ns,
-              post_pulse_time=200 * units.ns, antenna_replacements=None):
+              post_pulse_time=400 * units.ns, antenna_replacements=None):
         self._pre = pre_pulse_time
         self._post = post_pulse_time
         self._antenna_replacements = antenna_replacements or {}
 
     @register_run()
-    def run(self, evt, station, det):
+    def run(self, evt, station, det, channel_ids=None):
+        from nuradiomc_tpu.framework.base_trace import BaseTrace
+
         sim_station = station.get_sim_station()
-        station_id = station.get_id()
-        efields = sim_station.get_electric_fields()
-        if len(efields) == 0:
-            return
-        fs = efields[0].get_sampling_rate()
+        station_id = sim_station.get_id()
+        if len(sim_station.get_electric_fields()) == 0:
+            raise LookupError(f"station {station.get_id()} has no efields")
+        if channel_ids is None:
+            channel_ids = det.get_channel_ids(station_id)
 
-        for channel_id in det.get_channel_ids(station_id):
-            relevant = [ef for ef in efields if channel_id in ef.get_channel_ids()]
-            cable_delay = det.get_cable_delay(station_id, channel_id)
-            if not relevant:
-                continue
-            t_starts = [ef.get_trace_start_time() for ef in relevant]
-            n_ef = max(ef.get_number_of_samples() for ef in relevant)
-            t0 = min(t_starts) - self._pre
-            t1 = max(t_starts) + n_ef / fs + self._post
-            n_base = int(np.ceil((t1 - t0) * fs / 2)) * 2
-            base = np.zeros(n_base)
-            ch = Channel(channel_id)
-            ch.set_trace(base, fs, trace_start_time=t0 + cable_delay)
+        # global window over all (channel, efield) pairs (:121-147)
+        times_min, times_max = [], []
+        fs = None
+        for channel_id in channel_ids:
+            cab_delay = det.get_cable_delay(station_id, channel_id)
+            pos_ch = np.asarray(det.get_relative_position(station_id, channel_id))
+            for ef in sim_station.get_electric_fields_for_channels([channel_id]):
+                fs = ef.get_sampling_rate()
+                t0 = ef.get_trace_start_time() + cab_delay
+                if np.linalg.norm(pos_ch - np.asarray(ef.get_position())) \
+                        > 0.01 * units.mm:
+                    t0 += calculate_time_shift_for_cosmic_ray(
+                        det, sim_station, ef, channel_id)
+                if not np.isnan(t0):
+                    times_min.append(t0)
+                    times_max.append(t0 + ef.get_number_of_samples()
+                                     / ef.get_sampling_rate())
+        times_min = np.min(times_min)
+        times_max = np.max(times_max)
+        max_readout = np.max([
+            det.get_number_of_samples(station.get_id(), cid)
+            / det.get_sampling_frequency(station.get_id(), cid)
+            for cid in channel_ids])
+        times_min -= self._pre
+        times_max += self._post
+        while times_max - times_min < max_readout:
+            times_max += self._post
+        dt = 1.0 / fs
+        n_samples = int(round((times_max - times_min) / dt))
+        if n_samples % 2 != 0:
+            n_samples += 1
 
-            for ef in relevant:
+        for channel_id in channel_ids:
+            cab_delay = det.get_cable_delay(station_id, channel_id)
+            pos_ch = np.asarray(det.get_relative_position(station_id, channel_id))
+            channel_spectrum = None
+            made_trace = False
+            for ef in sim_station.get_electric_fields_for_channels([channel_id]):
+                new_trace = np.zeros((3, n_samples))
+                at_antenna = np.linalg.norm(
+                    pos_ch - np.asarray(ef.get_position())) <= 0.01 * units.mm
+                if not np.isnan(ef.get_trace_start_time()):
+                    shift = 0.0 if at_antenna else \
+                        calculate_time_shift_for_cosmic_ray(
+                            det, sim_station, ef, channel_id)
+                    start_time = (ef.get_trace_start_time() - times_min
+                                  + cab_delay + shift)
+                    start_bin = int(round(start_time / dt))
+                    remainder = start_time - start_bin * dt
+                    shifted = BaseTrace()
+                    shifted.set_trace(np.array(ef.get_trace()),
+                                      ef.get_sampling_rate())
+                    shifted.apply_time_shift(remainder)
+                    tr = np.atleast_2d(shifted.get_trace())
+                    stop_bin = start_bin + shifted.get_number_of_samples()
+                    if stop_bin > n_samples:
+                        stop_bin = n_samples
+                        tr = tr[:, :stop_bin - start_bin]
+                    if start_bin < 0:
+                        tr = tr[:, -start_bin:]
+                        start_bin = 0
+                    new_trace[:, start_bin:stop_bin] = tr
+
+                trace_object = BaseTrace()
+                trace_object.set_trace(new_trace, fs)
+                made_trace = True
+                ff = np.asarray(trace_object.get_frequencies())
+                efield_fft = np.asarray(trace_object.get_frequency_spectrum())
+
                 zenith = ef[efp.zenith]
                 azimuth = ef[efp.azimuth]
-                ff = ef.get_frequencies()
+                # refraction into/out of the firn for displaced efields
+                # (fresnel_factors_and_signal_zenith, geometryUtilities.py:266)
+                t_theta = t_phi = 1.0
+                zenith_antenna = zenith
+                if not at_antenna:
+                    zenith_antenna, t_theta, t_phi = \
+                        _fresnel_factors_and_signal_zenith(
+                            det, sim_station, channel_id, zenith)
                 vt, vp = get_channel_vel(det, station_id, channel_id, ff,
-                                         zenith, azimuth, self._antenna_replacements)
-                spec = ef.get_frequency_spectrum()
-                volt_spec = vt * spec[1] + vp * spec[2]
-                # remove DC (< 5 MHz, efieldToVoltageConverter.py:313)
+                                         zenith_antenna, azimuth,
+                                         self._antenna_replacements)
+                volt_spec = vt * t_theta * efield_fft[1] \
+                    + vp * t_phi * efield_fft[2]
                 volt_spec[ff < 5 * units.MHz] = 0
-                contrib = Channel(channel_id)
-                contrib.set_frequency_spectrum(volt_spec, fs)
-                contrib.set_trace_start_time(ef.get_trace_start_time() + cable_delay)
-                ch.add_to_trace(contrib)
+                channel_spectrum = volt_spec if channel_spectrum is None \
+                    else channel_spectrum + volt_spec
+
+            ch = Channel(channel_id)
+            if not made_trace:
+                ch.set_trace(np.zeros(n_samples), fs)
+            else:
+                ch.set_frequency_spectrum(channel_spectrum, fs)
+            ch.set_trace_start_time(times_min)
             station.add_channel(ch)
 
     def end(self):
         pass
+
+
+def _fresnel_factors_and_signal_zenith(det, sim_station, channel_id, zenith):
+    """Refraction at the firn surface for displaced efields
+    (geometryUtilities.fresnel_factors_and_signal_zenith:266-330)."""
+    from nuradiomc_tpu.utils.geometry import (fresnel_angle, fresnel_t_p,
+                                              fresnel_t_s)
+
+    z_antenna = det.get_relative_position(sim_station.get_id(), channel_id)[2]
+    site = str(det.get_site(sim_station.get_id())).lower()
+    n_ice = 1.3 if site not in ("lofar", "auger", "ska") else 1.000293
+    is_cr = getattr(sim_station, "is_cosmic_ray", lambda: False)()
+    if zenith <= 0.5 * np.pi and z_antenna < 0 and is_cr:
+        t_theta = fresnel_t_p(zenith, n_2=n_ice, n_1=1.0)
+        t_phi = fresnel_t_s(zenith, n_2=n_ice, n_1=1.0)
+        zen_antenna = fresnel_angle(zenith, n_2=n_ice, n_1=1.0)
+    elif zenith > 0.5 * np.pi and z_antenna >= 0:
+        t_theta = fresnel_t_p(zenith, n_2=1.0, n_1=n_ice)
+        t_phi = fresnel_t_s(zenith, n_2=1.0, n_1=n_ice)
+        zen_antenna = fresnel_angle(zenith, n_2=1.0, n_1=n_ice)
+    else:
+        return zenith, 1.0, 1.0
+    return zen_antenna, t_theta, t_phi
 
 
 def stacked_lstsq(L, b, rcond=1e-10):

@@ -84,6 +84,12 @@ write("radiotools/helper.py", '''
 
     def is_equal(a, b, rel_precision=1e-5):
         return np.abs(a - b) <= rel_precision * np.abs(a + b) * 0.5
+
+    def dB_to_linear(db):
+        return 10 ** (np.asarray(db) / 10.0)
+
+    def linear_to_dB(linear):
+        return 10 * np.log10(np.asarray(linear))
 ''')
 write("radiotools/coordinatesystems.py", '''
     import numpy as np
@@ -94,6 +100,8 @@ write("radiotools/coordinatesystems.py", '''
 
         def __init__(self, zenith, azimuth, magnetic_field_vector=None,
                      site=None):
+            self._zenith = zenith
+            self._azimuth = azimuth
             showeraxis = -hp.spherical_to_cartesian(zenith, azimuth)
             if magnetic_field_vector is None:
                 magnetic_field_vector = hp.get_magnetic_field_vector(site=site)
@@ -108,29 +116,46 @@ write("radiotools/coordinatesystems.py", '''
             self.__inverse_transformation_matrix = np.linalg.inv(
                 self.__transformation_matrix)
 
+        # radiotools applies the matrix to the FIRST axis:
+        # np.squeeze(np.dot(M, positions)) with positions (3,) or (3, N)
+        def _apply(self, M, positions, core=None):
+            pos = np.asarray(positions)
+            if core is not None:
+                pos = (pos.T - np.asarray(core)).T if pos.shape[0] == 3 \
+                    else pos - np.asarray(core)
+            return np.squeeze(np.tensordot(M, pos, axes=([1], [0])))
+
         def transform_to_vxB_vxvxB(self, positions, core=None):
-            pos = np.asarray(positions) - (0 if core is None else np.asarray(core))
-            return np.squeeze(np.asarray(
-                [self.__transformation_matrix @ p for p in np.atleast_2d(pos)]))
+            return self._apply(self.__transformation_matrix, positions, core)
 
         def transform_from_vxB_vxvxB(self, positions, core=None):
-            out = np.asarray([self.__inverse_transformation_matrix @ p
-                              for p in np.atleast_2d(np.asarray(positions))])
+            out = self._apply(self.__inverse_transformation_matrix, positions)
             if core is not None:
-                out = out + np.asarray(core)
-            return np.squeeze(out)
+                out = (out.T + np.asarray(core)).T if out.ndim > 1 \
+                    else out + np.asarray(core)
+            return out
 
         def transform_from_vxB_vxvxB_2D(self, positions, core=None):
-            pos3 = np.atleast_2d(positions)
-            if pos3.shape[-1] == 2:
-                pos3 = np.c_[pos3, np.zeros(len(pos3))]
+            pos3 = np.asarray(positions)
+            if pos3.shape[0] == 2:
+                pos3 = np.vstack([pos3, np.zeros_like(pos3[0])])
             return self.transform_from_vxB_vxvxB(pos3, core=core)
 
+        # on-sky (e_r, e_theta, e_phi) <-> ground, matching radiotools
+        def _onsky_matrix(self):
+            zen, az = self._zenith, self._azimuth
+            st, ct = np.sin(zen), np.cos(zen)
+            sp, cp = np.sin(az), np.cos(az)
+            e_r = np.array([st * cp, st * sp, ct])
+            e_theta = np.array([ct * cp, ct * sp, -st])
+            e_phi = np.array([-sp, cp, 0.0])
+            return np.array([e_r, e_theta, e_phi])
+
         def transform_from_ground_to_onsky(self, positions):
-            return self.transform_to_vxB_vxvxB(positions)
+            return self._apply(self._onsky_matrix(), positions)
 
         def transform_from_onsky_to_ground(self, positions):
-            return self.transform_from_vxB_vxvxB(positions)
+            return self._apply(self._onsky_matrix().T, positions)
 ''')
 write("radiotools/atmosphere/__init__.py", "")
 write("radiotools/atmosphere/models.py", '''
@@ -200,6 +225,15 @@ write("tinydb/__init__.py", '''
         def __ge__(self, other):
             return _Cond(lambda d: self._path[0] in d and self._get(d) >= other)
 
+        def __lt__(self, other):
+            return _Cond(lambda d: self._path[0] in d and self._get(d) < other)
+
+        def __gt__(self, other):
+            return _Cond(lambda d: self._path[0] in d and self._get(d) > other)
+
+        def __ne__(self, other):
+            return _Cond(lambda d: self._path[0] in d and self._get(d) != other)
+
         def exists(self):
             return _Cond(lambda d: self._path[0] in d)
 
@@ -235,6 +269,18 @@ write("tinydb/__init__.py", '''
         def __len__(self):
             return len(self._docs)
 
+    def _decode(value):
+        # tinydb_serialization TinyDate strings -> datetime (as the real
+        # serialization middleware would)
+        import datetime as _dt
+        if isinstance(value, str) and value.startswith("{TinyDate}:"):
+            return _dt.datetime.fromisoformat(value[len("{TinyDate}:"):])
+        if isinstance(value, dict):
+            return {k: _decode(v) for k, v in value.items()}
+        if isinstance(value, list):
+            return [_decode(v) for v in value]
+        return value
+
     class TinyDB:
         def __init__(self, path_or_none=None, storage=None, **kwargs):
             self._tables = {}
@@ -243,7 +289,8 @@ write("tinydb/__init__.py", '''
                     with open(path_or_none) as f:
                         raw = json.load(f)
                     for name, docs in raw.items():
-                        self._tables[name] = _Table(list(docs.values()))
+                        self._tables[name] = _Table(
+                            [_decode(d) for d in docs.values()])
                 except Exception:
                     pass
 
@@ -331,6 +378,10 @@ write("astropy/time.py", '''
                 self._jd2 = (unix % 86400) / 86400.0
             elif isinstance(val, str):
                 s = val.replace("T", " ")
+                parts = s.split(" ")
+                d = [int(x) for x in parts[0].split("-")]
+                s = f"{d[0]:04d}-{d[1]:02d}-{d[2]:02d}" + \
+                    (" " + parts[1] if len(parts) > 1 else "")
                 dt = _dt.datetime.fromisoformat(s)
                 unix = dt.replace(tzinfo=_dt.timezone.utc).timestamp()
                 self._jd1 = _EPOCH_JD + unix // 86400
@@ -367,23 +418,79 @@ write("astropy/time.py", '''
         def value(self):
             return self.isot
 
+        @staticmethod
+        def _unix_of(other):
+            if isinstance(other, Time):
+                return other.unix
+            if isinstance(other, _dt.datetime):
+                return other.replace(tzinfo=_dt.timezone.utc).timestamp()
+            return float(other)
+
         def __eq__(self, other):
-            return isinstance(other, Time) and self.unix == other.unix
+            try:
+                return self.unix == self._unix_of(other)
+            except (TypeError, ValueError):
+                return NotImplemented
 
         def __lt__(self, other):
-            return self.unix < other.unix
+            return self.unix < self._unix_of(other)
 
         def __le__(self, other):
-            return self.unix <= other.unix
+            return self.unix <= self._unix_of(other)
 
         def __gt__(self, other):
-            return self.unix > other.unix
+            return self.unix > self._unix_of(other)
 
         def __ge__(self, other):
-            return self.unix >= other.unix
+            return self.unix >= self._unix_of(other)
 
         def __repr__(self):
             return f"<Time {self.isot}>"
+
+        def __add__(self, other):
+            out = Time(self._jd1, self._jd2, format="jd")
+            out._jd2 += getattr(other, "sec", other) / 86400.0
+            return out
+
+        def __sub__(self, other):
+            if isinstance(other, Time):
+                return TimeDelta((self.unix - other.unix), format="sec")
+            return self.__add__(-other)
+
+        @classmethod
+        def now(cls):
+            return cls(_dt.datetime.utcnow())
+
+    class TimeDelta:
+        def __init__(self, val, format="sec", scale=None):
+            self.sec = float(val) if format == "sec" else float(val) * 86400.0
+
+        def __neg__(self):
+            return TimeDelta(-self.sec)
+
+        def __lt__(self, other):
+            return self.sec < getattr(other, "sec", other)
+
+        def __le__(self, other):
+            return self.sec <= getattr(other, "sec", other)
+
+        def __gt__(self, other):
+            return self.sec > getattr(other, "sec", other)
+
+        def __ge__(self, other):
+            return self.sec >= getattr(other, "sec", other)
+
+        def __mul__(self, other):
+            return TimeDelta(self.sec * other)
+
+        __rmul__ = __mul__
+
+        def __truediv__(self, other):
+            return TimeDelta(self.sec / other)
+
+        @property
+        def value(self):
+            return self.sec
 ''')
 write("astropy/units.py", '''
     # minimal unit symbols used in reference type hints / scalars
