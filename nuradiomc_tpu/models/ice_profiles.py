@@ -85,9 +85,52 @@ greenland_poly5 = ExponentialPolynomialIceModel(
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class PerturbedIceModel:
+    """A stratified base profile with a localized horizontal perturbation
+    layer: n(z) = n_base(z) + fraction * dn(z), a Gaussian bump of the given
+    width centered at z_center.
+
+    Counterpart of the reference's ``greenland_perturbation``
+    (medium.py:294-316), whose layer comes from the external radiopropa
+    package's ``PerturbationHorizontal(-100 m, 2 m, fraction=1)`` module
+    (arXiv:1805.12576 table IV). radiopropa is not available in this
+    environment, so the exact functional form of its perturbation cannot be
+    cross-checked; this class implements the documented physics — a
+    horizontal layer at -100 m with 2 m width where the refractive index is
+    locally perturbed — with a configurable amplitude. Rays through the
+    layer bend/reflect according to the stratified solver; arbitrary
+    NON-stratified 3D fields remain out of scope (radioproparaytracing.py:39).
+
+    The default amplitude keeps n(z) monotone (bump slope below the base
+    profile's slope at the layer depth), which the two-branch bisection
+    solver requires; larger amplitudes create a ducting channel (multiple
+    turning depths) that needs a dense path integrator instead.
+    """
+
+    base: object                      # profile with index_of_refraction(z)
+    z_center: float = -100.0 * units.m
+    width: float = 2.0 * units.m
+    fraction: float = 1.0
+    amplitude: float = 0.001          # peak dn of the layer
+    z_bottom: float = -3000.0 * units.m
+
+    def index_of_refraction(self, z):
+        import jax.numpy as jnp
+        z = jnp.asarray(z)
+        n = self.base.index_of_refraction(z)
+        bump = self.fraction * self.amplitude * jnp.exp(
+            -0.5 * ((z - self.z_center) / self.width) ** 2)
+        return jnp.where(z > 0, 1.0, n + bump)
+
+
+greenland_perturbation = PerturbedIceModel(base=greenland_firn)
+
+
 PROFILES = {
     "greenland_firn": greenland_firn,
     "greenland_poly5": greenland_poly5,
+    "greenland_perturbation": greenland_perturbation,
 }
 
 

@@ -543,15 +543,14 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     D_r = jnp.asarray(D_r, ctype)
     D_i = jnp.asarray(D_i, ctype)
     ff_base = s.freqs_base.astype(real_dtype)
-    chan_spec = jnp.zeros((G, C, s.n_base // 2 + 1), dtype=ctype)
-    for si in range(S):
-        for ri in range(2):
-            V = volt_spec[:, si, :, ri, :]                       # [G,C,F_int]
-            Xb = (jnp.einsum("gcf,fk->gck", V.real.astype(real_dtype), D_r)
-                  + jnp.einsum("gcf,fk->gck", V.imag.astype(real_dtype), D_i))
-            ph = trace_ops.time_shift_phase(ff_base,
-                                            offset[:, si, :, ri, None])
-            chan_spec = chan_spec + Xb * ph.astype(ctype)
+    # one [G*S*C*2, F_int] x [F_int, F_base] matmul instead of S*2 smaller
+    # ones (better MXU utilization), then the per-solution phase ramp and the
+    # (shower, ray) reduction
+    V = volt_spec                                       # [G,S,C,2,F_int]
+    Xb = (jnp.einsum("gscrf,fk->gscrk", V.real.astype(real_dtype), D_r)
+          + jnp.einsum("gscrf,fk->gscrk", V.imag.astype(real_dtype), D_i))
+    ph = trace_ops.time_shift_phase(ff_base, offset[..., None])  # [G,S,C,2,Fb]
+    chan_spec = jnp.sum(Xb * ph.astype(ctype), axis=(1, 3))      # [G,C,Fb]
 
     # ---- 8. filter chain (+ optional noise) --------------------------------
     if s.add_noise:

@@ -199,6 +199,10 @@ class Simulation:
             distance_cut=bool(cfg["speedup"]["distance_cut"]),
             distance_cut_coefficients=tuple(cfg["speedup"]["distance_cut_coefficients"]),
             n_freq_attenuation=int(cfg["propagation"]["n_freq"]),
+            **({"attenuation_steps": int(cfg["propagation"]["attenuation_steps"])}
+               if cfg["propagation"].get("attenuation_steps") else {}),
+            **({"n_bisect": int(cfg["propagation"]["n_bisect"])}
+               if cfg["propagation"].get("n_bisect") else {}),
             attenuate_ice=bool(cfg["propagation"]["attenuate_ice"]),
             apply_focusing=bool(cfg["propagation"]["focusing"]),
             focusing_limit=float(cfg["propagation"]["focusing_limit"]),

@@ -136,3 +136,44 @@ def test_per_solution_observables(golden, results):
         # scipy.quad epsrel=1e-2 (get_attenuation_along_path), so ~1% is the
         # reference's own accuracy floor
         np.testing.assert_allclose(amp[g, s_idx, 0][have], ref_amp[have], rtol=2e-2)
+
+
+def test_benchmark_settings_reproduce_golden(golden):
+    """The benchmark configuration (bench.py: float32, n_freq_attenuation=16,
+    attenuation_steps=32, n_bisect=28) must reproduce the reference-golden
+    triggered set — keeping the published throughput number tied to a
+    conformance-validated physics configuration.
+
+    Exactness caveat (documented, measured): event group 1272's negative lobe
+    sits 2.2% BELOW the -2sigma low threshold at float64 (it does not
+    trigger) and 2.3% ABOVE it at float32 (cancellation point between two ray
+    contributions) — a genuine borderline case independent of the fast
+    solver settings (it flips identically at full accuracy float32). The
+    float32 bench config must find every golden event and may pick up at
+    most this one documented borderline extra; the float64 production path
+    (test_triggered_set_matches_reference) stays exact."""
+    sim = Simulation(
+        INPUT, DETECTOR,
+        config={"sampling_rate": 2.0,
+                "propagation": {"ice_model": "southpole_2015", "n_freq": 16,
+                                "attenuation_steps": 32, "n_bisect": 28},
+                "signal": {"model": "Alvarez2000"},
+                "weights": {"weight_mode": "core_mantle_crust_simple",
+                            "cross_section_type": "ctw"}},
+        filter_chain=[
+            FilterStage((80 * units.MHz, 1000 * units.GHz), "butter", {"order": 2}),
+            FilterStage((0, 500 * units.MHz), "butter", {"order": 10}),
+        ],
+        trigger=TriggerSpec(threshold_high_sigma=2.0, threshold_low_sigma=-2.0),
+        antenna_replacements={
+            "XFDTD_Vpol_CrossFeed_150mmHole_n1.78": "analytic_VPol"},
+        chunk_size=512,
+        dtype=jnp.float32,
+    )
+    res = sim.run()
+    min_w = 1e-5
+    mine = set(res["group_ids"][(res["triggered"]) & (res["weights"] >= min_w)])
+    ref_groups = set(np.unique(golden["group_ids"]))
+    assert ref_groups <= mine, sorted(ref_groups - mine)
+    extras = mine - ref_groups
+    assert extras <= {1272}, sorted(extras)

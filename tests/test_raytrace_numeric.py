@@ -124,3 +124,57 @@ def test_poly5_profile_sane():
     s0 = float(num.s[0])
     np.testing.assert_allclose(_quad_advance(prof, s0, -600.0, -100.0),
                                700.0, rtol=2e-3)
+
+
+def test_greenland_perturbation_profile():
+    """The perturbation-layer profile (medium.py:294-316 counterpart) is
+    traceable with the stratified solver; far from the layer it matches the
+    unperturbed greenland_firn solutions."""
+    from nuradiomc_tpu.models.ice_profiles import (greenland_firn,
+                                                   greenland_perturbation)
+    import jax.numpy as jnp
+
+    from nuradiomc_tpu.ops import raytrace_numeric as rn
+
+    # n(z): bump of the configured amplitude at the layer, monotone overall
+    z = jnp.linspace(-200.0, -1.0, 4000)
+    n_base = np.asarray(greenland_firn.index_of_refraction(z))
+    n_pert = np.asarray(greenland_perturbation.index_of_refraction(z))
+    dn = n_pert - n_base
+    k = int(np.argmax(dn))
+    assert abs(float(z[k]) - (-100.0)) < 1.0
+    assert dn.max() == pytest.approx(greenland_perturbation.amplitude, rel=0.01)
+    # still monotone through the layer region (solver requirement); the
+    # firn segment boundary at -14.9 m has its own (base-profile) kink
+    layer = (np.asarray(z) > -150.0) & (np.asarray(z) < -50.0)
+    assert np.all(np.diff(n_pert[layer]) < 0)
+
+    # deep geometry: the DIRECT ray never reaches the layer -> identical;
+    # the refracted ray turns near the surface, crossing the layer twice ->
+    # its travel time must differ (the layer acts only where crossed)
+    sols_b = rn.find_solutions_numeric(greenland_firn, 0.0, -1500.0, 800.0, -400.0)
+    sols_p = rn.find_solutions_numeric(greenland_perturbation, 0.0, -1500.0,
+                                       800.0, -400.0)
+    np.testing.assert_array_equal(np.asarray(sols_b.mask), np.asarray(sols_p.mask))
+    direct = np.asarray(sols_b.mask) & (np.asarray(sols_b.sol_type) == 1)
+    assert direct.any()
+    # 1e-7: the two endpoints' fixed-K quadrature grids differ, so the
+    # common above-layer path segment cancels only to grid accuracy
+    np.testing.assert_allclose(np.asarray(sols_p.travel_time)[direct],
+                               np.asarray(sols_b.travel_time)[direct], rtol=1e-7)
+    crossing = np.asarray(sols_b.mask) & ~direct
+    if crossing.any():
+        assert np.any(np.abs(np.asarray(sols_p.travel_time)[crossing]
+                             - np.asarray(sols_b.travel_time)[crossing]) > 1e-4)
+
+    # shallow geometry crossing the layer: still solvable, finite, and the
+    # travel time differs from the unperturbed profile (the layer acts)
+    sols_b2 = rn.find_solutions_numeric(greenland_firn, 0.0, -150.0, 200.0, -80.0)
+    sols_p2 = rn.find_solutions_numeric(greenland_perturbation, 0.0, -150.0,
+                                        200.0, -80.0)
+    m2 = np.asarray(sols_b2.mask) & np.asarray(sols_p2.mask)
+    assert m2.any()
+    tb = np.asarray(sols_b2.travel_time)[m2]
+    tp = np.asarray(sols_p2.travel_time)[m2]
+    assert np.all(np.isfinite(tp))
+    assert np.any(np.abs(tp - tb) > 0)
