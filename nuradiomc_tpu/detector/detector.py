@@ -57,6 +57,8 @@ SITE_COORDINATES = {
     "summit": (72.57, -38.46),
     "auger": (-35.10, -69.30),
     "lofar": (52.91, 6.87),
+    "ska": (-26.825, 116.764),
+    "greenland": (72.57, -38.46),
 }
 
 
@@ -107,11 +109,48 @@ class Detector:
         else:
             db = source
 
-        stations_raw = list(db.get("stations", {}).values())
-        channels_raw = list(db.get("channels", {}).values())
+        self._stations_raw = list(db.get("stations", {}).values())
+        self._channels_raw = list(db.get("channels", {}).values())
+        self._ref_station_id = default_station
+        self._build()
+
+    @staticmethod
+    def _parse_time(value):
+        """tinydb-serialization TinyDate strings / datetimes -> datetime."""
+        import datetime as _dt
+        if value is None:
+            return None
+        if isinstance(value, _dt.datetime):
+            return value
+        s = str(value)
+        if s.startswith("{TinyDate}:"):
+            s = s[len("{TinyDate}:"):]
+        try:
+            return _dt.datetime.fromisoformat(s)
+        except ValueError:
+            return None
+
+    def update(self, time):
+        """Set the detector time: only stations/channels whose commission /
+        decommission period contains ``time`` are served
+        (detector_base.update + _query_station/_query_channels:280-310)."""
+        self._build(time=time)
+
+    def _commissioned(self, entry, time):
+        if time is None:
+            return True
+        t0 = self._parse_time(entry.get("commission_time"))
+        t1 = self._parse_time(entry.get("decommission_time"))
+        return (t0 is None or t0 <= time) and (t1 is None or time < t1)
+
+    def _build(self, time=None):
+        stations_raw = [st for st in self._stations_raw
+                        if self._commissioned(st, time)]
+        channels_raw = [ch for ch in self._channels_raw
+                        if self._commissioned(ch, time)]
+        default_station = self._ref_station_id
 
         self._stations: dict[int, Station] = {}
-        self._ref_station_id = default_station
 
         by_station: dict[int, list[dict]] = {}
         self._raw_channels: dict[tuple[int, int], dict] = {}

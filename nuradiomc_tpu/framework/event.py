@@ -359,6 +359,45 @@ class Station(BaseStation):
         self._channels.pop(channel_id, None)
 
 
+class HybridShower(Shower):
+    """Named shower measured by a companion (hybrid) detector
+    (framework/hybrid_shower.py:6-46)."""
+
+    def __init__(self, name):
+        super().__init__()
+        self._name = name
+        self._hybrid_detector = None
+
+    def get_name(self):
+        return self._name
+
+    def set_hybrid_detector(self, det):
+        self._hybrid_detector = det
+
+    def get_hybrid_detector(self):
+        return self._hybrid_detector
+
+
+class HybridInformation:
+    """Container for hybrid-detector showers on an event
+    (framework/hybrid_information.py:6-40)."""
+
+    def __init__(self):
+        self._showers = collections.OrderedDict()
+
+    def add_hybrid_shower(self, shower: HybridShower):
+        if shower.get_name() in self._showers:
+            raise ValueError(
+                f"hybrid shower {shower.get_name()} already present")
+        self._showers[shower.get_name()] = shower
+
+    def get_hybrid_showers(self):
+        return list(self._showers.values())
+
+    def get_hybrid_shower(self, name):
+        return self._showers[name]
+
+
 class Event:
     """Event container with module provenance (event.py:28-872)."""
 
@@ -373,6 +412,10 @@ class Event:
         self._modules = []  # (level, name, instance-or-None, kwargs)
         self._generator_info = {}
         self._parameters = {}
+        self._hybrid_information = HybridInformation()
+
+    def get_hybrid_information(self):
+        return self._hybrid_information
 
     def get_run_number(self):
         return self._run_number

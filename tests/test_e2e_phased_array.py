@@ -79,3 +79,59 @@ def test_veff_within_mc_error(golden, results):
     rel_err = 2.0 / np.sqrt(n)  # 2 sigma combined
     assert abs(res["veff"] / ref_veff - 1) < 2 * rel_err, \
         (res["veff"], ref_veff)
+
+
+def test_noiseless_pa_exact_triggered_set():
+    """NOISELESS phased-array e2e: with noise off AND the Alvarez2009 k_L
+    realizations pinned through the input file (both frameworks reuse
+    shower_realization_Alvarez2009 from the input) the beamforming / ADC /
+    upsampling / power-integration chain is deterministic, so the triggered
+    set must match the reference (no Poisson band) — this pins the whole PA
+    chain in a way the noisy statistical test cannot
+    (tests/golden/generate_e2e_pa_noiseless_golden.py).
+
+    Borderline budget (documented, measured): group 1628's best beam power
+    lands 1.9% BELOW the 30.85*Vrms^2 threshold here — a ~1% amplitude-level
+    difference, the size of the reference's own attenuation-quadrature
+    accuracy (scipy epsrel=1e-2), which decides a razor-thin crossing. At
+    most this one event may differ; the bit-exact PA module-chain comparison
+    on identical waveforms lives in tests/test_trigger_anchor.py."""
+    golden = np.load(os.path.join(HERE, "golden",
+                                  "e2e_pa_noiseless_reference.npz"))
+    sim = Simulation(
+        os.path.join(HERE, "golden", "pa_noiseless_input.hdf5"),
+        {"channels": {str(i + 1): {
+            "adc_n_samples": 256, "adc_sampling_frequency": 0.5,
+            "adc_nbits": 8,
+            "ant_orientation_phi": 0.0, "ant_orientation_theta": 0.0,
+            "ant_position_x": 0.0, "ant_position_y": 0.0,
+            "ant_position_z": -197.0 - i,
+            "ant_rotation_phi": 90.0, "ant_rotation_theta": 90.0,
+            "ant_type": "RNOG_vpol_v1_n1.73", "amp_type": "",
+            "cab_time_delay": 1051.0, "channel_id": i, "station_id": 1,
+        } for i in range(4)},
+         "stations": {"1": {"station_id": 1, "pos_altitude": 0,
+                            "pos_easting": 0, "pos_northing": 0}}},
+        config={"sampling_rate": 2.0, "noise": False,
+                "propagation": {"ice_model": "southpole_2015", "focusing": True},
+                "signal": {"model": "Alvarez2009"},
+                "weights": {"weight_mode": "core_mantle_crust_simple",
+                            "cross_section_type": "ctw"}},
+        filter_chain=[
+            FilterStage((96 * units.MHz, 100 * units.GHz), "cheby1",
+                        {"order": 4, "rp": 0.1}),
+            FilterStage((0, 220 * units.MHz), "cheby1", {"order": 7, "rp": 0.1}),
+        ],
+        trigger=TriggerSpec(trigger_type="phased_array"),
+        antenna_replacements={"RNOG_vpol_v1_n1.73": "analytic_VPol"},
+        chunk_size=512,
+        dtype=jnp.float64,
+    )
+    res = sim.run()
+    sel = res["triggered"] & (res["weights"] >= 1e-5)
+    mine = set(int(g) for g in res["group_ids"][sel])
+    gid = golden["group_ids"]
+    ref = set(int(g) for g in np.unique(gid[golden["triggered"]]))
+    assert (mine - ref) <= set(), sorted(mine - ref)   # no extras at all
+    assert (ref - mine) <= {1628}, sorted(ref - mine)  # documented borderline
+    assert len(mine & ref) >= len(ref) - 1

@@ -178,3 +178,81 @@ def test_efield_galactic_noise_adder():
     np.testing.assert_allclose(
         np.asarray(sim2.get_electric_fields()[0].get_frequency_spectrum()),
         np.asarray(sim.get_electric_fields()[0].get_frequency_spectrum()))
+
+
+def test_ska_detector():
+    from nuradiomc_tpu.detector.ska import SKADetector
+
+    det = SKADetector()
+    det.add_station_position(0, [0.0, 0.0, 460.0])
+    for aid, (x, y) in enumerate([(0, 0), (1.5, 0), (0, 1.5)]):
+        det.add_antenna_position(0, aid, [x, y, 0.0])
+
+    assert det.get_station_ids() == [0]
+    cids = det.get_channel_ids(0)
+    assert cids == [0, 1, 10, 11, 20, 21]          # antenna_id*10 + pol
+    assert det.get_channel_group_id(0, 21) == 2
+    np.testing.assert_array_equal(det.get_relative_position(0, 10),
+                                  [1.5, 0.0, 0.0])
+    np.testing.assert_array_equal(det.get_relative_position(0, 11),
+                                  [1.5, 0.0, 0.0])   # same antenna
+    assert det.get_antenna_model(0, 0) == "SKALA_v4_Xpol"
+    # the two polarizations differ by a 90 deg antenna rotation
+    o0 = det.get_antenna_orientation(0, 0)
+    o1 = det.get_antenna_orientation(0, 1)
+    assert o0[3] != o1[3]
+    assert det.get_site(0) == "ska"
+    assert det.get_number_of_samples(0, 0) == 1024
+    assert det.get_sampling_frequency(0, 0) == 0.8
+    groups = ec.select_channels_per_station(det, 0, cids)
+    assert groups == {0: [0, 1], 1: [10, 11], 2: [20, 21]}
+
+
+def test_hybrid_information():
+    from nuradiomc_tpu.framework.event import (Event, HybridInformation,
+                                               HybridShower)
+    from nuradiomc_tpu.framework.parameters import showerParameters as shp
+
+    evt = Event(0, 1)
+    hi = evt.get_hybrid_information()
+    assert isinstance(hi, HybridInformation)
+    sh = HybridShower("companion")
+    sh[shp.energy] = 1e17
+    hi.add_hybrid_shower(sh)
+    assert hi.get_hybrid_shower("companion")[shp.energy] == 1e17
+    assert [s.get_name() for s in hi.get_hybrid_showers()] == ["companion"]
+    with pytest.raises(ValueError):
+        hi.add_hybrid_shower(HybridShower("companion"))
+    sh.set_hybrid_detector("det-handle")
+    assert sh.get_hybrid_detector() == "det-handle"
+
+
+def test_detector_time_dependent_update():
+    import datetime
+
+    def ch(cid, t0, t1):
+        return {"adc_n_samples": 256, "adc_sampling_frequency": 1.0,
+                "ant_orientation_phi": 0.0, "ant_orientation_theta": 0.0,
+                "ant_position_x": 0.0, "ant_position_y": 0.0,
+                "ant_position_z": -10.0, "ant_rotation_phi": 90.0,
+                "ant_rotation_theta": 90.0, "ant_type": "analytic_VPol",
+                "amp_type": "", "cab_time_delay": 0.0, "adc_nbits": None,
+                "channel_id": cid, "station_id": 7,
+                "commission_time": f"{{TinyDate}}:{t0}",
+                "decommission_time": f"{{TinyDate}}:{t1}"}
+
+    det = Detector({
+        "channels": {"1": ch(0, "2015-01-01T00:00:00", "2038-01-01T00:00:00"),
+                     "2": ch(1, "2020-06-01T00:00:00", "2038-01-01T00:00:00")},
+        "stations": {"1": {"pos_altitude": 0, "pos_easting": 0,
+                           "pos_northing": 0, "station_id": 7,
+                           "commission_time": "{TinyDate}:2015-01-01T00:00:00",
+                           "decommission_time": "{TinyDate}:2038-01-01T00:00:00"}},
+    })
+    assert det.get_channel_ids(7) == [0, 1]       # no time set: everything
+    det.update(datetime.datetime(2018, 10, 1))
+    assert det.get_channel_ids(7) == [0]          # channel 1 not yet built
+    det.update(datetime.datetime(2021, 1, 1))
+    assert det.get_channel_ids(7) == [0, 1]
+    det.update(datetime.datetime(2039, 1, 1))
+    assert det.get_station_ids() == []            # station decommissioned
