@@ -706,8 +706,7 @@ def attenuation_factor(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple,
         ds_dt = 2.0 * t * c0 * nz / jnp.sqrt(arg)
         # guard: at the exact turning point arg -> 0 like t^2, ratio finite;
         # the epsilon floor keeps it bounded
-        inv_L = 1.0 / attenuation_ops.get_attenuation_length(
-            z[:, None], frequencies[None, :], model)  # [K, F]
+        inv_L = attenuation_ops.inv_length_factored(z, frequencies, model)
         dt = T / n_steps
         return jnp.sum(ds_dt[:, None] * inv_L, axis=0) * dt  # [F]
 

@@ -224,6 +224,21 @@ def _placement_matrices(n_int: int, n_base: int):
     return D_r, D_i
 
 
+@functools.lru_cache(maxsize=8)
+def _interp_matrix(x_sparse: tuple, x_dense: tuple):
+    """W[s, d] with (v_sparse @ W) == np.interp(x_dense, x_sparse, v_sparse)."""
+    import numpy as _np
+    xs = _np.asarray(x_sparse)
+    xd = _np.asarray(x_dense)
+    W = _np.zeros((len(xs), len(xd)))
+    idx = _np.clip(_np.searchsorted(xs, xd) - 1, 0, len(xs) - 2)
+    x0, x1 = xs[idx], xs[idx + 1]
+    t = _np.clip((xd - x0) / (x1 - x0), 0.0, 1.0)
+    W[idx, _np.arange(len(xd))] = 1.0 - t
+    W[idx + 1, _np.arange(len(xd))] = t
+    return W
+
+
 def _attenuation_sparse(sols: raytrace.RaySolutions, geom, s: PipelineSettings):
     """Attenuation factors on the internal frequency grid via a sparse grid.
 
@@ -233,8 +248,10 @@ def _attenuation_sparse(sols: raytrace.RaySolutions, geom, s: PipelineSettings):
     interpolate to the full grid.
     """
     ff = s.freqs_internal
-    f_pos = ff[1:]  # positive frequencies
-    sparse = jnp.linspace(f_pos[0], f_pos[-1], s.n_freq_attenuation)
+    # host-side (static) copies of both grids for the interpolation matrix
+    ff_np = np.fft.rfftfreq(s.n_internal, s.dt)
+    sparse_np = np.linspace(ff_np[1], ff_np[-1], s.n_freq_attenuation)
+    sparse = jnp.asarray(sparse_np)
 
     def one(c0, x1y, x1z, x2y, x2z):
         return raytrace.attenuation_factor(
@@ -251,11 +268,14 @@ def _attenuation_sparse(sols: raytrace.RaySolutions, geom, s: PipelineSettings):
         jnp.broadcast_to(geom.x2z[..., None], shape).reshape(-1),
     ).reshape(*shape, -1)  # [..., n_sparse]
 
-    def interp_one(att_sparse):
-        full = jnp.interp(ff, sparse, att_sparse)
-        return jnp.where(ff > 0, full, 1.0)
-
-    return jax.vmap(interp_one)(flat.reshape(-1, s.n_freq_attenuation)).reshape(*shape, ff.shape[0])
+    # piecewise-linear interpolation from the FIXED sparse grid to the FIXED
+    # dense grid is a linear map -> one [n_sparse, F_int] matmul (gathers are
+    # slow on TPU; jnp.interp compiles to them)
+    W = _interp_matrix(tuple(sparse_np), tuple(ff_np))
+    full = jnp.einsum("ps,sf->pf", flat.reshape(-1, s.n_freq_attenuation),
+                      jnp.asarray(W, flat.dtype))
+    full = jnp.where(ff > 0, full, 1.0)
+    return full.reshape(*shape, ff.shape[0])
 
 
 class EmitterParams(NamedTuple):
