@@ -468,3 +468,281 @@ class eventReader:
 
     def end(self):
         pass
+
+
+# ---------------------------------------------------------------------------
+# WRITING reference-format .nur files (modules/io/eventWriter.py block
+# layout + framework serialize payloads), so files produced here are readable
+# by the reference's own NuRadioRecoio.
+# ---------------------------------------------------------------------------
+
+_REF_NAME_VALUES = {enum_name: {m: v for v, m in table.items()}
+                    for enum_name, table in REF_ENUM_VALUE_NAMES.items()}
+
+
+@__import__("functools").lru_cache(maxsize=1)
+def _ref_compat_enums():
+    """Enum classes with the REFERENCE numbering registered under the module
+    path 'NuRadioReco.framework.parameters', so pickled header enums load in
+    the reference by value. No-op passthrough when the real reference is
+    importable."""
+    import enum as _enum
+    import sys
+    import types
+
+    try:
+        import NuRadioReco.framework.parameters as ref_par  # noqa: F401
+        return {name: getattr(ref_par, name)
+                for name in REF_ENUM_VALUE_NAMES
+                if hasattr(ref_par, name)}
+    except ImportError:
+        pass
+
+    mod_name = "NuRadioReco.framework.parameters"
+    out = {}
+    mod = sys.modules.get(mod_name)
+    if mod is None:
+        pkg_root = types.ModuleType("NuRadioReco")
+        pkg_fw = types.ModuleType("NuRadioReco.framework")
+        mod = types.ModuleType(mod_name)
+        pkg_root.framework = pkg_fw
+        pkg_fw.parameters = mod
+        sys.modules.setdefault("NuRadioReco", pkg_root)
+        sys.modules.setdefault("NuRadioReco.framework", pkg_fw)
+        sys.modules[mod_name] = mod
+    for enum_name, table in REF_ENUM_VALUE_NAMES.items():
+        cls = _enum.Enum(enum_name, {m: v for v, m in table.items()},
+                         module=mod_name)
+        setattr(mod, enum_name, cls)
+        out[enum_name] = cls
+    return out
+
+
+def _to_ref_key(key):
+    """Our enum member (or RefParameter token) -> reference enum member."""
+    enums = _ref_compat_enums()
+    if isinstance(key, RefParameter):
+        cls = enums.get(key.enum_name)
+        return cls[key.name] if cls is not None and \
+            key.name in cls.__members__ else None
+    enum_name = type(key).__name__
+    cls = enums.get(enum_name)
+    if cls is not None and key.name in cls.__members__:
+        return cls[key.name]
+    return None
+
+
+def _param_key_str(key):
+    if isinstance(key, RefParameter):
+        return f"{key.enum_name}.{key.name}"
+    return str(key)
+
+
+def _params_blob(obj):
+    """ParameterStorage.serialize equivalent (string keys,
+    parameter_storage.py:107-119)."""
+    raw = (obj.get_parameters() if hasattr(obj, "get_parameters")
+           else getattr(obj, "_parameters", {}))
+    params = {_param_key_str(k): v for k, v in raw.items()}
+    covs = {(_param_key_str(k1), _param_key_str(k2)): v
+            for (k1, k2), v in getattr(obj, "_parameter_covariances",
+                                       {}).items()}
+    types = sorted({_param_key_str(k).split(".")[0] for k in raw}
+                   & set(REF_ENUM_VALUE_NAMES))
+    return {"_parameters": params, "_parameter_covariances": covs,
+            "_parameter_types": types}
+
+
+def _trace_blob(bt):
+    """Pickled BaseTrace.serialize payload (base_trace.py:292-300)."""
+    tr = bt.get_trace()
+    if tr is None:
+        return None
+    return _dump({"sampling_rate": bt.get_sampling_rate(),
+                  "time_trace": np.asarray(tr),
+                  "trace_start_time": bt.get_trace_start_time()})
+
+
+def _dump(obj) -> bytes:
+    import pickle as _p
+    return _p.dumps(obj, protocol=4)
+
+
+def _serialize_channel(ch) -> bytes:
+    data = _params_blob(ch)
+    data.update({"id": ch.get_id(),
+                 "group_id": getattr(ch, "_group_id", None),
+                 "base_trace": _trace_blob(ch),
+                 "trigger_channel_pkl": None})
+    return _dump(data)
+
+
+def _serialize_sim_channel(ch) -> bytes:
+    return _dump({"shower_id": ch.get_shower_id(),
+                  "ray_tracing_id": ch.get_ray_tracing_solution_id(),
+                  "channel": _serialize_channel(ch)})
+
+
+def _serialize_efield(ef) -> bytes:
+    data = _params_blob(ef)
+    data.update({"channel_ids": list(ef.get_channel_ids()),
+                 "_shower_id": ef.get_shower_id(),
+                 "_ray_tracing_id": ef.get_ray_tracing_solution_id(),
+                 "position": ef.get_position(),
+                 "base_trace": _trace_blob(ef)})
+    return _dump(data)
+
+
+def _serialize_trigger(trig) -> bytes:
+    data = dict(trig.__dict__)
+    data["_trigger_type"] = data.pop("_type", "default")
+    data.setdefault("_channels", data.get("_triggered_channels"))
+    data.setdefault("_primary_trigger", False)
+    return _dump(data)
+
+
+def _time_dict(t):
+    """Seconds-since-epoch float -> the reference's jd-tuple time dict
+    (io_utilities._astropy_to_dict)."""
+    if t is None:
+        return None
+    unix = float(t.timestamp() if hasattr(t, "timestamp") else t)
+    jd1 = 2440587.5 + unix // 86400
+    jd2 = (unix % 86400) / 86400.0
+    return {"value": (jd1, jd2), "format": "jd"}
+
+
+def _serialize_base_station(st, save_efield_traces=True) -> bytes:
+    data = _params_blob(st)
+    t = getattr(st, "get_station_time", lambda: None)()
+    data.update({
+        "_station_id": st.get_id(),
+        "_station_time": _time_dict(t),
+        "_particle_type": getattr(st, "_particle_type", ""),
+        "triggers": [_serialize_trigger(t2) for t2 in
+                     getattr(st, "get_triggers", dict)().values()]
+        if hasattr(st, "get_triggers") else [],
+        "_triggered": bool(getattr(st, "has_triggered", lambda: False)()),
+        "electric_fields": [_serialize_efield(ef)
+                            for ef in st.get_electric_fields()],
+    })
+    return _dump(data)
+
+
+def _serialize_sim_station(sim) -> bytes:
+    return _dump({"__magnetic_field_vector": None,
+                  "__simulation_weight": None,
+                  "channels": [_serialize_sim_channel(c)
+                               for c in sim.iter_channels()],
+                  "base_station": _serialize_base_station(sim)})
+
+
+def _serialize_station(st) -> bytes:
+    sim = st.get_sim_station() if hasattr(st, "get_sim_station") else None
+    return _dump({
+        "__reference_reconstruction": "RD",
+        "channels": [_serialize_channel(c) for c in st.iter_channels()],
+        "base_station": _serialize_base_station(st),
+        "sim_station": _serialize_sim_station(sim) if sim is not None else None,
+    })
+
+
+def _serialize_shower(sh) -> bytes:
+    base = _params_blob(sh)
+    base["_id"] = sh.get_id() if hasattr(sh, "get_id") else getattr(sh, "_id", None)
+    return _dump({"base_shower": _dump(base), "station_ids": None})
+
+
+def _serialize_particle(p) -> bytes:
+    data = _params_blob(p)
+    data["_id"] = getattr(p, "_id", None)
+    return _dump(data)
+
+
+def serialize_event_reference(evt) -> bytes:
+    """Event payload in the reference's serialize() layout
+    (framework/event.py:676-744)."""
+    data = _params_blob(evt)
+    data.update({
+        "__run_number": evt.get_run_number(),
+        "_id": evt.get_id(),
+        "__event_time": None,
+        "stations": [_serialize_station(st) for st in evt.get_stations()],
+        "showers": [_serialize_shower(s) for s in evt.get_showers()],
+        "sim_showers": [_serialize_shower(s) for s in evt.get_sim_showers()],
+        "sim_emitters": [],
+        "particles": [_serialize_particle(p) for p in evt.get_particles()],
+        "hybrid_info": _dump({"shower_pickles": []}),
+        "__modules_event": [],
+        "__modules_station": {},
+    })
+    return _dump(data)
+
+
+def event_header_reference(evt) -> dict:
+    """get_header equivalent (eventWriter.py:14-24) with REFERENCE-numbered
+    enum keys (headers pickle real enum objects)."""
+    header = {"stations": {}}
+    for st in evt.get_stations():
+        entry = {}
+        for k, v in st.get_parameters().items():
+            rk = _to_ref_key(k)
+            if rk is not None:
+                entry[rk] = v
+        enums = _ref_compat_enums()
+        st_time = getattr(st, "get_station_time", lambda: None)()
+        entry[enums["stationParameters"]["station_time"]] = _time_dict(st_time)
+        sim = st.get_sim_station() if hasattr(st, "get_sim_station") else None
+        if sim is not None:
+            entry["sim_station"] = {
+                rk: v for k, v in sim.get_parameters().items()
+                if (rk := _to_ref_key(k)) is not None}
+        header["stations"][st.get_id()] = entry
+    header["event_id"] = (evt.get_run_number(), evt.get_id())
+    return header
+
+
+class ReferenceEventWriter:
+    """Write reference-format (v2.2) .nur files readable by the reference's
+    NuRadioRecoio (eventWriter.py block layout)."""
+
+    def __init__(self, filename: str):
+        self._f = open(filename, "wb")
+        self._f.write((2).to_bytes(6, "little"))
+        self._f.write((2).to_bytes(6, "little"))
+        self._n = 0
+
+    def begin(self, filename=None):
+        return self
+
+    def run(self, evt, det=None, mode=None):
+        header = _dump(event_header_reference(evt))
+        payload = serialize_event_reference(evt)
+        b = bytearray()
+        b.extend((0).to_bytes(6, "little"))
+        b.extend(len(header).to_bytes(6, "little"))
+        b.extend(header)
+        b.extend(len(payload).to_bytes(6, "little"))
+        b.extend(payload)
+        self._f.write(b)
+        self._n += 1
+
+    def end(self):
+        self._f.close()
+        return self._n
+
+
+class eventWriter:
+    """Reference-compatible module API (modules/io/eventWriter.py):
+    begin(filename) / run(evt) / end(), writing reference-format files."""
+
+    def begin(self, filename, **kwargs):
+        if not filename.endswith(".nur"):
+            filename = filename + ".nur"
+        self._writer = ReferenceEventWriter(filename)
+
+    def run(self, evt, det=None, mode=None):
+        self._writer.run(evt, det=det, mode=mode)
+
+    def end(self):
+        return self._writer.end()
