@@ -432,26 +432,43 @@ def travel_time_general(c0, x1z, x2z, ice: IceModelSimple, r, case, mirror):
             + D * ct_of(x2z)) / speed_of_light
 
 
+def _quad_nodes(n_steps: int, quadrature: str):
+    """(nodes, weights) on [0, 1]: midpoint rule or Gauss-Legendre (the
+    t-substituted integrand is smooth, so GL-8 beats midpoint-32; measured
+    max errs vs a 1024-step truth: mid-32 7e-4, GL-8 4e-4, GL-12 7e-5)."""
+    import functools as _ft
+
+    @_ft.lru_cache(maxsize=16)
+    def cached(n, q):
+        import numpy as _np
+        if q == "gauss":
+            x, w = _np.polynomial.legendre.leggauss(n)
+            return (x + 1.0) / 2.0, w / 2.0
+        return (_np.arange(n) + 0.5) / n, _np.full(n, 1.0 / n)
+    return cached(n_steps, quadrature)
+
+
 def attenuation_factor_general(c0, x1z, x2z, ice: IceModelSimple, frequencies,
-                               model: str, r, case, mirror, n_steps: int = 64):
+                               model: str, r, case, mirror, n_steps: int = 64,
+                               quadrature: str = "midpoint"):
     """Attenuation of an r-bounce path via per-leg t-substitution integrals.
 
     exponent = c1 I(z1) + cb I(zb) + c2 I(z2) with I(z) = int_z^{z_turn} ds/L.
     """
     _, z_turn = _turning_point(c0, ice)
     zb = ice.refl_z if ice.refl_z is not None else 0.0
+    qt, qw = _quad_nodes(n_steps, quadrature)
 
     def I_of(z_start):
         T = jnp.sqrt(jnp.maximum(z_turn - z_start, 0.0))
-        i = (jnp.arange(n_steps, dtype=c0.dtype) + 0.5) / n_steps
-        t = i * T
+        t = jnp.asarray(qt, c0.dtype) * T
         z = z_turn - t ** 2
         nz = _n_z(z, ice)
         arg = jnp.maximum(c0 ** 2 * nz ** 2 - 1.0, 1e-20)
         ds_dt = 2.0 * t * c0 * nz / jnp.sqrt(arg)
-        inv_L = 1.0 / attenuation_ops.get_attenuation_length(
-            z[:, None], frequencies[None, :], model)
-        return jnp.sum(ds_dt[:, None] * inv_L, axis=0) * (T / n_steps)
+        inv_L = attenuation_ops.inv_length_factored(z, frequencies, model)
+        return jnp.sum((jnp.asarray(qw, c0.dtype) * ds_dt)[:, None] * inv_L,
+                       axis=0) * T
 
     c1 = 1.0 if case == 1 else -1.0
     cb = 2.0 * r
@@ -671,7 +688,8 @@ def focusing_factor(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple, limit=2.0):
 
 
 def attenuation_factor(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple,
-                       frequencies, model: str, n_steps: int = 64):
+                       frequencies, model: str, n_steps: int = 64,
+                       quadrature: str = "midpoint"):
     """exp(-int ds / L_att(z, f)) along the path, per frequency.
 
     Replaces get_attenuation_along_path (analyticraytracing.py:933-1089).
@@ -693,13 +711,13 @@ def attenuation_factor(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple,
     # branches [z1, z_top] (up) and [z2, z_top] (down-mirrored)
     direct = sol == SOL_DIRECT
 
+    qt, qw = _quad_nodes(n_steps, quadrature)
+
     def branch_exponent(z_start, z_end_top):
         """int_{z_start}^{z_end_top} ds/L, with z_end_top >= z_start, via t-substitution."""
-        # t in [0, T], z = z_end_top - t^2
+        # t in [0, T], z = z_end_top - t^2; quadrature nodes on [0, 1]
         T = jnp.sqrt(jnp.maximum(z_end_top - z_start, 0.0))
-        # midpoint rule in t
-        i = (jnp.arange(n_steps, dtype=c0.dtype) + 0.5) / n_steps
-        t = i * T
+        t = jnp.asarray(qt, c0.dtype) * T
         z = z_end_top - t ** 2
         nz = _n_z(z, ice)
         arg = jnp.maximum(c0 ** 2 * nz ** 2 - 1.0, 1e-20)
@@ -707,8 +725,8 @@ def attenuation_factor(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple,
         # guard: at the exact turning point arg -> 0 like t^2, ratio finite;
         # the epsilon floor keeps it bounded
         inv_L = attenuation_ops.inv_length_factored(z, frequencies, model)
-        dt = T / n_steps
-        return jnp.sum(ds_dt[:, None] * inv_L, axis=0) * dt  # [F]
+        return jnp.sum((jnp.asarray(qw, c0.dtype) * ds_dt)[:, None] * inv_L,
+                       axis=0) * T  # [F]
 
     # up branch: from z1 to (z2 for direct, z_top otherwise)
     exp_up = branch_exponent(x1z, jnp.where(direct, x2z, z_top))

@@ -201,6 +201,8 @@ class Simulation:
             n_freq_attenuation=int(cfg["propagation"]["n_freq"]),
             **({"attenuation_steps": int(cfg["propagation"]["attenuation_steps"])}
                if cfg["propagation"].get("attenuation_steps") else {}),
+            **({"attenuation_quadrature": str(cfg["propagation"]["attenuation_quadrature"])}
+               if cfg["propagation"].get("attenuation_quadrature") else {}),
             **({"n_bisect": int(cfg["propagation"]["n_bisect"])}
                if cfg["propagation"].get("n_bisect") else {}),
             attenuate_ice=bool(cfg["propagation"]["attenuate_ice"]),
@@ -222,6 +224,11 @@ class Simulation:
             birefringence=bool(cfg["propagation"].get("birefringence", False)),
             birefringence_model=str(cfg["propagation"].get(
                 "birefringence_model", "southpole_A")),
+            # the reference's get_pulse_propagation_birefringence rotates the
+            # path into the ice-flow frame when the config carries
+            # angle_to_iceflow (deg); the default config does (-131 deg)
+            birefringence_iceflow=float(np.deg2rad(
+                cfg["propagation"].get("angle_to_iceflow", -131.0))),
             add_noise=bool(cfg["noise"]),
             noise_type="rayleigh",
         )

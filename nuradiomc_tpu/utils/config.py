@@ -47,6 +47,7 @@ DEFAULT_CONFIG: dict = {
         # steps of the attenuation integral and ray-solver iterations; None
         # keeps the PipelineSettings defaults (64 / 96)
         "attenuation_steps": None,
+        "attenuation_quadrature": None,   # None -> "gauss"
         "n_bisect": None,
         "focusing_limit": 2,
         "focusing": False,

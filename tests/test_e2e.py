@@ -140,7 +140,7 @@ def test_per_solution_observables(golden, results):
 
 def test_benchmark_settings_reproduce_golden(golden):
     """The benchmark configuration (bench.py: float32, n_freq_attenuation=16,
-    attenuation_steps=32, n_bisect=28) must reproduce the reference-golden
+    attenuation_steps=8 Gauss-Legendre, n_bisect=28) must reproduce the reference-golden
     triggered set — keeping the published throughput number tied to a
     conformance-validated physics configuration.
 
@@ -156,7 +156,7 @@ def test_benchmark_settings_reproduce_golden(golden):
         INPUT, DETECTOR,
         config={"sampling_rate": 2.0,
                 "propagation": {"ice_model": "southpole_2015", "n_freq": 16,
-                                "attenuation_steps": 32, "n_bisect": 28},
+                                "attenuation_steps": 8, "n_bisect": 28},
                 "signal": {"model": "Alvarez2000"},
                 "weights": {"weight_mode": "core_mantle_crust_simple",
                             "cross_section_type": "ctw"}},
