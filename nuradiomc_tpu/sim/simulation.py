@@ -27,8 +27,9 @@ from nuradiomc_tpu.detector.detector import Detector
 from nuradiomc_tpu.models import ice as ice_models
 from nuradiomc_tpu.ops import antenna, askaryan, filters, phased_array
 from nuradiomc_tpu.sim import earth_attenuation, io_hdf5
-from nuradiomc_tpu.sim.pipeline import (ChannelParams, PipelineSettings,
-                                        ShowerBatch, simulate_batch)
+from nuradiomc_tpu.sim.pipeline import (ChannelParams, PipelineOutput,
+                                        PipelineSettings, ShowerBatch,
+                                        simulate_batch)
 from nuradiomc_tpu.utils import config as config_util
 from nuradiomc_tpu.utils import units
 from nuradiomc_tpu.utils.constants import boltzmann
@@ -250,14 +251,41 @@ class Simulation:
         # ---- input ----------------------------------------------------------
         self.input = io_hdf5.read_input_hdf5(inputfilename)
 
-        def _step(batch, key, chp):
+        def _step_mesh(batch, key, chp):
             out = simulate_batch(batch, chp, self.settings, noise_key=key,
                                  arz_library=self.arz_library)
             # device-side trigger-count reduction: under a sharded batch this
             # compiles to a per-shard sum + AllReduce over the event axis
             return out, jnp.sum(out.triggered.astype(jnp.int32))
 
-        self._jit_pipeline_ch = jax.jit(_step)
+        self._jit_step_mesh = jax.jit(_step_mesh)
+        self._jit_step_by_station = {}
+
+        def _single_step_for(station_id):
+            # per-station jit CLOSING OVER the (numpy) channel constants:
+            # on the axon single-chip tunnel, passing ChannelParams as jit
+            # ARGUMENTS both slows compilation drastically and produces
+            # executables whose outputs cannot be fetched back
+            # (UNIMPLEMENTED device-to-host); closure constants avoid both.
+            # Also no extra aliased trigger-count output here (same quirk);
+            # the count is a trivial host-side sum on one chip anyway.
+            if station_id not in self._jit_step_by_station:
+                chp = self.channel_params_per_station[station_id]
+                self._jit_step_by_station[station_id] = jax.jit(
+                    lambda batch, key: simulate_batch(
+                        batch, chp, self.settings, noise_key=key,
+                        arz_library=self.arz_library))
+            return self._jit_step_by_station[station_id]
+
+        self._single_step_for = _single_step_for
+
+        def _call(batch, key, chp, station_id=None):
+            if self.mesh is not None:
+                return self._jit_step_mesh(batch, key, chp)
+            sid = station_id if station_id is not None else self.station_id
+            return self._single_step_for(sid)(batch, key), None
+
+        self._jit_pipeline_ch = _call
         self._jit_pipeline = lambda batch, key: self._jit_pipeline_ch(
             batch, key, self.channel_params)
 
@@ -300,24 +328,28 @@ class Simulation:
         filter_response_int = np.broadcast_to(filt_int, (C, len(freqs_int))).copy()
 
         station_pos = station.absolute_position
-        cdt = jnp.dtype(self.dtype)
-        ctype = jnp.complex128 if cdt == jnp.float64 else jnp.complex64
+        # host numpy leaves (transferred per jit call): on the axon TPU
+        # backend, outputs of a jit whose inputs were eagerly-created device
+        # arrays cannot be fetched back (UNIMPLEMENTED); numpy inputs also
+        # skip the candidate-cut round trip (pipeline cut_statically_off)
+        cdt = np.float64 if jnp.dtype(self.dtype) == jnp.float64 else np.float32
+        ctype = np.complex128 if cdt == np.float64 else np.complex64
         return ChannelParams(
-            positions=jnp.asarray(ch.positions + station_pos, dtype=cdt),
-            cable_delays=jnp.asarray(ch.cable_delay, dtype=cdt),
-            rot=jnp.asarray(rot, dtype=cdt),
-            kind=jnp.asarray(kind),
-            templates=jnp.asarray(templates, dtype=ctype),
-            filter_response=jnp.asarray(filter_response, dtype=ctype),
-            filter_response_int=jnp.asarray(filter_response_int, dtype=ctype),
-            threshold_high=jnp.full((C,), trigger.threshold_high_sigma * self.Vrms, dtype=cdt),
-            threshold_low=jnp.full((C,), trigger.threshold_low_sigma * self.Vrms, dtype=cdt),
+            positions=np.asarray(ch.positions + station_pos, dtype=cdt),
+            cable_delays=np.asarray(ch.cable_delay, dtype=cdt),
+            rot=np.asarray(rot, dtype=cdt),
+            kind=np.asarray(kind),
+            templates=np.asarray(templates, dtype=ctype),
+            filter_response=np.asarray(filter_response, dtype=ctype),
+            filter_response_int=np.asarray(filter_response_int, dtype=ctype),
+            threshold_high=np.full((C,), trigger.threshold_high_sigma * self.Vrms, dtype=cdt),
+            threshold_low=np.full((C,), trigger.threshold_low_sigma * self.Vrms, dtype=cdt),
             # noise is generated white up to Nyquist and scaled so the
             # post-filter RMS equals Vrms (simulation.py:595-600)
-            noise_amplitude=jnp.full(
+            noise_amplitude=np.full(
                 (C,), self.Vrms / np.sqrt(self.bandwidth / (0.5 * self.internal_rate)),
                 dtype=cdt),
-            min_efield_amplitude=jnp.full(
+            min_efield_amplitude=np.full(
                 (C,), float(cfg["speedup"]["min_efield_amplitude"]) * self.Vrms_efield,
                 dtype=cdt),
         )
@@ -409,7 +441,7 @@ class Simulation:
                     {"iN": inp.shower_realization_ARZ.astype(float)},
                     order, start, count, S)
                 profile_np = reuse["iN"].astype(np.int32)
-            profile_idx = jnp.asarray(profile_np)
+            profile_idx = profile_np
 
         # unpad the drawn/reused realizations back to per-input-row arrays for
         # output persistence (output_writer_hdf5.py:182-184)
@@ -426,10 +458,10 @@ class Simulation:
                         else "shower_realization_Alvarez2009")
             self._realizations[key_name] = flat
         batch = ShowerBatch(
-            vertices=jnp.asarray(vert), energies=jnp.asarray(energies),
-            is_em=jnp.asarray(is_em), shower_mask=jnp.asarray(mask),
-            prop_dir=jnp.asarray(prop_dir.astype(dt)), k_L=jnp.asarray(k_L),
-            vertex_times=jnp.asarray(vertex_times), profile_idx=profile_idx)
+            vertices=vert.astype(dt), energies=energies,
+            is_em=is_em, shower_mask=mask,
+            prop_dir=prop_dir.astype(dt), k_L=k_L,
+            vertex_times=vertex_times, profile_idx=profile_idx)
         return group_ids, start, count, order, batch
 
     def _weights(self, group_ids, start, count, order):
@@ -471,16 +503,31 @@ class Simulation:
             "time_shower_and_ray", "sol_mask")}
 
         n_chunks = (G + self.chunk_size - 1) // self.chunk_size
-        for i in range(n_chunks):
+
+        # double-buffered executor: jax dispatch is async, so keeping a small
+        # in-flight window lets host-side packing of chunk i+1 overlap the
+        # device computing chunk i; results are fetched one window behind
+        # (the blocking np.asarray is what forces the sync)
+        in_flight = []
+        MAX_IN_FLIGHT = 2
+
+        def dispatch(i):
+            nonlocal key
             sl = slice(i * self.chunk_size, min((i + 1) * self.chunk_size, G))
             n_pad = self.chunk_size - (sl.stop - sl.start)
             chunk = jax.tree.map(
-                lambda a: jnp.pad(a[sl], [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)),
+                lambda a: np.pad(np.asarray(a)[sl],
+                                 [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)),
                 batch)
             if self.mesh is not None:
                 chunk = mesh_util.shard_batch(chunk, self.mesh)
             key, sub = jax.random.split(key)
-            out, n_trig_dev = self._jit_pipeline_ch(chunk, sub, chp)
+            out, _ = self._jit_pipeline_ch(chunk, sub, chp,
+                                           station_id=station_id)
+            in_flight.append((sl, out))
+
+        def drain_one():
+            sl, out = in_flight.pop(0)
             n_real = sl.stop - sl.start
             trig = np.asarray(out.triggered)[:n_real]
             triggered[sl] = trig
@@ -520,6 +567,13 @@ class Simulation:
                 station_rows["time_shower_and_ray"].append(
                     tt + cd[None, None, :, None])
                 station_rows["sol_mask"].append(np.asarray(out.sol_mask)[idx])
+
+        for i in range(n_chunks):
+            dispatch(i)
+            if len(in_flight) >= MAX_IN_FLIGHT:
+                drain_one()
+        while in_flight:
+            drain_one()
 
         return triggered, max_amp, trigger_times, station_rows
 
