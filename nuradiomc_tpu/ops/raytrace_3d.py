@@ -19,13 +19,15 @@ horizontal distance is recorded per ray, sign changes bracket solutions, and
 a fixed-iteration bisection refines each bracket. Everything is fixed-shape
 and jit/vmap-friendly; up to ``n_slots`` solutions carry a validity mask.
 
-Scope notes (documented limitation, as in round-1's stratified tracer): the
-angular search runs in the vertical source-receiver plane. For media whose
-HORIZONTAL gradients push rays out of that plane, the per-ray integration is
-still exact (full 3D state), but the 1-parameter search may miss solutions
-that require an out-of-plane launch azimuth; a 2-parameter cone search would
-be the extension. The surface (z=0) acts as a perfect mirror for upgoing
-rays, matching the analytic solver's treatment of in-ice propagation.
+The 1-parameter in-plane search is followed (optionally, `refine_3d=True`)
+by a 2-parameter Newton polish over (launch zenith, out-of-plane azimuth)
+with the 2x2 Jacobian of the (vertical, lateral) miss from forward-mode
+autodiff THROUGH the RK4 scan — so media whose horizontal gradients push
+rays out of the source-receiver plane converge to exact 3D solutions.
+Solutions requiring a launch azimuth far outside the fan's basin remain out
+of scope (a full cone scan would be the extension). The surface (z=0) acts
+as a perfect mirror for upgoing rays, matching the analytic solver's
+treatment of in-ice propagation.
 """
 
 from __future__ import annotations
@@ -59,9 +61,11 @@ def _plane_basis(x1, x2):
 
 
 def shoot_ray(n_field: Callable, x0, p0, ds: float, n_steps: int,
-              d_h_target):
+              d_h_target, u=None, v=None):
     """Integrate one ray; returns the crossing record at horizontal distance
-    ``d_h_target`` from x0 (measured along the ray's horizontal track).
+    ``d_h_target`` from x0 (the along-track horizontal advance; when a plane
+    basis (u, v) is given, the advance is the u-projection and the record
+    carries the lateral v-offset at the crossing).
 
     State: (position[3], momentum p = n * direction[3]).  The surface z=0
     mirrors upgoing rays (perfect reflection).  The scan also accumulates
@@ -74,11 +78,21 @@ def shoot_ray(n_field: Callable, x0, p0, ds: float, n_steps: int,
         n = n_field(x[0], x[1], x[2])
         return p / n, grad_n(x)
 
-    u, origin, _ = _plane_basis(x0, x0 + jnp.array([1.0, 0.0, 0.0]))
+    if u is None:
+        def horiz(x):
+            d = x - x0
+            return jnp.sqrt(d[0] ** 2 + d[1] ** 2)
 
-    def horiz(x):
-        d = x - x0
-        return jnp.sqrt(d[0] ** 2 + d[1] ** 2)
+        def lateral(x):
+            return jnp.asarray(0.0, x0.dtype)
+    else:
+        def horiz(x):
+            d = x - x0
+            return d[0] * u[0] + d[1] * u[1]
+
+        def lateral(x):
+            d = x - x0
+            return d[0] * v[0] + d[1] * v[1]
 
     def step(carry, _):
         x, p, s_acc, t_acc, crossed, rec, n_refl = carry
@@ -108,8 +122,10 @@ def shoot_ray(n_field: Callable, x0, p0, ds: float, n_steps: int,
         f = jnp.where(crossing_now,
                       (d_h_target - d0) / jnp.maximum(d1 - d0, 1e-12), 0.0)
         z_cross = x[2] + f * (x_new[2] - x[2])
+        lat_cross = lateral(x) + f * (lateral(x_new) - lateral(x))
         rec_new = {
             "z": jnp.where(crossing_now, z_cross, rec["z"]),
+            "lat": jnp.where(crossing_now, lat_cross, rec["lat"]),
             "s": jnp.where(crossing_now, s_acc + f * ds, rec["s"]),
             "t": jnp.where(crossing_now,
                            t_acc + f * ds * n_here / speed_of_light, rec["t"]),
@@ -120,7 +136,9 @@ def shoot_ray(n_field: Callable, x0, p0, ds: float, n_steps: int,
         return (x_new, p_new, s_new, t_new, crossed, rec_new, n_refl), None
 
     n0 = n_field(x0[0], x0[1], x0[2])
-    rec0 = {"z": jnp.asarray(jnp.nan, x0.dtype), "s": jnp.asarray(0.0, x0.dtype),
+    rec0 = {"z": jnp.asarray(jnp.nan, x0.dtype),
+            "lat": jnp.asarray(0.0, x0.dtype),
+            "s": jnp.asarray(0.0, x0.dtype),
             "t": jnp.asarray(0.0, x0.dtype),
             "p": p0, "n_refl": jnp.asarray(0, jnp.int32)}
     carry = (x0, p0 * (n0 / jnp.linalg.norm(p0)), jnp.asarray(0.0, x0.dtype),
@@ -139,6 +157,75 @@ def _miss_of_zenith(n_field, x1, x2, zenith, ds, n_steps):
                            jnp.cos(zenith)])
     crossed, rec = shoot_ray(n_field, x1, direction, ds, n_steps, d_h)
     return jnp.where(crossed, rec["z"] - x2[2], jnp.nan), rec
+
+
+def _miss2_of_angles(n_field, x1, x2, zen, beta, ds, n_steps):
+    """(vertical, lateral) miss for launch angles (zenith, out-of-plane
+    azimuth beta) — the 2D objective of the Newton polish."""
+    u, _, d_h = _plane_basis(x1, x2)
+    v = jnp.array([-u[1], u[0], 0.0])
+    h = jnp.sin(zen)
+    direction = jnp.array([
+        h * (u[0] * jnp.cos(beta) + v[0] * jnp.sin(beta)),
+        h * (u[1] * jnp.cos(beta) + v[1] * jnp.sin(beta)),
+        jnp.cos(zen)])
+    crossed, rec = shoot_ray(n_field, x1, direction, ds, n_steps, d_h,
+                             u=u, v=v)
+    miss = jnp.stack([rec["z"] - x2[2], rec["lat"]])
+    return jnp.where(crossed, miss, jnp.nan), rec
+
+
+def refine_solutions_3d(n_field: Callable, x1, x2, sols: Ray3DSolutions,
+                        ds: float = 2.0, n_steps: int = 4000,
+                        n_newton: int = 6, damping: float = 0.7):
+    """Newton-polish in-plane solutions over (zenith, out-of-plane azimuth)
+    for media with horizontal gradients: the 2x2 Jacobian of the
+    (vertical, lateral) miss comes from forward-mode autodiff THROUGH the
+    RK4 integration. Returns (refined Ray3DSolutions, beta[n_slots])."""
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+
+    def miss2(angles):
+        m, _ = _miss2_of_angles(n_field, x1, x2, angles[0], angles[1],
+                                ds, n_steps)
+        return m
+
+    jac = jax.jacfwd(miss2)
+
+    def newton_one(zen0):
+        def body(_, a):
+            m = miss2(a)
+            J = jac(a)
+            delta = jnp.linalg.solve(
+                J + 1e-12 * jnp.eye(2, dtype=a.dtype), m)
+            a_new = a - damping * delta
+            ok = jnp.all(jnp.isfinite(a_new)) & jnp.all(jnp.isfinite(m))
+            return jnp.where(ok, a_new, a)
+        return jax.lax.fori_loop(
+            0, n_newton, body,
+            jnp.stack([zen0, jnp.asarray(0.0, zen0.dtype)]))
+
+    angles = jax.vmap(newton_one)(sols.launch_zenith)
+
+    def observables(a):
+        miss, rec = _miss2_of_angles(n_field, x1, x2, a[0], a[1], ds, n_steps)
+        u, _, _ = _plane_basis(x1, x2)
+        v = jnp.array([-u[1], u[0], 0.0])
+        h = jnp.sin(a[0])
+        launch = jnp.array([
+            h * (u[0] * jnp.cos(a[1]) + v[0] * jnp.sin(a[1])),
+            h * (u[1] * jnp.cos(a[1]) + v[1] * jnp.sin(a[1])),
+            jnp.cos(a[0])])
+        p = rec["p"]
+        receive = p / jnp.maximum(jnp.linalg.norm(p), 1e-30)
+        return miss, launch, receive, rec["s"], rec["t"], rec["n_refl"]
+
+    miss, launch, receive, s, t, n_refl = jax.vmap(observables)(angles)
+    mask = sols.mask & jnp.all(jnp.isfinite(miss), axis=-1)
+    return Ray3DSolutions(
+        mask=mask, launch_zenith=angles[:, 0], launch_vector=launch,
+        receive_vector=receive, path_length=s, travel_time=t,
+        n_reflections=n_refl), angles[:, 1]
 
 
 def find_solutions_3d(n_field: Callable, x1, x2, n_slots: int = 4,

@@ -89,3 +89,42 @@ def test_genuinely_3d_field():
     # optical path is bounded by dn * chord ~ 0.05 * 240 m / c ~ 40 ns
     assert 0.05 < abs(tp - tb) < 50.0, (tp, tb)
     assert np.isfinite(np.asarray(pert.launch_vector)[mp]).all()
+
+
+def test_newton_refinement_out_of_plane():
+    """A field with a LATERAL (y) gradient bends rays out of the
+    source-receiver plane: the 2-parameter Newton polish must drive both the
+    vertical and the lateral miss to ~zero (the in-plane solution alone
+    carries a nonzero lateral miss)."""
+    def n_tilted(x, y, z):
+        base = jnp.where(z > 0, 1.000293, ICE.index_of_refraction(z))
+        # gentle horizontal gradient in y (out-of-plane for this geometry)
+        return base + jnp.where(z > 0, 0.0, 2e-5 * y)
+
+    x1 = jnp.asarray([500.0, 0.0, -700.0], jnp.float64)
+    x2 = jnp.asarray([0.0, 0.0, -100.0], jnp.float64)
+    sols = raytrace_3d.find_solutions_3d(n_tilted, x1, x2, ds=1.0,
+                                         n_steps=3000)
+    m = np.asarray(sols.mask)
+    assert m.sum() >= 1
+
+    # lateral miss of the unrefined (in-plane) solution
+    lat_before = []
+    for k in np.where(m)[0]:
+        miss, _ = raytrace_3d._miss2_of_angles(
+            n_tilted, x1, x2, sols.launch_zenith[k], jnp.float64(0.0),
+            1.0, 3000)
+        lat_before.append(abs(float(miss[1])))
+    assert max(lat_before) > 0.5          # the tilt really bends rays ~1 m
+
+    refined, beta = raytrace_3d.refine_solutions_3d(
+        n_tilted, x1, x2, sols, ds=1.0, n_steps=3000)
+    mr = np.asarray(refined.mask)
+    assert mr.sum() >= 1
+    for k in np.where(mr)[0]:
+        miss, _ = raytrace_3d._miss2_of_angles(
+            n_tilted, x1, x2, refined.launch_zenith[k], beta[k], 1.0, 3000)
+        assert abs(float(miss[0])) < 0.05, ("vertical", k, float(miss[0]))
+        assert abs(float(miss[1])) < 0.05, ("lateral", k, float(miss[1]))
+    # the refinement actually used the out-of-plane angle
+    assert np.max(np.abs(np.asarray(beta)[mr])) > 1e-5
