@@ -79,3 +79,10 @@ def test_snr_curves_example(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "threshold tuned" in r.stdout
     assert "saved snr_curve.npz" in r.stdout
+
+
+def test_interop_example(tmp_path):
+    r = _run(os.path.join(REPO, "examples", "08_interop", "run_interop.py"),
+             ["100"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "interop roundtrip OK" in r.stdout
