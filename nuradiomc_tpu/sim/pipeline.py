@@ -355,6 +355,15 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         distance_ok = (dist <= d_max[:, :, None])[..., None]     # [G,S,C,1]
         sols = sols._replace(mask=sols.mask & distance_ok)
 
+    # scalar-factoring fast path: polarization/Fresnel/focusing are scalars
+    # per (shower, channel, ray) for the parametrized Askaryan models; they
+    # factor out of every [.., F]-sized op. Not applicable when the efield
+    # has independent 3-component structure (ARZ, emitter) or must be
+    # materialized (birefringence segments mix pols; keep_efields output).
+    factored = (emitter is None
+                and s.askaryan_model not in ("ARZ2019", "ARZ2020")
+                and not s.birefringence and not keep_efields)
+
     if emitter is None and s.askaryan_model in ("ARZ2019", "ARZ2020"):
         # ---- 3/4. ARZ semi-analytic model: 3-component efield traces -------
         from nuradiomc_tpu.ops import arz as arz_ops
@@ -414,8 +423,16 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         zen_l, az_l = geometry.cartesian_to_spherical(launch)
         pol_onsky = geometry.ground_to_onsky(pol, zen_l, az_l)     # [G,S,C,2,3]
 
-        e_theta = pol_onsky[..., 1:2] * spec                       # [G,S,C,2,F]
-        e_phi = pol_onsky[..., 2:3] * spec
+        if factored:
+            # the polarization split is a SCALAR per path: defer it (and
+            # every other scalar propagation factor) so only ONE full-size
+            # multiply (spec * attenuation) ever materializes — the
+            # elementwise chain on [G,S,C,2,F] arrays dominates the step
+            # otherwise (~30 ms of 73 at the bench shape, memory-bound)
+            e_theta = e_phi = None
+        else:
+            e_theta = pol_onsky[..., 1:2] * spec                   # [G,S,C,2,F]
+            e_phi = pol_onsky[..., 2:3] * spec
     else:
         # emitter mode: pulser voltage spectrum folded with the emitting
         # antenna response at the launch direction:
@@ -448,8 +465,13 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     # ---- 5. propagation effects --------------------------------------------
     if s.attenuate_ice:
         att = _attenuation_sparse(sols, geom, s)                   # [G,S,C,2,F]
-        e_theta = e_theta * att
-        e_phi = e_phi * att
+        if factored:
+            spec_att = spec * att
+        else:
+            e_theta = e_theta * att
+            e_phi = e_phi * att
+    elif factored:
+        spec_att = spec
 
     # surface-reflection Fresnel coefficients for reflected rays
     # (apply_propagation_effects, analyticraytracing.py:2993-3007)
@@ -460,8 +482,11 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     r_p = geometry.fresnel_r_p(refl_zenith, n_2=1.0, n_1=n_surf)
     r_s = geometry.fresnel_r_s(refl_zenith, n_2=1.0, n_1=n_surf)
     one_c = jnp.ones((), dtype=r_p.dtype)
-    e_theta = e_theta * jnp.where(is_reflected, r_p, one_c)[..., None]
-    e_phi = e_phi * jnp.where(is_reflected, r_s, one_c)[..., None]
+    a_p = jnp.where(is_reflected, r_p, one_c)          # [G,S,C,2] complex
+    a_s = jnp.where(is_reflected, r_s, one_c)
+    if not factored:
+        e_theta = e_theta * a_p[..., None]
+        e_phi = e_phi * a_s[..., None]
 
     if s.apply_focusing:
         # Focusing from the launch-angle convergence toward a displaced
@@ -500,8 +525,9 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         n1 = s.ice.index_of_refraction(batch.vertices[..., 2])[:, :, None, None]
         n2 = s.ice.index_of_refraction(ch.positions[:, 2])[None, None, :, None]
         foc = foc * jnp.sqrt(n1 / n2)
-        e_theta = e_theta * foc[..., None]
-        e_phi = e_phi * foc[..., None]
+        if not factored:
+            e_theta = e_theta * foc[..., None]
+            e_phi = e_phi * foc[..., None]
     else:
         foc = jnp.ones(bshape, dtype=real_dtype)
 
@@ -540,8 +566,16 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         ef_max = jnp.zeros(bshape, dtype=real_dtype)
         candidate = jnp.ones((G,), dtype=bool)
     else:
-        ef_traces = fft.freq2time(jnp.stack([e_theta, e_phi]), s.sampling_rate,
-                                  n=s.n_internal)
+        if factored:
+            amp_t_c = (pol_onsky[..., 1] * foc).astype(a_p.dtype) * a_p
+            amp_p_c = (pol_onsky[..., 2] * foc).astype(a_s.dtype) * a_s
+            ef_traces = fft.freq2time(
+                jnp.stack([amp_t_c[..., None] * spec_att,
+                           amp_p_c[..., None] * spec_att]),
+                s.sampling_rate, n=s.n_internal)
+        else:
+            ef_traces = fft.freq2time(jnp.stack([e_theta, e_phi]),
+                                      s.sampling_rate, n=s.n_internal)
         ef_max = jnp.max(jnp.abs(ef_traces), axis=(0, -1))      # [G,S,C,2]
         ef_max = jnp.where(valid, ef_max, 0.0)
         candidate = jnp.any(
@@ -564,10 +598,19 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     sector = sector.reshape(bshape)
     c_idx = jnp.broadcast_to(jnp.arange(C)[None, None, :, None], bshape)
     T = jnp.asarray(ch.templates)[c_idx, sector]                   # [G,S,C,2,F]
-    vel_t = T * mix_t[..., None]
-    vel_p = T * mix_p[..., None]
+    if not factored:
+        vel_t = T * mix_t[..., None]
+        vel_p = T * mix_p[..., None]
 
-    volt_spec = vel_t * e_theta + vel_p * e_phi                    # [G,S,C,2,F]
+    if factored:
+        # volt = T*mix_t*(pol_t*foc*a_p)*spec_att + T*mix_p*(...)*spec_att
+        #      = T * combined_scalar * spec_att        (one fused chain)
+        amp_t_c = (pol_onsky[..., 1] * foc).astype(a_p.dtype) * a_p
+        amp_p_c = (pol_onsky[..., 2] * foc).astype(a_s.dtype) * a_s
+        combined = mix_t.astype(a_p.dtype) * amp_t_c             + mix_p.astype(a_s.dtype) * amp_p_c       # [G,S,C,2] complex
+        volt_spec = T * combined[..., None] * spec_att
+    else:
+        volt_spec = vel_t * e_theta + vel_p * e_phi                # [G,S,C,2,F]
     volt_spec = jnp.where(valid[..., None], volt_spec, 0.0)
 
     # remove DC (< 5 MHz, efieldToVoltageConverter.py:313)
