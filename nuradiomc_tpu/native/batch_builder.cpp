@@ -10,7 +10,7 @@
 //
 // Exposed via a plain C ABI consumed with ctypes (no pybind11 dependency).
 //
-// Build:  g++ -O3 -march=native -shared -fPIC -o libbatch_builder.so batch_builder.cpp
+// Build:  g++ -O3 -shared -fPIC -o libbatch_builder.so batch_builder.cpp
 
 #include <algorithm>
 #include <cstdint>

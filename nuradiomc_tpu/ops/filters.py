@@ -13,10 +13,53 @@ import numpy as np
 from scipy import signal
 
 
+def fir_taps(passband, filter_type: str, order: int, fs: float) -> np.ndarray:
+    """scipy.signal.firwin taps exactly as the reference builds them
+    (channelBandPassFilter.py:247-283): ``filter_type`` is "FIR [window
+    [beta]]"; low/high/band-pass/band-stop selected from the passband
+    (passband[0] > passband[1] means band-stop), scale=False.
+    """
+    parts = filter_type.split()
+    wtype = parts[1] if len(parts) > 1 else "hamming"
+    if isinstance(wtype, str) and wtype.find("kaiser") >= 0:
+        beta = float(parts[2]) if len(parts) > 2 else 6.0
+        wtype = ("kaiser", beta)
+    n_fir = order + 1
+    if passband[0] is None or passband[0] == 0:
+        pass_zero, fcut = True, passband[1]
+    elif passband[1] is None or passband[1] / fs >= 0.5:
+        pass_zero, fcut = False, passband[0]
+    elif passband[1] > passband[0]:
+        pass_zero, fcut = False, list(passband)
+    else:
+        pass_zero, fcut = True, [passband[1], passband[0]]
+    return signal.firwin(n_fir, fcut, window=wtype, scale=False,
+                         pass_zero=pass_zero, fs=fs)
+
+
 def get_filter_response(frequencies: np.ndarray, passband, filter_type: str,
-                        order: int = 2, rp=None, roll_width=None) -> np.ndarray:
-    """Complex filter response on ``frequencies`` (internal units, GHz)."""
+                        order: int = 2, rp=None, roll_width=None,
+                        fs=None) -> np.ndarray:
+    """Complex filter response on ``frequencies`` (internal units, GHz).
+
+    ``fs`` (sampling rate) is required only for the "FIR*" types, whose taps
+    depend on it.
+    """
     frequencies = np.asarray(frequencies, dtype=float)
+
+    if isinstance(filter_type, str) and filter_type.startswith("FIR"):
+        # Frequency response of the linear-phase firwin FIR the reference
+        # applies in the time domain (channelBandPassFilter.py:247-290,
+        # lfilter + np.roll(-ndelay) group-delay compensation). In the
+        # declarative rFFT chain this is the exact circular-convolution
+        # equivalent: H(f) = sum_k taps_k e^{-2 pi i f k/fs} advanced by the
+        # ndelay compensation phase.
+        if fs is None:
+            raise ValueError("FIR filter types need fs (sampling rate)")
+        taps = fir_taps(passband, filter_type, order, fs)
+        ndelay = (len(taps) - 1) // 2
+        k = np.arange(len(taps)) - ndelay
+        return np.exp(-2j * np.pi * np.outer(frequencies / fs, k)) @ taps
 
     if filter_type == "rectangular":
         mask = (passband[0] <= frequencies) & (frequencies <= passband[1])
@@ -55,16 +98,18 @@ def get_filter_response(frequencies: np.ndarray, passband, filter_type: str,
     raise NotImplementedError(f"filter type {filter_type} not implemented")
 
 
-def chain_response(frequencies: np.ndarray, chain) -> np.ndarray:
+def chain_response(frequencies: np.ndarray, chain, fs=None) -> np.ndarray:
     """Product of a list of (passband, filter_type, kwargs) filter stages.
 
     This is the declarative replacement for the reference's
     ``_detector_simulation_filter_amp`` hook + get_filter provenance replay
     (simulation.py:1302-1315): the signal chain is declared once, its combined
-    response is precomputed here.
+    response is precomputed here. ``fs`` is needed only for "FIR*" stages.
     """
     resp = np.ones_like(frequencies, dtype=complex)
     for passband, filter_type, kwargs in chain:
+        if str(filter_type).startswith("FIR"):
+            kwargs = dict(kwargs, fs=kwargs.get("fs", fs))
         resp *= get_filter_response(frequencies, passband, filter_type, **kwargs)
     return resp
 

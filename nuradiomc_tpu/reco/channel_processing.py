@@ -42,40 +42,22 @@ class channelBandPassFilter:
         for channel in station.iter_channels():
             fs = channel.get_sampling_rate()
             if filter_type == "hann_tapered":
-                # time-domain: rectangular band + half-Hann tapered trace ends
-                # (channelBandPassFilter.py:89-90, 208-215)
-                from nuradiomc_tpu.utils.trace_stats import get_hilbert_envelope  # noqa: F401
+                # time-domain: ONLY the half-Hann taper of the trace ends —
+                # the reference applies no band here
+                # (channelBandPassFilter.py:242-246)
                 tr = np.asarray(channel.get_trace())
                 win = half_hann_window(len(tr), half_hann_percent)
                 channel.set_trace(tr * win, fs)
-                spec = channel.get_frequency_spectrum()
-                ff = channel.get_frequencies()
-                filt = filter_ops.get_filter_response(np.asarray(ff), passband,
-                                                      "rectangular")
-                channel.set_frequency_spectrum(spec * filt, fs)
                 continue
             if isinstance(filter_type, str) and filter_type.startswith("FIR"):
-                # time-domain FIR via scipy firwin (channelBandPassFilter:114-133)
+                # time-domain FIR: firwin taps (scale=False, band-stop via
+                # inverted passband) + lfilter + group-delay roll, exactly
+                # channelBandPassFilter.py:247-290
                 from scipy import signal as scisig
-                parts = filter_type.split()
-                window = parts[1] if len(parts) > 1 else "hamming"
-                if window == "kaiser":
-                    beta = float(parts[2]) if len(parts) > 2 else 6.0
-                    window = ("kaiser", beta)
-                nyq = fs / 2
-                lo, hi = passband
-                if lo in (None, 0):
-                    taps = scisig.firwin(order + 1, hi / nyq, window=window)
-                elif hi is None or hi >= nyq:
-                    taps = scisig.firwin(order + 1, lo / nyq, window=window,
-                                         pass_zero=False)
-                else:
-                    taps = scisig.firwin(order + 1, [lo / nyq, hi / nyq],
-                                         window=window, pass_zero=False)
+                taps = filter_ops.fir_taps(passband, filter_type, order, fs)
                 tr = np.asarray(channel.get_trace())
                 out = scisig.lfilter(taps, [1.0], tr)
-                # compensate the FIR group delay (linear phase: (N-1)/2 taps)
-                out = np.roll(out, -(len(taps) - 1) // 2)
+                out = np.roll(out, -((len(taps) - 1) // 2))
                 channel.set_trace(out, fs)
                 continue
             spec = channel.get_frequency_spectrum()

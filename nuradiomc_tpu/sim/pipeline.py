@@ -101,6 +101,12 @@ class PipelineSettings:
     # noise block
     add_noise: bool = False
     noise_type: str = "rayleigh"
+    # multi-trigger block: tuple of TriggerSettings evaluated in ONE fused
+    # pass (the reference registers N named triggers per station in one run,
+    # e.g. T02RunPhasedRNO.py:76-109; HDF5 multiple_triggers matrix,
+    # output_writer_hdf5.py:350-381). Empty tuple = legacy single-trigger
+    # fields above.
+    triggers: tuple = ()
 
     @property
     def dt(self) -> float:
@@ -113,6 +119,44 @@ class PipelineSettings:
     @property
     def freqs_base(self):
         return jnp.fft.rfftfreq(self.n_base, self.dt)
+
+
+@dataclasses.dataclass(frozen=True)
+class TriggerSettings:
+    """Static configuration of ONE named trigger inside the fused pipeline.
+
+    The reference evaluates many named triggers per station in a single run
+    (simulation.py evaluates every Trigger the user registers; the standard
+    threshold-ladder workflow registers eight,
+    NuRadioReco/examples/PhasedArray/Effective_volume/T02RunPhasedRNO.py:76-109)
+    and writes a per-trigger-name ``multiple_triggers`` matrix
+    (output_writer_hdf5.py:350-381). Each instance here is one column of that
+    matrix; all are evaluated on the SAME assembled channel traces, so N
+    triggers cost N trivial kernels, not N simulations.
+
+    ``channels`` holds channel INDICES into the station's channel axis
+    (host-resolved from channel ids); empty = all channels. Thresholds are
+    absolute volts; ``None`` falls back to the per-channel
+    ChannelParams.threshold_high/low arrays (legacy single-trigger path).
+    """
+
+    name: str = "default_high_low"
+    trigger_type: str = "high_low"   # 'high_low' | 'simple_threshold' | 'phased_array'
+    channels: tuple = ()
+    threshold_high: float = None
+    threshold_low: float = None
+    highlow_coincidence: float = 5.0
+    number_of_coincidences: int = 1
+    channel_coincidence: float = 200.0
+    pa_rolls: tuple = ()
+    pa_window: int = 32
+    pa_step: int = 16
+    pa_upsampling: int = 1
+    pa_threshold: float = 0.0
+    pa_digitize: bool = False
+    pa_adc_fs: float = 0.5
+    pa_adc_nbits: int = 8
+    pa_adc_range: float = 0.0
 
 
 class ChannelParams(NamedTuple):
@@ -171,6 +215,11 @@ class PipelineOutput(NamedTuple):
     # propagated on-sky efield spectra [2(theta,phi), G, S, C, 2, F_int]
     # (only when requested with keep_efields)
     efields: Optional[jnp.ndarray] = None
+    # per-named-trigger decision matrix [G, T] and times [G, T] in the order
+    # of PipelineSettings.triggers (the reference's multiple_triggers /
+    # trigger_times columns, output_writer_hdf5.py:350-381)
+    triggered_per: Optional[jnp.ndarray] = None
+    trigger_times_per: Optional[jnp.ndarray] = None
 
 
 import functools
@@ -296,6 +345,102 @@ class EmitterParams(NamedTuple):
     rot: jnp.ndarray           # [3, 3]
     kind: int
     half_width: float = 5.0
+
+
+def _eval_trigger(t: TriggerSettings, channel_traces, chan_spec, base_t0,
+                  s: PipelineSettings, ch: ChannelParams, real_dtype):
+    """Evaluate one named trigger on the assembled channel traces.
+
+    Returns (triggered [G] bool, trigger_time [G]). ``channel_traces`` is
+    [G, C, n_base]; ``chan_spec`` the matching filtered rFFT spectrum (used by
+    the matmul-lowered phased-array resample chain).
+    """
+    dt = s.dt
+    sel = np.asarray(t.channels, dtype=int) if len(t.channels) else None
+
+    if t.trigger_type in ("high_low", "simple_threshold"):
+        tr = channel_traces if sel is None else channel_traces[:, sel, :]
+        if t.threshold_high is not None:
+            th_hi = jnp.asarray(t.threshold_high, real_dtype)
+        elif sel is None:
+            th_hi = ch.threshold_high[None, :, None]
+        else:
+            th_hi = jnp.asarray(ch.threshold_high)[None, sel, None]
+        if t.trigger_type == "high_low":
+            if t.threshold_low is not None:
+                th_lo = jnp.asarray(t.threshold_low, real_dtype)
+            elif sel is None:
+                th_lo = ch.threshold_low[None, :, None]
+            else:
+                th_lo = jnp.asarray(ch.threshold_low)[None, sel, None]
+            tts = triggers.get_high_low_triggers(
+                tr, th_hi, th_lo, t.highlow_coincidence, dt)
+        else:
+            tts = triggers.get_threshold_triggers(tr, th_hi)
+        triggered, _, first_bin = triggers.majority_logic(
+            tts, t.number_of_coincidences, t.channel_coincidence, dt)
+        return triggered, base_t0 + first_bin * dt
+
+    if t.trigger_type == "phased_array":
+        # beamformed power-integration trigger (phasedArrayTrigger semantics):
+        # optional trigger-ADC digitization, FFT upsampling, static integer
+        # beam delays, sliding power sums
+        tr = channel_traces if sel is None else channel_traces[:, sel, :]
+        spec = chan_spec if sel is None else chan_spec[:, sel, :]
+        fs_pa = s.sampling_rate
+        n_pa = s.n_base
+        if t.pa_digitize:
+            # resample to 5 GHz then decimate to the ADC rate by integer
+            # stride (exact equivalent of the reference's linear-interp
+            # downsampling when the rates divide, get_digital_trace:348-360)
+            fs_hi = 5.0
+            n_hi = int(round(s.n_base * fs_hi / s.sampling_rate))
+            decim = int(round(fs_hi / t.pa_adc_fs))
+            if s.trigger_irfft == "matmul":
+                # upsample + stride-decimate fused into ONE [F_base, n_dec]
+                # matmul straight from the (already computed) filtered
+                # spectrum: zero-padding the spectrum == irfft(spec, n=n_hi),
+                # and the stride just selects irfft-matrix columns
+                Dd_r, Dd_i = _decimating_irfft_matrices(s.n_base, n_hi, decim)
+                scale = fs_hi / np.sqrt(2.0)
+                tr = (jnp.einsum("gcf,fn->gcn",
+                                 spec.real.astype(real_dtype),
+                                 jnp.asarray(Dd_r, real_dtype))
+                      + jnp.einsum("gcf,fn->gcn",
+                                   spec.imag.astype(real_dtype),
+                                   jnp.asarray(Dd_i, real_dtype))) * scale
+            else:
+                spec_hi = trace_ops.resample_spectrum(
+                    fft.time2freq(tr, s.sampling_rate), s.n_base, n_hi)
+                tr_hi = fft.freq2time(spec_hi, fs_hi, n=n_hi)
+                tr = tr_hi[..., ::decim]
+            fs_pa = t.pa_adc_fs
+            n_pa = tr.shape[-1]
+            from nuradiomc_tpu.ops import adc as adc_ops
+            tr = adc_ops.perfect_floor_comparator(
+                tr, t.pa_adc_nbits, (-t.pa_adc_range / 2, t.pa_adc_range / 2))
+        if t.pa_upsampling > 1:
+            if s.trigger_irfft == "matmul":
+                # rfft -> zero-pad -> irfft is linear in the trace: one
+                # [n_pa, n_pa*up] matmul on the quantized trace
+                U = _fft_upsample_matrix(n_pa, int(t.pa_upsampling))
+                tr = jnp.einsum("gcn,nm->gcm", tr.astype(real_dtype),
+                                jnp.asarray(U, real_dtype))
+                fs_pa = fs_pa * t.pa_upsampling
+                n_pa = n_pa * t.pa_upsampling
+            else:
+                spec_pa = fft.time2freq(tr, fs_pa)
+                spec_pa = trace_ops.resample_spectrum(spec_pa, n_pa,
+                                                      n_pa * t.pa_upsampling)
+                fs_pa = fs_pa * t.pa_upsampling
+                n_pa = n_pa * t.pa_upsampling
+                tr = fft.freq2time(spec_pa, fs_pa, n=n_pa)
+        rolls = np.asarray(t.pa_rolls, dtype=int)
+        triggered, frame, _, _ = phased_array.phased_power_trigger(
+            tr, rolls, t.pa_threshold, t.pa_window, t.pa_step)
+        return triggered, base_t0 + frame * t.pa_step / fs_pa
+
+    raise NotImplementedError(t.trigger_type)
 
 
 def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
@@ -685,81 +830,45 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     else:
         channel_traces = fft.freq2time(chan_spec, s.sampling_rate, n=s.n_base)
 
-    # ---- 9. trigger ---------------------------------------------------------
-    if s.trigger_type in ("high_low", "simple_threshold"):
-        if s.trigger_type == "high_low":
-            tts = triggers.get_high_low_triggers(
-                channel_traces, ch.threshold_high[None, :, None],
-                ch.threshold_low[None, :, None], s.highlow_coincidence, dt)
-        else:
-            tts = triggers.get_threshold_triggers(
-                channel_traces, ch.threshold_high[None, :, None])
-        triggered, _, first_bin = triggers.majority_logic(
-            tts, s.number_of_coincidences, s.channel_coincidence, dt)
-        trigger_time = base_t0 + first_bin * dt
-    elif s.trigger_type == "phased_array":
-        # beamformed power-integration trigger (phasedArrayTrigger semantics):
-        # optional trigger-ADC digitization, FFT upsampling, static integer
-        # beam delays, sliding power sums
-        tr = channel_traces
-        fs_pa = s.sampling_rate
-        n_pa = s.n_base
-        if s.pa_digitize:
-            # resample to 5 GHz then decimate to the ADC rate by integer
-            # stride (exact equivalent of the reference's linear-interp
-            # downsampling when the rates divide, get_digital_trace:348-360)
-            fs_hi = 5.0
-            n_hi = int(round(s.n_base * fs_hi / s.sampling_rate))
-            decim = int(round(fs_hi / s.pa_adc_fs))
-            if s.trigger_irfft == "matmul":
-                # upsample + stride-decimate fused into ONE [F_base, n_dec]
-                # matmul straight from the (already computed) filtered
-                # spectrum: zero-padding the spectrum == irfft(spec, n=n_hi),
-                # and the stride just selects irfft-matrix columns
-                Dd_r, Dd_i = _decimating_irfft_matrices(s.n_base, n_hi, decim)
-                scale = fs_hi / np.sqrt(2.0)
-                tr = (jnp.einsum("gcf,fn->gcn",
-                                 chan_spec.real.astype(real_dtype),
-                                 jnp.asarray(Dd_r, real_dtype))
-                      + jnp.einsum("gcf,fn->gcn",
-                                   chan_spec.imag.astype(real_dtype),
-                                   jnp.asarray(Dd_i, real_dtype))) * scale
-            else:
-                spec_hi = trace_ops.resample_spectrum(
-                    fft.time2freq(tr, s.sampling_rate), s.n_base, n_hi)
-                tr_hi = fft.freq2time(spec_hi, fs_hi, n=n_hi)
-                tr = tr_hi[..., ::decim]
-            fs_pa = s.pa_adc_fs
-            n_pa = tr.shape[-1]
-            from nuradiomc_tpu.ops import adc as adc_ops
-            tr = adc_ops.perfect_floor_comparator(
-                tr, s.pa_adc_nbits, (-s.pa_adc_range / 2, s.pa_adc_range / 2))
-        if s.pa_upsampling > 1:
-            if s.trigger_irfft == "matmul":
-                # rfft -> zero-pad -> irfft is linear in the trace: one
-                # [n_pa, n_pa*up] matmul on the quantized trace
-                U = _fft_upsample_matrix(n_pa, int(s.pa_upsampling))
-                tr = jnp.einsum("gcn,nm->gcm", tr.astype(real_dtype),
-                                jnp.asarray(U, real_dtype))
-                fs_pa = fs_pa * s.pa_upsampling
-                n_pa = n_pa * s.pa_upsampling
-            else:
-                spec_pa = fft.time2freq(tr, fs_pa)
-                spec_pa = trace_ops.resample_spectrum(spec_pa, n_pa,
-                                                      n_pa * s.pa_upsampling)
-                fs_pa = fs_pa * s.pa_upsampling
-                n_pa = n_pa * s.pa_upsampling
-                tr = fft.freq2time(spec_pa, fs_pa, n=n_pa)
-        rolls = np.asarray(s.pa_rolls, dtype=int)
-        triggered, frame, _, _ = phased_array.phased_power_trigger(
-            tr, rolls, s.pa_threshold, s.pa_window, s.pa_step)
-        trigger_time = base_t0 + frame * s.pa_step / fs_pa
+    # ---- 9. triggers (one kernel per declared named trigger) ---------------
+    # all declared triggers run on the SAME assembled traces; the per-trigger
+    # kernel cost is trivial next to the propagation chain, which is the
+    # point of multi-trigger one-pass orchestration (vs N re-simulations)
+    if s.triggers:
+        trig_list = s.triggers
     else:
-        raise NotImplementedError(s.trigger_type)
+        # legacy single-trigger fields
+        trig_list = (TriggerSettings(
+            trigger_type=s.trigger_type,
+            highlow_coincidence=s.highlow_coincidence,
+            number_of_coincidences=s.number_of_coincidences,
+            channel_coincidence=s.channel_coincidence,
+            pa_rolls=s.pa_rolls, pa_window=s.pa_window, pa_step=s.pa_step,
+            pa_upsampling=s.pa_upsampling, pa_threshold=s.pa_threshold,
+            pa_digitize=s.pa_digitize, pa_adc_fs=s.pa_adc_fs,
+            pa_adc_nbits=s.pa_adc_nbits, pa_adc_range=s.pa_adc_range),)
+
+    trig_cols, time_cols = [], []
+    for t in trig_list:
+        trig_t, time_t = _eval_trigger(t, channel_traces, chan_spec, base_t0,
+                                       s, ch, real_dtype)
+        trig_cols.append(trig_t & any_valid & candidate)
+        time_cols.append(time_t)
+    triggered_per = jnp.stack(trig_cols, axis=-1)           # [G, T]
+    trigger_times_per = jnp.stack(time_cols, axis=-1)       # [G, T]
+    triggered = jnp.any(triggered_per, axis=-1)
+    # event trigger time = earliest among fired triggers
+    # (output_writer_hdf5.py:381 min semantics)
+    inf = jnp.asarray(jnp.inf, trigger_times_per.dtype)
+    tt_masked = jnp.where(triggered_per, trigger_times_per, inf)
+    trigger_time = jnp.where(triggered, jnp.min(tt_masked, axis=-1),
+                             trigger_times_per[..., 0])
 
     return PipelineOutput(
-        triggered=triggered & any_valid & candidate,
+        triggered=triggered,
         candidate=candidate & any_valid,
+        triggered_per=triggered_per,
+        trigger_times_per=trigger_times_per,
         max_efield=jnp.max(ef_max, axis=(1, 2, 3)),
         trigger_time=trigger_time,
         max_amplitude=jnp.max(jnp.abs(channel_traces), axis=-1),

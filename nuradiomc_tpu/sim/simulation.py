@@ -29,7 +29,7 @@ from nuradiomc_tpu.ops import antenna, askaryan, filters, phased_array
 from nuradiomc_tpu.sim import earth_attenuation, io_hdf5
 from nuradiomc_tpu.sim.pipeline import (ChannelParams, PipelineOutput,
                                         PipelineSettings, ShowerBatch,
-                                        simulate_batch)
+                                        TriggerSettings, simulate_batch)
 from nuradiomc_tpu.utils import config as config_util
 from nuradiomc_tpu.utils import units
 from nuradiomc_tpu.utils.constants import boltzmann
@@ -46,6 +46,7 @@ class FilterStage:
 class TriggerSpec:
     name: str = "default_high_low"
     trigger_type: str = "high_low"          # 'high_low' | 'simple_threshold' | 'phased_array'
+    channels: tuple = ()                    # channel IDS the trigger reads; () = all
     threshold_high_sigma: float = 2.0       # in units of Vrms
     threshold_low_sigma: float = -2.0
     highlow_coincidence: float = 5.0        # ns
@@ -88,6 +89,7 @@ class Simulation:
     def __init__(self, inputfilename: str, detector, config=None,
                  filter_chain: Sequence[FilterStage] = (),
                  trigger: TriggerSpec = TriggerSpec(),
+                 triggers: Optional[Sequence[TriggerSpec]] = None,
                  outputfilename: Optional[str] = None,
                  antenna_replacements: Optional[dict] = None,
                  chunk_size: int = 256,
@@ -99,7 +101,14 @@ class Simulation:
         self.config = config_util.get_config(config)
         self.det = detector if isinstance(detector, Detector) else Detector(detector)
         self.filter_chain = list(filter_chain)
-        self.trigger = trigger
+        # multi-trigger: all declared named triggers are evaluated in ONE
+        # fused pass (the reference convention, T02RunPhasedRNO.py:76-109);
+        # the single `trigger` kwarg remains as the 1-trigger special case
+        self.triggers = list(triggers) if triggers is not None else [trigger]
+        if len({t.name for t in self.triggers}) != len(self.triggers):
+            raise ValueError("trigger names must be unique")
+        self.trigger = self.triggers[0]
+        trigger = self.trigger
         self.outputfilename = outputfilename
         self.nur_outputfilename = nur_outputfilename
         self.antenna_replacements = antenna_replacements or {}
@@ -139,7 +148,8 @@ class Simulation:
         # ---- Vrms calibration (simulation.py:1302-1389) --------------------
         ff_cal = np.linspace(0, 0.5 * self.internal_rate, 10000)
         filt = filters.chain_response(
-            ff_cal, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain])
+            ff_cal, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain],
+            fs=self.internal_rate)
         self.bandwidth = np.trapezoid(np.abs(filt) ** 2, ff_cal)
         self.max_amplification = float(np.abs(filt).max()) if len(self.filter_chain) else 1.0
 
@@ -161,35 +171,12 @@ class Simulation:
         ch = station.channels
 
 
-        # phased-array static configuration
-        pa_rolls = ()
-        pa_window = pa_step = 0
-        pa_threshold = 0.0
-        pa_digitize = False
-        pa_adc_fs = 0.5
-        pa_adc_nbits = 8
-        pa_adc_range = 0.0
-        if trigger.trigger_type == "phased_array":
-            det_fs = float(ch.sampling_frequency[0])
-            pa_digitize = trigger.pa_digitize
-            # with digitization the trigger runs at the ADC rate x upsampling
-            base_fs = det_fs if pa_digitize else self.internal_rate
-            fs_up = base_fs * trigger.pa_upsampling
-            rolls = phased_array.beam_rolls(
-                ch.positions[:, 2], ch.cable_delay,
-                np.asarray(trigger.pa_phasing_angles), trigger.pa_ref_index, fs_up)
-            pa_rolls = tuple(tuple(int(v) for v in row) for row in rolls)
-            pa_window = int(trigger.pa_window_ns * det_fs * trigger.pa_upsampling)
-            pa_step = int(trigger.pa_step_ns * det_fs * trigger.pa_upsampling)
-            pa_threshold = trigger.pa_threshold_factor * self.Vrms ** 2
-            pa_adc_fs = det_fs
-            pa_adc_nbits = int(ch.adc_nbits[0]) if ch.adc_nbits[0] > 0 else 8
-            noise_count = trigger.pa_adc_noise_count or 15
-            # ADC range from the noise occupancy (analogToDigitalConverter
-            # ._get_adc_parameters:216-241)
-            pa_adc_range = self.Vrms * (2 ** pa_adc_nbits - 1) / noise_count
+        trigger_settings = tuple(
+            self._build_trigger_settings(t) for t in self.triggers)
+        self.trigger_names = [t.name for t in self.triggers]
 
         self.settings = PipelineSettings(
+            triggers=trigger_settings,
             ice=self.ice,
             attenuation_model=cfg["propagation"]["attenuation_model"],
             askaryan_model=cfg["signal"]["model"],
@@ -209,19 +196,6 @@ class Simulation:
             attenuate_ice=bool(cfg["propagation"]["attenuate_ice"]),
             apply_focusing=bool(cfg["propagation"]["focusing"]),
             focusing_limit=float(cfg["propagation"]["focusing_limit"]),
-            trigger_type=trigger.trigger_type,
-            highlow_coincidence=trigger.highlow_coincidence,
-            number_of_coincidences=trigger.number_of_coincidences,
-            channel_coincidence=trigger.channel_coincidence,
-            pa_rolls=pa_rolls,
-            pa_window=pa_window,
-            pa_step=pa_step,
-            pa_upsampling=trigger.pa_upsampling,
-            pa_threshold=pa_threshold,
-            pa_digitize=pa_digitize,
-            pa_adc_fs=pa_adc_fs,
-            pa_adc_nbits=pa_adc_nbits,
-            pa_adc_range=pa_adc_range,
             birefringence=bool(cfg["propagation"].get("birefringence", False)),
             birefringence_model=str(cfg["propagation"].get(
                 "birefringence_model", "southpole_A")),
@@ -290,6 +264,61 @@ class Simulation:
             batch, key, self.channel_params)
 
 
+    def _build_trigger_settings(self, spec: TriggerSpec) -> TriggerSettings:
+        """Resolve one TriggerSpec to static pipeline settings (absolute
+        thresholds in volts, channel ids -> indices, phased-array beam
+        configuration — phasedArrayTrigger / analogToDigitalConverter
+        host-side setup)."""
+        station = self.det.get_station(self.station_id)
+        ch = station.channels
+        ids = [int(c) for c in ch.channel_ids]
+        if spec.channels:
+            idx = tuple(ids.index(int(c)) for c in spec.channels)
+        else:
+            idx = ()
+        sub = np.asarray(idx, dtype=int) if idx else np.arange(len(ids))
+
+        pa_rolls = ()
+        pa_window = pa_step = 0
+        pa_threshold = 0.0
+        pa_digitize = False
+        pa_adc_fs = 0.5
+        pa_adc_nbits = 8
+        pa_adc_range = 0.0
+        if spec.trigger_type == "phased_array":
+            det_fs = float(ch.sampling_frequency[0])
+            pa_digitize = spec.pa_digitize
+            # with digitization the trigger runs at the ADC rate x upsampling
+            base_fs = det_fs if pa_digitize else self.internal_rate
+            fs_up = base_fs * spec.pa_upsampling
+            rolls = phased_array.beam_rolls(
+                ch.positions[sub, 2], ch.cable_delay[sub],
+                np.asarray(spec.pa_phasing_angles), spec.pa_ref_index, fs_up)
+            pa_rolls = tuple(tuple(int(v) for v in row) for row in rolls)
+            pa_window = int(spec.pa_window_ns * det_fs * spec.pa_upsampling)
+            pa_step = int(spec.pa_step_ns * det_fs * spec.pa_upsampling)
+            pa_threshold = spec.pa_threshold_factor * self.Vrms ** 2
+            pa_adc_fs = det_fs
+            pa_adc_nbits = int(ch.adc_nbits[0]) if ch.adc_nbits[0] > 0 else 8
+            noise_count = spec.pa_adc_noise_count or 15
+            # ADC range from the noise occupancy (analogToDigitalConverter
+            # ._get_adc_parameters:216-241)
+            pa_adc_range = self.Vrms * (2 ** pa_adc_nbits - 1) / noise_count
+
+        return TriggerSettings(
+            name=spec.name,
+            trigger_type=spec.trigger_type,
+            channels=idx,
+            threshold_high=float(spec.threshold_high_sigma * self.Vrms),
+            threshold_low=float(spec.threshold_low_sigma * self.Vrms),
+            highlow_coincidence=spec.highlow_coincidence,
+            number_of_coincidences=spec.number_of_coincidences,
+            channel_coincidence=spec.channel_coincidence,
+            pa_rolls=pa_rolls, pa_window=pa_window, pa_step=pa_step,
+            pa_upsampling=spec.pa_upsampling, pa_threshold=pa_threshold,
+            pa_digitize=pa_digitize, pa_adc_fs=pa_adc_fs,
+            pa_adc_nbits=pa_adc_nbits, pa_adc_range=pa_adc_range)
+
     def _build_channel_params(self, station_id) -> ChannelParams:
         """Device-side per-channel arrays for one station."""
         cfg = self.config
@@ -321,10 +350,12 @@ class Simulation:
                 ch.rotation_theta[i], ch.rotation_phi[i])
 
         filt_base = filters.chain_response(
-            freqs_base, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain])
+            freqs_base, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain],
+            fs=self.internal_rate)
         filter_response = np.broadcast_to(filt_base, (C, len(freqs_base))).copy()
         filt_int = filters.chain_response(
-            freqs_int, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain])
+            freqs_int, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain],
+            fs=self.internal_rate)
         filter_response_int = np.broadcast_to(filt_int, (C, len(freqs_int))).copy()
 
         station_pos = station.absolute_position
@@ -490,9 +521,12 @@ class Simulation:
         if self.mesh is not None:
             chp = mesh_util.shard_channels(chp, self.mesh)
         key = jax.random.PRNGKey(int(self.config["seed"]) + seed_offset)
+        T = len(self.triggers)
         triggered = np.zeros(G, dtype=bool)
         max_amp = np.zeros((G, len(self.det.get_channel_ids(station_id))))
         trigger_times = np.zeros(G)
+        trig_per = np.zeros((G, T), dtype=bool)
+        tt_per = np.zeros((G, T))
 
         # per-solution observables of triggered groups for the station output
         station_rows = {k: [] for k in (
@@ -533,6 +567,8 @@ class Simulation:
             triggered[sl] = trig
             max_amp[sl] = np.asarray(out.max_amplitude)[:n_real]
             trigger_times[sl] = np.asarray(out.trigger_time)[:n_real]
+            trig_per[sl] = np.asarray(out.triggered_per)[:n_real]
+            tt_per[sl] = np.asarray(out.trigger_times_per)[:n_real]
 
             idx = np.where(trig)[0]
             if len(idx):
@@ -575,7 +611,7 @@ class Simulation:
         while in_flight:
             drain_one()
 
-        return triggered, max_amp, trigger_times, station_rows
+        return triggered, max_amp, trigger_times, station_rows, trig_per, tt_per
 
     def run(self, keep_traces: bool = False):
         """Run the full simulation over all stations; OR of station triggers
@@ -584,17 +620,30 @@ class Simulation:
         G = batch.energies.shape[0]
         weights = self._weights(group_ids, start, count, order)
 
+        T = len(self.triggers)
         per_station = {}
         triggered = np.zeros(G, dtype=bool)
         trigger_times = np.full(G, np.inf)
+        multiple_triggers = np.zeros((G, T), dtype=bool)
+        trigger_times_per = np.full((G, T), np.inf)
         for k, sid in enumerate(self.det.get_station_ids()):
-            trig_s, amp_s, tt_s, rows_s = self._run_station(sid, batch, k)
-            per_station[sid] = (trig_s, amp_s, tt_s, rows_s)
+            trig_s, amp_s, tt_s, rows_s, trigper_s, ttper_s = \
+                self._run_station(sid, batch, k)
+            per_station[sid] = (trig_s, amp_s, tt_s, rows_s, trigper_s)
             triggered |= trig_s
             trigger_times = np.where(trig_s, np.minimum(trigger_times, tt_s),
                                      trigger_times)
+            multiple_triggers |= trigper_s
+            trigger_times_per = np.where(
+                trigper_s, np.minimum(trigger_times_per, ttper_s),
+                trigger_times_per)
         trigger_times = np.where(np.isfinite(trigger_times), trigger_times, 0.0)
-        triggered_primary, max_amp, _, station_rows = per_station[self.station_id]
+        # per-trigger times are nan where the trigger did not fire
+        # (output_writer_hdf5.py:355 trigger_times init to nan)
+        trigger_times_per = np.where(np.isfinite(trigger_times_per),
+                                     trigger_times_per, np.nan)
+        triggered_primary, max_amp, _, station_rows, _ = \
+            per_station[self.station_id]
 
         # minimum-weight speedup cut (simulation.py:1476) is applied as a
         # zero-weight contribution, not by skipping, so results are identical
@@ -613,13 +662,26 @@ class Simulation:
         w_parent[inv] = eff_weights
         veff = volume * float(np.sum(w_parent * trig_parent)) / n_events
 
+        # per-trigger-name Veff (the quantity utilities/Veff.py:335-338
+        # computes per multiple_triggers column)
+        veff_per_trigger = {}
+        for iT, name in enumerate(self.trigger_names):
+            tp = np.zeros(len(uniq), dtype=bool)
+            np.logical_or.at(tp, inv, multiple_triggers[:, iT])
+            veff_per_trigger[name] = volume * float(
+                np.sum(w_parent * tp)) / n_events
+
         results = {
             "group_ids": group_ids,
             "triggered": triggered,
             "weights": weights,
             "max_amplitude": max_amp,
             "trigger_times": trigger_times,
+            "multiple_triggers": multiple_triggers,
+            "trigger_times_per_trigger": trigger_times_per,
+            "trigger_names": list(self.trigger_names),
             "veff": veff,
+            "veff_per_trigger": veff_per_trigger,
             "n_triggered": int(np.sum(trig_parent)),
         }
 
@@ -627,32 +689,35 @@ class Simulation:
             # map group-level triggers back to per-shower rows
             trig_shower = np.zeros(self.input.n_showers, dtype=bool)
             w_shower = np.zeros(self.input.n_showers)
-            tt_shower = np.zeros((self.input.n_showers, 1))
+            tt_shower = np.full((self.input.n_showers, T), np.nan)
+            mt_shower = np.zeros((self.input.n_showers, T), dtype=bool)
             for g in range(G):
                 rows = order[start[g]:start[g] + count[g]]
                 trig_shower[rows] = triggered[g]
                 w_shower[rows] = weights[g]
-                tt_shower[rows, 0] = trigger_times[g]
+                tt_shower[rows] = trigger_times_per[g]
+                mt_shower[rows] = multiple_triggers[g]
 
             # station groups (schema: HDF5_structure.rst:150-182) for
             # showers of triggered event groups, one group per station
             station_groups = {}
-            for sid, (trig_s, amp_s, tt_s, rows_s) in per_station.items():
+            for sid, (trig_s, amp_s, tt_s, rows_s, trigper_s) in per_station.items():
                 station_groups[sid] = self._station_group(
-                    rows_s, amp_s, tt_s, group_ids, start, count, order)
+                    rows_s, amp_s, tt_s, group_ids, start, count, order,
+                    trigper_s)
 
             ch = self.det.get_station(self.station_id).channels
             io_hdf5.write_output_hdf5(
                 self.outputfilename, self.input,
                 {"triggered": trig_shower, "weights": w_shower,
-                 "multiple_triggers": trig_shower[:, None],
+                 "multiple_triggers": mt_shower,
                  "trigger_times": tt_shower,
                  **getattr(self, "_realizations", {}),
                  **{f"station_{sid}": grp
                     for sid, grp in station_groups.items()}},
                 {"Veff": veff, "n_triggered": results["n_triggered"],
                  "Vrms": self.Vrms, "bandwidth": self.bandwidth,
-                 "trigger_names": np.array([self.trigger.name], dtype="S"),
+                 "trigger_names": np.array(self.trigger_names, dtype="S"),
                  "antenna_positions": ch.positions,
                  "n_samples": int(ch.n_samples[0]),
                  "sampling_rate": float(ch.sampling_frequency[0]),
@@ -660,16 +725,19 @@ class Simulation:
 
         if self.nur_outputfilename is not None:
             self._write_nur(group_ids, start, count, order, batch, triggered,
-                            trigger_times)
+                            trigger_times, multiple_triggers,
+                            trigger_times_per)
 
         return results
 
 
     def _station_group(self, station_rows, max_amp, trigger_times,
-                       group_ids, start, count, order):
+                       group_ids, start, count, order, trig_per=None):
         """Build one station's output group from collected per-solution rows."""
         if not station_rows["g_idx"]:
             return {}
+        if trig_per is None:
+            trig_per = np.zeros((len(group_ids), len(self.triggers)), dtype=bool)
         g_sel = np.concatenate(station_rows["g_idx"])
         m_rows = []
         sh_ids = []
@@ -703,8 +771,9 @@ class Simulation:
             "shower_id": np.array(sh_ids),
             "triggered": np.ones(len(sh_ids), dtype=bool),
             "triggered_per_event": np.ones(len(g_sel), dtype=bool),
-            "multiple_triggers": np.ones((len(sh_ids), 1), dtype=bool),
-            "multiple_triggers_per_event": np.ones((len(g_sel), 1), dtype=bool),
+            # per-trigger-name columns (output_writer_hdf5.py:350-381)
+            "multiple_triggers": trig_per[g_sel][jj],
+            "multiple_triggers_per_event": trig_per[g_sel],
             "maximum_amplitudes": max_amp[g_sel],
             "maximum_amplitudes_envelope": max_amp[g_sel],
             "trigger_times": trigger_times[g_sel][:, None][jj],
@@ -725,7 +794,8 @@ class Simulation:
         }
 
     def _write_nur(self, group_ids, start, count, order, batch, triggered,
-                   trigger_times):
+                   trigger_times, multiple_triggers=None,
+                   trigger_times_per=None):
         """Write triggered events with waveforms to a .nur-style file
         (the reference's outputfilenameNuRadioReco path, eventWriter.run;
         channel traces downsampled to the detector sampling rate)."""
@@ -763,11 +833,19 @@ class Simulation:
                 # downsample to the detector readout rate
                 ch.resample(float(ch_det.sampling_frequency[ci]))
                 station.add_channel(ch)
-            trig = Trigger(self.trigger.name, list(ch_det.channel_ids),
-                           self.trigger.trigger_type)
-            trig.set_triggered(True)
-            trig.set_trigger_time(float(trigger_times[g]))
-            station.set_trigger(trig)
+            for iT, spec in enumerate(self.triggers):
+                fired = (bool(multiple_triggers[g, iT])
+                         if multiple_triggers is not None else True)
+                cids = (list(spec.channels) if spec.channels
+                        else list(ch_det.channel_ids))
+                trig = Trigger(spec.name, cids, spec.trigger_type)
+                trig.set_triggered(fired)
+                if fired:
+                    tt = (float(trigger_times_per[g, iT])
+                          if trigger_times_per is not None
+                          else float(trigger_times[g]))
+                    trig.set_trigger_time(tt)
+                station.set_trigger(trig)
             evt.set_station(station)
             rows = order[start[g]:start[g] + count[g]]
             for r in rows:

@@ -47,12 +47,43 @@ def get_veff_output(volume, counts, all_events):
             volume * fc_low / all_events, volume * fc_high / all_events]
 
 
-def get_Veff_Aeff_single(filename, bounds_theta=(0, np.pi), min_weight=1e-5):
-    """Veff (weighted) of one output file, per unique event group.
+def remove_duplicate_triggers(triggered, gids):
+    """At most one True per event group (Veff.py:19-54): the HDF5 has one row
+    per shower; counting every shower of a multi-shower event would
+    overestimate the effective volume."""
+    gids = np.asarray(gids)
+    triggered = np.asarray(triggered, dtype=bool)
+    out = np.zeros_like(triggered)
+    # first triggered row of each triggered gid
+    trig_gids = np.where(triggered, gids + 0.5, 0.0)
+    _, idx = np.unique(trig_gids, return_index=True)
+    sel = idx[trig_gids[idx] > 0]
+    out[sel] = True
+    return out
 
-    Returns dict with keys energy, veff [m^3], veff_error, n_triggered,
-    solid_angle, weight_sum (Veff.py:168-480 simplified to the OR trigger the
-    fused pipeline records).
+
+def get_Veff_Aeff_single(filename, trigger_combinations=None,
+                         bounds_theta=(0, np.pi), min_weight=1e-5,
+                         station=None, veff_aeff="veff"):
+    """Veff/Aeff of one output file (Veff.py:168-480).
+
+    Top-level keys (veff, n_triggered, weight_sum, ...) describe the OR of
+    all named triggers. ``veffs`` holds per-trigger-name entries
+    ``[veff, veff_error, weighted_count, fc_low, fc_high]`` from the
+    ``multiple_triggers`` matrix (one column per ``trigger_names`` attr), plus
+    one entry per ``trigger_combinations`` item.
+
+    trigger_combinations : dict, optional
+        name -> {'triggers': [names] OR'd together,
+                 'triggerAND': name, 'notriggers': [names],
+                 'efficiency': {'func': SNR->eff, 'channel_ids': [...],
+                                'scale': float}}
+        (Veff.py:341-480 semantics; min_sigma/ray_solution/n_reflections
+        selections are not implemented).
+
+    veff_aeff : 'veff' | 'aeff_surface_muons'
+        For surface muons the generation *area* attr is projected
+        perpendicular to the flux (Veff.py:268-275).
     """
     with h5py.File(filename, "r") as f:
         gid = np.asarray(f["event_group_ids"])
@@ -60,11 +91,92 @@ def get_Veff_Aeff_single(filename, bounds_theta=(0, np.pi), min_weight=1e-5):
         weights = np.asarray(f["weights"])
         zeniths = np.asarray(f["zeniths"])
         energies = np.asarray(f["energies"])
-        volume = float(f.attrs["volume"])
         n_events = int(f.attrs["n_events"])
         thetamin = float(f.attrs.get("thetamin", 0.0))
         thetamax = float(f.attrs.get("thetamax", np.pi))
+        trigger_names = [t.decode() if isinstance(t, bytes) else str(t)
+                         for t in f.attrs.get("trigger_names", [])]
+        mt = (np.asarray(f["multiple_triggers"])
+              if "multiple_triggers" in f else triggered[:, None])
+        vrms = float(f.attrs.get("Vrms", 1.0))
+        if veff_aeff == "veff":
+            volume = float(f.attrs["volume"])
+        elif veff_aeff == "aeff_surface_muons":
+            volume = float(f.attrs["area"]) * 0.5 * (
+                abs(np.cos(thetamin)) + abs(np.cos(thetamax)))
+        else:
+            raise AttributeError(veff_aeff)
+        # per-event-group station amplitudes for the efficiency option
+        station_amps = {}
+        if station is not None and f"station_{station}" in f:
+            sg = f[f"station_{station}"]
+            if "event_group_ids" in sg:
+                station_amps = {
+                    "gids": np.asarray(sg["event_group_ids"]),
+                    "amps": np.asarray(sg["maximum_amplitudes_envelope"]),
+                }
 
+    if not trigger_names:
+        trigger_names = [f"trigger_{i}" for i in range(mt.shape[1])]
+    name_to_col = {n: i for i, n in enumerate(trigger_names)}
+
+    # zenith-band restriction: events outside are zero-weighted and n_events
+    # rescaled by the cos(theta) fraction (Veff.py:256-266, 320-326)
+    w_all = weights.copy()
+    if bounds_theta is not None:
+        b0, b1 = max(min(bounds_theta), thetamin), min(max(bounds_theta), thetamax)
+        frac = (abs(np.cos(b0) - np.cos(b1))
+                / max(abs(np.cos(thetamin) - np.cos(thetamax)), 1e-12))
+        if frac < 1:
+            n_events = n_events * frac
+            w_all = w_all * ((zeniths > b0) & (zeniths < b1))
+        thetamin, thetamax = b0, b1
+
+    def veff_of(mask):
+        mask = remove_duplicate_triggers(mask, gid)
+        return get_veff_output(volume, float(np.sum(w_all[mask])), n_events)
+
+    veffs = {}
+    for name, col in name_to_col.items():
+        veffs[name] = veff_of(mt[:, col].astype(bool))
+
+    for name, values in (trigger_combinations or {}).items():
+        indiv = values["triggers"]
+        if isinstance(indiv, str):
+            indiv = [indiv]
+        mask = np.zeros(mt.shape[0], dtype=bool)
+        for t in indiv:
+            mask |= mt[:, name_to_col[t]].astype(bool)
+        if "triggerAND" in values:
+            mask &= mt[:, name_to_col[values["triggerAND"]]].astype(bool)
+        for t in np.atleast_1d(values.get("notriggers", [])):
+            mask &= ~mt[:, name_to_col[str(t)]].astype(bool)
+        for unsupported in ("min_sigma", "ray_solution", "n_reflections"):
+            if unsupported in values:
+                raise NotImplementedError(
+                    f"trigger_combinations['{name}']['{unsupported}']")
+        mask = remove_duplicate_triggers(mask, gid)
+        v, v_err, c, v_lo, v_hi = get_veff_output(
+            volume, float(np.sum(w_all[mask])), n_events)
+        if "efficiency" in values and v > 0 and station_amps:
+            # analysis-efficiency reweighting by the per-group SNR
+            # (Veff.py:415-478): weight each triggered group by eff(SNR)
+            eff = values["efficiency"]
+            amps = station_amps["amps"]
+            if "channel_ids" in eff:
+                amps = amps[:, np.asarray(eff["channel_ids"], dtype=int)]
+            amp_per_row = np.max(np.nan_to_num(amps), axis=-1)
+            snr_of_gid = {}
+            for g, a in zip(station_amps["gids"], amp_per_row):
+                snr_of_gid[g] = max(snr_of_gid.get(g, 0.0), a)
+            snr = np.array([snr_of_gid.get(g, 0.0) for g in gid])
+            snr *= eff.get("scale", 1.0)
+            e = eff["func"](snr / eff.get("Vrms", vrms))
+            v, v_err, c, v_lo, v_hi = get_veff_output(
+                volume, float(np.sum(w_all[mask] * e[mask])), n_events)
+        veffs[name] = [v, v_err, c, v_lo, v_hi]
+
+    # ---- OR-of-all-triggers summary (backward-compatible keys) -------------
     _, first = np.unique(gid, return_index=True)
     trig = triggered[first]
     w = weights[first]
@@ -81,6 +193,10 @@ def get_Veff_Aeff_single(filename, bounds_theta=(0, np.pi), min_weight=1e-5):
     v, v_err, c, v_lo, v_hi = get_veff_output(volume, counts, n_events)
     return {
         "energy": float(np.mean(energies)),
+        "energy_min": float(np.min(energies)),
+        "energy_max": float(np.max(energies)),
+        "thetamin": thetamin,
+        "thetamax": thetamax,
         "veff": veff,
         "veff_error": veff / np.sqrt(counts) if counts else 0.0,
         "veff_low": v_lo * (weight_sum / counts if counts else 1.0),
@@ -90,6 +206,8 @@ def get_Veff_Aeff_single(filename, bounds_theta=(0, np.pi), min_weight=1e-5):
         "solid_angle": abs(solid_angle),
         "n_events": n_events,
         "volume": volume,
+        "trigger_names": trigger_names,
+        ("veffs" if veff_aeff == "veff" else "aeff_surface_muons"): veffs,
     }
 
 
@@ -103,6 +221,61 @@ def get_Veff_Aeff(folder_or_files, **kwargs):
     else:
         files = list(folder_or_files)
     return [get_Veff_Aeff_single(f, **kwargs) for f in files]
+
+
+def get_Veff_Aeff_array(data):
+    """Pack `get_Veff_Aeff` results into a dense array for fast slicing
+    (Veff.py:622-711): shape (n_energies, n_zenith_bins, n_triggers, 5) with
+    the last axis = [veff, error, weighted_count, fc_low, fc_high].
+
+    Returns (output, unique_energies, unique_energies_min,
+    unique_energies_max, unique_zenith_bins, unique_trigger_names).
+    """
+    key = "veffs" if "veffs" in data[0] else "aeff_surface_muons"
+    energies = np.array([d["energy"] for d in data])
+    emins = np.array([d.get("energy_min", d["energy"]) for d in data])
+    emaxs = np.array([d.get("energy_max", d["energy"]) for d in data])
+    zbins = np.array([[d.get("thetamin", 0.0), d.get("thetamax", np.pi)]
+                      for d in data])
+    names = sorted({n for d in data for n in d[key]})
+    ue = np.unique(energies)
+    uz = np.unique(zbins, axis=0)
+    out = np.zeros((len(ue), len(uz), len(names), 5))
+    for d, e, zb in zip(data, energies, zbins):
+        iE = int(np.argwhere(ue == e)[0][0])
+        iZ = int(np.argwhere(np.all(uz == zb, axis=1))[0][0])
+        for n, v in d[key].items():
+            out[iE, iZ, names.index(n)] = np.asarray(v, dtype=float)
+    return (out, ue, np.unique(emins), np.unique(emaxs), uz,
+            np.array(names))
+
+
+def export(filename, data, trigger_names=None, export_format="yaml"):
+    """Human-readable yaml/json export of `get_Veff_Aeff` results
+    (Veff.py:757-800)."""
+    output = []
+    for d in data:
+        row = {}
+        for k, v in d.items():
+            if k in ("veffs", "aeff_surface_muons"):
+                row[k] = {n: [float(x) for x in vals]
+                          for n, vals in v.items()
+                          if trigger_names is None or n in trigger_names}
+            elif isinstance(v, (np.generic,)):
+                row[k] = v.item()
+            elif isinstance(v, (int, float, str, list)):
+                row[k] = v
+        output.append(row)
+    with open(filename, "w") as fout:
+        if export_format == "yaml":
+            import yaml
+            yaml.safe_dump(output, fout)
+        elif export_format == "json":
+            import json
+            json.dump(output, fout, sort_keys=True, indent=4)
+        else:
+            raise ValueError(export_format)
+    return filename
 
 
 def merge_output_hdf5(filenames, outname):
