@@ -210,17 +210,26 @@ def analytic_vel(zenith, azimuth, rot, templates, kind):
 
 @dataclasses.dataclass(frozen=True)
 class AntennaTable:
-    """Regular-grid complex VEL table H(freq, theta, phi) as device arrays."""
+    """Regular-grid complex VEL table H(freq, theta, phi) as device arrays.
+
+    ``orientation`` is the simulated antenna frame stored in the pickle
+    (orientation_theta/phi, rotation_theta/phi — the E basis of
+    antennapattern.py:1197-1205); pass it as ``model_orientation`` to
+    antenna_rotation_matrix so the detector orientation is expressed
+    relative to the simulated one.
+    """
 
     freqs: jnp.ndarray     # (F0,) ascending
     thetas: jnp.ndarray    # (T,) ascending
     phis: jnp.ndarray      # (P,) ascending
     h_theta: jnp.ndarray   # (F0, T, P) complex
     h_phi: jnp.ndarray     # (F0, T, P) complex
+    orientation: tuple = (0.0, 0.0, np.pi / 2, np.pi / 2)
 
 
 def _grid_weights(x, grid):
     """(idx, w) for linear interpolation on an ascending regular-ish grid."""
+    grid = jnp.asarray(grid)   # ChannelParams leaves may be host numpy
     idx = jnp.clip(jnp.searchsorted(grid, x, side="right") - 1, 0, grid.shape[0] - 2)
     x0 = grid[idx]
     x1 = grid[idx + 1]
@@ -236,6 +245,8 @@ def table_vel_raw(table: AntennaTable, freqs, theta_a, phi_a):
     pi_, pw = _grid_weights(phi_a, table.phis)
 
     def gather(h):
+        h = jnp.asarray(h)
+
         def corner(df, dt, dp):
             return h[fi + df, ti + dt, pi_ + dp]
         h00 = corner(0, 0, 0) * (1 - pw) + corner(0, 0, 1) * pw
@@ -246,9 +257,13 @@ def table_vel_raw(table: AntennaTable, freqs, theta_a, phi_a):
         h1 = h10 * (1 - tw) + h11 * tw
         return h0 * (1 - fw) + h1 * fw
 
+    # out-of-band frequencies AND out-of-grid directions return 0
+    # (_get_antenna_response_vectorized_raw:1437-1448, 1556-1560)
     out_of_band = (freqs < table.freqs[0]) | (freqs > table.freqs[-1])
-    vt = jnp.where(out_of_band, 0.0, gather(table.h_theta))
-    vp = jnp.where(out_of_band, 0.0, gather(table.h_phi))
+    out_dir = ((theta_a < table.thetas[0]) | (theta_a > table.thetas[-1])
+               | (phi_a < table.phis[0]) | (phi_a > table.phis[-1]))
+    vt = jnp.where(out_of_band | out_dir, 0.0, gather(table.h_theta))
+    vp = jnp.where(out_of_band | out_dir, 0.0, gather(table.h_phi))
     return vt, vp
 
 
@@ -257,7 +272,9 @@ def table_vel(zenith, azimuth, rot, table: AntennaTable, freqs):
     v_global = geometry.spherical_to_cartesian(zenith, azimuth)
     v_ant = rot @ v_global
     theta_a, phi_a = geometry.cartesian_to_spherical(v_ant)
-    phi_a = jnp.mod(phi_a, 2 * jnp.pi)
+    # wrap phi into the grid's 2-pi window (the reference's +-2pi while
+    # loops, antennapattern.py:1430-1434)
+    phi_a = table.phis[0] + jnp.mod(phi_a - table.phis[0], 2 * jnp.pi)
 
     vt_raw, vp_raw = table_vel_raw(table, freqs, theta_a, phi_a)
 
@@ -272,24 +289,34 @@ def table_vel(zenith, azimuth, rot, table: AntennaTable, freqs):
 def load_antenna_table(path: str) -> AntennaTable:
     """Load a reference-format pickled antenna pattern into an AntennaTable.
 
-    The reference pickles (antennapattern.py:540-634) store
-    (orientation, ff, thetas, phis, H_theta, H_phi) flattened on a regular
-    (freq, theta, phi) grid.
+    The reference pickle (antennapattern.py:1315-1336) holds 9 lists:
+    [orientation_theta, orientation_phi, rotation_theta, rotation_phi,
+    ff, thetas, phis, H_phi, H_theta] — note H_PHI before H_THETA — with
+    flat index iFreq*n_theta*n_phi + iPhi*n_theta + iTheta
+    (_get_index, antennapattern.py:1423), i.e. a (freq, PHI, THETA) layout.
     """
     import pickle
 
     with open(path, "rb") as f:
         data = pickle.load(f, encoding="latin1")
-    if len(data) == 6:
-        _orientation, ff, thetas, phis, h_theta, h_phi = data
-    else:
-        ff, thetas, phis, h_theta, h_phi = data[-5:]
+    if len(data) != 9:
+        raise ValueError(
+            f"unexpected antenna pickle format: {len(data)} entries "
+            "(the reference format has 9, antennapattern.py:1315-1336)")
+    (ori_theta, ori_phi, rot_theta, rot_phi,
+     ff, thetas, phis, h_phi, h_theta) = data
     f_u = np.unique(ff)
     t_u = np.unique(thetas)
     p_u = np.unique(phis)
-    shape = (len(f_u), len(t_u), len(p_u))
+    shape = (len(f_u), len(p_u), len(t_u))        # [freq][phi][theta]
+
+    def grid(h):
+        return np.transpose(np.reshape(np.asarray(h), shape), (0, 2, 1))
+
     return AntennaTable(
         freqs=jnp.asarray(f_u), thetas=jnp.asarray(t_u), phis=jnp.asarray(p_u),
-        h_theta=jnp.asarray(np.reshape(h_theta, shape)),
-        h_phi=jnp.asarray(np.reshape(h_phi, shape)),
+        h_theta=jnp.asarray(grid(h_theta)),
+        h_phi=jnp.asarray(grid(h_phi)),
+        orientation=(float(ori_theta), float(ori_phi),
+                     float(rot_theta), float(rot_phi)),
     )

@@ -176,6 +176,30 @@ class ChannelParams(NamedTuple):
                                  # simulation.py:595-600)
     min_efield_amplitude: jnp.ndarray  # [C] candidate speedup cut threshold
                                  # (simulation.py:283-286; 0 disables)
+    # optional separate trigger-channel response (channel.py:33-58
+    # set_trigger_channel / iter_trigger_channels): when not None, trigger
+    # kernels read traces filtered with THIS [C, F_base] response while
+    # readout observables keep filter_response
+    trigger_filter_response: Optional[jnp.ndarray] = None
+    # optional tabulated antenna patterns (AntennaTableParams): when not
+    # None, the VEL comes from per-direction trilinear interpolation of the
+    # pickled grids (antennapattern.py:1426-1580) instead of the analytic
+    # templates; `templates`/`kind` are ignored
+    antenna_table: Optional["AntennaTableParams"] = None
+
+
+class AntennaTableParams(NamedTuple):
+    """Per-channel stacked tabulated antenna grids (common grid shape).
+
+    Built host-side from reference-format pickles
+    (ops.antenna.load_antenna_table); h_* are [C, F0, T, P] complex.
+    """
+
+    freqs: jnp.ndarray     # (F0,)
+    thetas: jnp.ndarray    # (T,)
+    phis: jnp.ndarray      # (P,)
+    h_theta: jnp.ndarray   # (C, F0, T, P)
+    h_phi: jnp.ndarray     # (C, F0, T, P)
 
 
 class ShowerBatch(NamedTuple):
@@ -507,7 +531,10 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     # materialized (birefringence segments mix pols; keep_efields output).
     factored = (emitter is None
                 and s.askaryan_model not in ("ARZ2019", "ARZ2020")
-                and not s.birefringence and not keep_efields)
+                and not s.birefringence and not keep_efields
+                # tabulated VEL is frequency-dependent per direction, so the
+                # scalar-mixing factorization does not apply
+                and ch.antenna_table is None)
 
     if emitter is None and s.askaryan_model in ("ARZ2019", "ARZ2020"):
         # ---- 3/4. ARZ semi-analytic model: 3-component efield traces -------
@@ -731,21 +758,40 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     # ---- 6. antenna response (VEL dot product) -----------------------------
     zen_r, az_r = geometry.cartesian_to_spherical(receive)         # [G,S,C,2]
 
-    # frequency-independent mixing factors per element, then ONE gather of
-    # the small [C, n_sector, F] templates (avoids materializing a
-    # [G,S,C,2,n_sector,F] broadcast of the templates)
-    rot_b = jnp.broadcast_to(ch.rot[None, None, :, None, :, :], (*bshape, 3, 3))
-    kind_b = jnp.broadcast_to(ch.kind[None, None, :, None], bshape)
-    mix_t, mix_p, sector = jax.vmap(antenna.analytic_vel_mix)(
-        flat(zen_r), flat(az_r), rot_b.reshape(-1, 3, 3), flat(kind_b))
-    mix_t = mix_t.reshape(bshape)
-    mix_p = mix_p.reshape(bshape)
-    sector = sector.reshape(bshape)
-    c_idx = jnp.broadcast_to(jnp.arange(C)[None, None, :, None], bshape)
-    T = jnp.asarray(ch.templates)[c_idx, sector]                   # [G,S,C,2,F]
-    if not factored:
-        vel_t = T * mix_t[..., None]
-        vel_p = T * mix_p[..., None]
+    if ch.antenna_table is not None:
+        # tabulated patterns: trilinear complex interpolation of the pickled
+        # grids at every receive direction (antennapattern.py:1426-1580 +
+        # on-sky rotation :1246-1307); static per-channel loop (C is small)
+        tab = ch.antenna_table
+        vel_t_ch, vel_p_ch = [], []
+        for ci in range(C):
+            table_ci = antenna.AntennaTable(
+                freqs=tab.freqs, thetas=tab.thetas, phis=tab.phis,
+                h_theta=tab.h_theta[ci], h_phi=tab.h_phi[ci])
+            rot_ci = ch.rot[ci]
+            vt, vp = jax.vmap(lambda z, a: antenna.table_vel(
+                z, a, rot_ci, table_ci, ff_int))(
+                zen_r[:, :, ci].reshape(-1), az_r[:, :, ci].reshape(-1))
+            vel_t_ch.append(vt.reshape(G, S, 2, -1))
+            vel_p_ch.append(vp.reshape(G, S, 2, -1))
+        vel_t = jnp.stack(vel_t_ch, axis=2)                        # [G,S,C,2,F]
+        vel_p = jnp.stack(vel_p_ch, axis=2)
+    else:
+        # frequency-independent mixing factors per element, then ONE gather
+        # of the small [C, n_sector, F] templates (avoids materializing a
+        # [G,S,C,2,n_sector,F] broadcast of the templates)
+        rot_b = jnp.broadcast_to(ch.rot[None, None, :, None, :, :], (*bshape, 3, 3))
+        kind_b = jnp.broadcast_to(ch.kind[None, None, :, None], bshape)
+        mix_t, mix_p, sector = jax.vmap(antenna.analytic_vel_mix)(
+            flat(zen_r), flat(az_r), rot_b.reshape(-1, 3, 3), flat(kind_b))
+        mix_t = mix_t.reshape(bshape)
+        mix_p = mix_p.reshape(bshape)
+        sector = sector.reshape(bshape)
+        c_idx = jnp.broadcast_to(jnp.arange(C)[None, None, :, None], bshape)
+        T = jnp.asarray(ch.templates)[c_idx, sector]               # [G,S,C,2,F]
+        if not factored:
+            vel_t = T * mix_t[..., None]
+            vel_p = T * mix_p[..., None]
 
     if factored:
         # volt = T*mix_t*(pol_t*foc*a_p)*spec_att + T*mix_p*(...)*spec_att
@@ -818,17 +864,30 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         nspec = jax.vmap(jax.vmap(noise_one))(
             keys, jnp.broadcast_to(ch.noise_amplitude[None, :], (G, C)))
         chan_spec = chan_spec + nspec
-    chan_spec = chan_spec * ch.filter_response[None, :, :]
-    if s.trigger_irfft == "matmul":
-        I_r, I_i = _irfft_matrices(s.n_base)
-        scale = s.sampling_rate / np.sqrt(2.0)
-        channel_traces = (
-            jnp.einsum("gcf,fn->gcn", chan_spec.real.astype(real_dtype),
-                       jnp.asarray(I_r, real_dtype))
-            + jnp.einsum("gcf,fn->gcn", chan_spec.imag.astype(real_dtype),
-                         jnp.asarray(I_i, real_dtype))) * scale
+
+    def to_time(spec):
+        if s.trigger_irfft == "matmul":
+            I_r, I_i = _irfft_matrices(s.n_base)
+            scale = s.sampling_rate / np.sqrt(2.0)
+            return (jnp.einsum("gcf,fn->gcn", spec.real.astype(real_dtype),
+                               jnp.asarray(I_r, real_dtype))
+                    + jnp.einsum("gcf,fn->gcn", spec.imag.astype(real_dtype),
+                                 jnp.asarray(I_i, real_dtype))) * scale
+        return fft.freq2time(spec, s.sampling_rate, n=s.n_base)
+
+    raw_spec = chan_spec
+    chan_spec = raw_spec * ch.filter_response[None, :, :]
+    channel_traces = to_time(chan_spec)
+    if ch.trigger_filter_response is not None:
+        # distinct trigger-channel response: same pre-amp voltage + noise,
+        # different signal chain (hardwareResponseIncorporator
+        # trigger_channels semantics, RNO_G/hardwareResponseIncorporator
+        # .py:191-229); trigger kernels read these traces only
+        trig_spec = raw_spec * ch.trigger_filter_response[None, :, :]
+        trigger_traces = to_time(trig_spec)
     else:
-        channel_traces = fft.freq2time(chan_spec, s.sampling_rate, n=s.n_base)
+        trig_spec = chan_spec
+        trigger_traces = channel_traces
 
     # ---- 9. triggers (one kernel per declared named trigger) ---------------
     # all declared triggers run on the SAME assembled traces; the per-trigger
@@ -850,7 +909,7 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
 
     trig_cols, time_cols = [], []
     for t in trig_list:
-        trig_t, time_t = _eval_trigger(t, channel_traces, chan_spec, base_t0,
+        trig_t, time_t = _eval_trigger(t, trigger_traces, trig_spec, base_t0,
                                        s, ch, real_dtype)
         trig_cols.append(trig_t & any_valid & candidate)
         time_cols.append(time_t)

@@ -40,6 +40,10 @@ class FilterStage:
     passband: tuple
     filter_type: str
     kwargs: dict = dataclasses.field(default_factory=dict)
+    # channel IDS this stage applies to; () = all. Gives per-channel response
+    # chains (the reference derives per-channel responses from amp_type,
+    # channelBandPassFilter per-channel dict arguments :89-100)
+    channels: tuple = ()
 
 
 @dataclasses.dataclass
@@ -90,8 +94,10 @@ class Simulation:
                  filter_chain: Sequence[FilterStage] = (),
                  trigger: TriggerSpec = TriggerSpec(),
                  triggers: Optional[Sequence[TriggerSpec]] = None,
+                 trigger_filter_chain: Optional[Sequence[FilterStage]] = None,
                  outputfilename: Optional[str] = None,
                  antenna_replacements: Optional[dict] = None,
+                 antenna_models_path: Optional[str] = None,
                  chunk_size: int = 256,
                  n_base: int = 2048,
                  dtype=jnp.float64,
@@ -109,9 +115,20 @@ class Simulation:
             raise ValueError("trigger names must be unique")
         self.trigger = self.triggers[0]
         trigger = self.trigger
+        # distinct trigger-channel signal chain (the reference's extra
+        # trigger channels, channel.py:33-58 + RNO_G
+        # hardwareResponseIncorporator trigger_channels); None = trigger on
+        # the readout chain
+        self.trigger_filter_chain = (list(trigger_filter_chain)
+                                     if trigger_filter_chain is not None
+                                     else None)
         self.outputfilename = outputfilename
         self.nur_outputfilename = nur_outputfilename
         self.antenna_replacements = antenna_replacements or {}
+        # directory holding <model>/<model>.pkl reference-format antenna
+        # pickles (the reference's path_to_antennamodels convention);
+        # models found here are used as tabulated patterns
+        self.antenna_models_path = antenna_models_path
         self.chunk_size = chunk_size
         self.dtype = dtype
 
@@ -146,22 +163,46 @@ class Simulation:
         self.ice = ice_models.get_ice_model(cfg["propagation"]["ice_model"])
 
         # ---- Vrms calibration (simulation.py:1302-1389) --------------------
+        # per channel: chains may differ per channel via FilterStage.channels
+        # (the reference computes _Vrms_per_channel the same way)
         ff_cal = np.linspace(0, 0.5 * self.internal_rate, 10000)
-        filt = filters.chain_response(
-            ff_cal, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain],
-            fs=self.internal_rate)
-        self.bandwidth = np.trapezoid(np.abs(filt) ** 2, ff_cal)
-        self.max_amplification = float(np.abs(filt).max()) if len(self.filter_chain) else 1.0
-
         noise_temp = cfg["trigger"]["noise_temperature"]
         vrms_cfg = cfg["trigger"]["Vrms"]
-        if vrms_cfg is not None:
-            self.Vrms = float(vrms_cfg)
-        else:
+
+        def thermal_vrms(bandwidth):
+            if vrms_cfg is not None:
+                return float(vrms_cfg)
             impedance = 50 * units.ohm
-            self.Vrms = float(np.sqrt(float(noise_temp) * impedance
-                                      * self.bandwidth * boltzmann))
+            return float(np.sqrt(float(noise_temp) * impedance
+                                 * bandwidth * boltzmann))
+
+        ids0 = [int(c) for c in ch.channel_ids]
+        self.bandwidth_per_channel = {}
+        self.Vrms_per_channel = {}
+        self.max_amplification_per_channel = {}
+        for cid in ids0:
+            filt = self._chain_response_for(ff_cal, cid, self.filter_chain)
+            bw = np.trapezoid(np.abs(filt) ** 2, ff_cal)
+            self.bandwidth_per_channel[cid] = bw
+            self.Vrms_per_channel[cid] = thermal_vrms(bw)
+            self.max_amplification_per_channel[cid] = (
+                float(np.abs(filt).max()) if len(self.filter_chain) else 1.0)
+        self.bandwidth = self.bandwidth_per_channel[ids0[0]]
+        self.max_amplification = self.max_amplification_per_channel[ids0[0]]
+        self.Vrms = self.Vrms_per_channel[ids0[0]]
         self.Vrms_efield = self.Vrms / self.max_amplification / units.m
+
+        # trigger-channel Vrms from the trigger chain's bandwidth
+        # (_Vrms_per_trigger_channel, simulation.py:1331): trigger thresholds
+        # in sigma refer to this when a separate trigger chain is declared
+        if self.trigger_filter_chain is not None:
+            filt_t = self._chain_response_for(ff_cal, ids0[0],
+                                              self.trigger_filter_chain)
+            self.bandwidth_trigger = np.trapezoid(np.abs(filt_t) ** 2, ff_cal)
+            self.Vrms_trigger = thermal_vrms(self.bandwidth_trigger)
+        else:
+            self.bandwidth_trigger = self.bandwidth
+            self.Vrms_trigger = self.Vrms
 
         # ---- device-side channel parameters (per station) -------------------
         self.channel_params_per_station = {}
@@ -264,6 +305,12 @@ class Simulation:
             batch, key, self.channel_params)
 
 
+    def _chain_response_for(self, freqs, channel_id, chain):
+        """Combined response of the stages applying to ``channel_id``."""
+        stages = [(f.passband, f.filter_type, f.kwargs) for f in chain
+                  if not f.channels or int(channel_id) in f.channels]
+        return filters.chain_response(freqs, stages, fs=self.internal_rate)
+
     def _build_trigger_settings(self, spec: TriggerSpec) -> TriggerSettings:
         """Resolve one TriggerSpec to static pipeline settings (absolute
         thresholds in volts, channel ids -> indices, phased-array beam
@@ -297,20 +344,20 @@ class Simulation:
             pa_rolls = tuple(tuple(int(v) for v in row) for row in rolls)
             pa_window = int(spec.pa_window_ns * det_fs * spec.pa_upsampling)
             pa_step = int(spec.pa_step_ns * det_fs * spec.pa_upsampling)
-            pa_threshold = spec.pa_threshold_factor * self.Vrms ** 2
+            pa_threshold = spec.pa_threshold_factor * self.Vrms_trigger ** 2
             pa_adc_fs = det_fs
             pa_adc_nbits = int(ch.adc_nbits[0]) if ch.adc_nbits[0] > 0 else 8
             noise_count = spec.pa_adc_noise_count or 15
             # ADC range from the noise occupancy (analogToDigitalConverter
             # ._get_adc_parameters:216-241)
-            pa_adc_range = self.Vrms * (2 ** pa_adc_nbits - 1) / noise_count
+            pa_adc_range = self.Vrms_trigger * (2 ** pa_adc_nbits - 1) / noise_count
 
         return TriggerSettings(
             name=spec.name,
             trigger_type=spec.trigger_type,
             channels=idx,
-            threshold_high=float(spec.threshold_high_sigma * self.Vrms),
-            threshold_low=float(spec.threshold_low_sigma * self.Vrms),
+            threshold_high=float(spec.threshold_high_sigma * self.Vrms_trigger),
+            threshold_low=float(spec.threshold_low_sigma * self.Vrms_trigger),
             highlow_coincidence=spec.highlow_coincidence,
             number_of_coincidences=spec.number_of_coincidences,
             channel_coincidence=spec.channel_coincidence,
@@ -333,30 +380,96 @@ class Simulation:
         rot = np.zeros((C, 3, 3))
         kind = np.zeros(C, dtype=np.int32)
         templates = np.zeros((C, 3, len(freqs_int)), dtype=complex)
+        tables = []
         for i in range(C):
             model = ch.antenna_model[i]
             model = self.antenna_replacements.get(model, model)
+            table = None
             if model not in antenna.ANALYTIC_MODELS:
-                raise NotImplementedError(
-                    f"antenna model '{model}' has no tabulated data on disk; "
-                    "provide antenna_replacements to map it to an analytic model")
-            kind[i] = antenna.ANALYTIC_MODELS[model][0]
-            tpl = antenna.build_analytic_template(model, freqs_int)
-            templates[i, :tpl.shape[0]] = tpl
-            if tpl.shape[0] == 1:
-                templates[i, 1:] = tpl[0]
+                # tabulated pattern from a reference-format pickle under
+                # antenna_models_path/<model>/<model>.pkl (the reference's
+                # path_to_antennamodels layout, antennapattern.py:1363)
+                import os
+                pkl = (os.path.join(self.antenna_models_path, model,
+                                    f"{model}.pkl")
+                       if self.antenna_models_path else None)
+                if pkl is None or not os.path.exists(pkl):
+                    raise NotImplementedError(
+                        f"antenna model '{model}' has no tabulated data on "
+                        "disk; provide antenna_models_path with the pickle "
+                        "or antenna_replacements to an analytic model")
+                table = antenna.load_antenna_table(pkl)
+            tables.append(table)
+            if table is None:
+                kind[i] = antenna.ANALYTIC_MODELS[model][0]
+                tpl = antenna.build_analytic_template(model, freqs_int)
+                templates[i, :tpl.shape[0]] = tpl
+                if tpl.shape[0] == 1:
+                    templates[i, 1:] = tpl[0]
+                model_orientation = antenna._MODEL_ORIENTATION
+            else:
+                # detector orientation expressed relative to the SIMULATED
+                # antenna frame stored in the pickle (antennapattern.py:1197)
+                model_orientation = table.orientation
             rot[i] = antenna.antenna_rotation_matrix(
                 ch.orientation_theta[i], ch.orientation_phi[i],
-                ch.rotation_theta[i], ch.rotation_phi[i])
+                ch.rotation_theta[i], ch.rotation_phi[i],
+                model_orientation=model_orientation)
 
-        filt_base = filters.chain_response(
-            freqs_base, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain],
-            fs=self.internal_rate)
-        filter_response = np.broadcast_to(filt_base, (C, len(freqs_base))).copy()
-        filt_int = filters.chain_response(
-            freqs_int, [(f.passband, f.filter_type, f.kwargs) for f in self.filter_chain],
-            fs=self.internal_rate)
-        filter_response_int = np.broadcast_to(filt_int, (C, len(freqs_int))).copy()
+        antenna_table = None
+        if any(t is not None for t in tables):
+            if not all(t is not None for t in tables):
+                raise NotImplementedError(
+                    "mixing tabulated and analytic antenna models in one "
+                    "station is not supported yet")
+            shapes = {t.h_theta.shape for t in tables}
+            grids = {(tuple(np.asarray(t.freqs)), tuple(np.asarray(t.thetas)),
+                      tuple(np.asarray(t.phis))) for t in tables}
+            if len(shapes) != 1 or len(grids) != 1:
+                raise NotImplementedError(
+                    "tabulated antenna models of one station must share the "
+                    "same (freq, theta, phi) grid")
+            from nuradiomc_tpu.sim.pipeline import AntennaTableParams
+            t0 = tables[0]
+            _cdt = np.float64 if jnp.dtype(self.dtype) == jnp.float64 else np.float32
+            _ctp = np.complex128 if _cdt == np.float64 else np.complex64
+            antenna_table = AntennaTableParams(
+                freqs=np.asarray(t0.freqs, dtype=_cdt),
+                thetas=np.asarray(t0.thetas, dtype=_cdt),
+                phis=np.asarray(t0.phis, dtype=_cdt),
+                h_theta=np.stack([np.asarray(t.h_theta, dtype=_ctp)
+                                  for t in tables]),
+                h_phi=np.stack([np.asarray(t.h_phi, dtype=_ctp)
+                                for t in tables]))
+
+        # per-channel response chains (FilterStage.channels subsets)
+        ids = [int(c) for c in ch.channel_ids]
+        filter_response = np.stack([
+            self._chain_response_for(freqs_base, cid, self.filter_chain)
+            for cid in ids])
+        filter_response_int = np.stack([
+            self._chain_response_for(freqs_int, cid, self.filter_chain)
+            for cid in ids])
+        trigger_filter_response = None
+        if self.trigger_filter_chain is not None:
+            trigger_filter_response = np.stack([
+                self._chain_response_for(freqs_base, cid,
+                                         self.trigger_filter_chain)
+                for cid in ids])
+
+        # per-channel Vrms from each channel's own bandwidth (the reference's
+        # _Vrms_per_channel table, simulation.py:1331-1389); the table built
+        # at init covers the primary station — extend it for other stations
+        ff_cal = np.linspace(0, 0.5 * self.internal_rate, 10000)
+        for cid in ids:
+            if cid not in self.bandwidth_per_channel:
+                filt = self._chain_response_for(ff_cal, cid, self.filter_chain)
+                bw = np.trapezoid(np.abs(filt) ** 2, ff_cal)
+                self.bandwidth_per_channel[cid] = bw
+                self.Vrms_per_channel[cid] = self.Vrms * np.sqrt(
+                    bw / self.bandwidth)
+        vrms_ch = np.array([self.Vrms_per_channel[cid] for cid in ids])
+        bw_ch = np.array([self.bandwidth_per_channel[cid] for cid in ids])
 
         station_pos = station.absolute_position
         # host numpy leaves (transferred per jit call): on the axon TPU
@@ -376,13 +489,17 @@ class Simulation:
             threshold_high=np.full((C,), trigger.threshold_high_sigma * self.Vrms, dtype=cdt),
             threshold_low=np.full((C,), trigger.threshold_low_sigma * self.Vrms, dtype=cdt),
             # noise is generated white up to Nyquist and scaled so the
-            # post-filter RMS equals Vrms (simulation.py:595-600)
-            noise_amplitude=np.full(
-                (C,), self.Vrms / np.sqrt(self.bandwidth / (0.5 * self.internal_rate)),
+            # post-filter RMS equals each channel's Vrms (simulation.py:595-600)
+            noise_amplitude=np.asarray(
+                vrms_ch / np.sqrt(bw_ch / (0.5 * self.internal_rate)),
                 dtype=cdt),
             min_efield_amplitude=np.full(
                 (C,), float(cfg["speedup"]["min_efield_amplitude"]) * self.Vrms_efield,
                 dtype=cdt),
+            trigger_filter_response=(
+                np.asarray(trigger_filter_response, dtype=ctype)
+                if trigger_filter_response is not None else None),
+            antenna_table=antenna_table,
         )
 
     # ------------------------------------------------------------------
