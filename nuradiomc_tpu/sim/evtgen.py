@@ -73,10 +73,16 @@ def get_ccnc(n_events, energy, flavors, rnd=None, model="ctw"):
     return np.where(rnd.uniform(0, 1, n_events) <= cc_fraction, "cc", "nc")
 
 
-def get_neutrino_inelasticity(n_events, rnd=None, model="ctw"):
-    """CTW inelasticity sampling, ported from ShelfMC semantics
-    (inelasticities.get_neutrino_inelasticity:16-53)."""
+def get_neutrino_inelasticity(n_events, rnd=None, model="ctw",
+                              nu_energies=1e18, flavors=12, ncccs="cc"):
+    """Inelasticity sampling (inelasticities.get_neutrino_inelasticity:16-95):
+    CTW ShelfMC-style by default; 'hedis_bgr18'/'bgr18' draws from the BGR18
+    differential tables' inverse CDF (per energy bin, flavor, cc/nc)."""
     rnd = rnd or np.random.default_rng()
+    if model.lower() in ("bgr18", "hedis_bgr18", "hedis"):
+        return cross_sections.get_neutrino_inelasticity_bgr18(
+            n_events, rnd, nu_energies=nu_energies, flavors=flavors,
+            ncccs=ncccs)
     r1 = 0.36787944
     r2 = 0.63212056
     return (-np.log(r1 + rnd.uniform(0.0, 1.0, n_events) * r2)) ** 2.5
@@ -203,7 +209,10 @@ def generate_eventlist_cylinder(
     else:
         raise ValueError(f"illegal interaction type {interaction_type}")
 
-    data["inelasticity"] = get_neutrino_inelasticity(n_events, rnd, cross_sections_model)
+    data["inelasticity"] = get_neutrino_inelasticity(
+        n_events, rnd, cross_sections_model,
+        nu_energies=data["energies"], flavors=data["flavors"],
+        ncccs=data["interaction_type"])
 
     # first (hadronic) shower: E_nu * y  (generator.py:1255-1256)
     data["shower_energies"] = data["energies"] * data["inelasticity"]

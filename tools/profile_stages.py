@@ -117,9 +117,11 @@ def main():
         "quad eval + interp matmul + full-size multiply")
 
     # ---- 3. isolated: ray solve -------------------------------------------
-    geom = raytrace.to_2d(
-        jnp.broadcast_to(batch.vertices[:, :, None, :], (G, S, C, 3)),
-        jnp.broadcast_to(ch.positions[None, None, :, :], (G, S, C, 3)))
+    # (jit wrapper: eager-op results are unfetchable through the axon tunnel)
+    geom = jax.jit(lambda v, p: raytrace.to_2d(
+        jnp.broadcast_to(v[:, :, None, :], (G, S, C, 3)),
+        jnp.broadcast_to(p[None, None, :, :], (G, S, C, 3))))(
+            batch.vertices, ch.positions)
     flatg = tuple(np.asarray(a).reshape(-1) for a in
                   (geom.x1y, geom.x1z, geom.x2y, geom.x2z))
 
