@@ -54,6 +54,66 @@ def test_event_viewer(tmp_path):
     eventbrowser.main([path, "--out", out])
     assert os.path.exists(os.path.join(out, "event_5_station_42.png"))
 
+
+def test_event_browser_html_export(tmp_path):
+    """`--html out/` writes a self-contained browser page whose embedded
+    JSON carries the four tabs' data (overview/traces/simulation/showers) —
+    the Dash app's capability as a static file."""
+    import json
+    import re
+
+    from nuradiomc_tpu.framework import parameters as par
+    from nuradiomc_tpu.framework.event import (Channel, ElectricField, Event,
+                                               Shower, SimStation, Station,
+                                               Trigger)
+    from nuradiomc_tpu.sim import eventbrowser, io_nur
+
+    evt = Event(0, 7)
+    st = Station(11)
+    for cid in (0, 1):
+        ch = Channel(cid)
+        ch.set_trace(np.sin(np.linspace(0, 20 + cid, 256)), 2.0)
+        st.add_channel(ch)
+    trig = Trigger("hl", [0, 1], "high_low")
+    trig.set_triggered(True)
+    trig.set_trigger_time(17.5)
+    st.set_trigger(trig)
+    sim = SimStation(11)
+    ef = ElectricField([0])
+    ef.set_trace(np.outer([0.0, 1.0, 0.5], np.sin(np.linspace(0, 9, 128))), 2.0)
+    sim.add_electric_field(ef)
+    st.set_sim_station(sim)
+    evt.set_station(st)
+    sh = Shower(3)
+    shp = par.showerParameters
+    sh[shp.energy] = 2e18
+    sh[shp.zenith] = 0.9
+    sh[shp.azimuth] = 1.2
+    sh[shp.type] = "had"
+    sh[shp.vertex] = np.array([100.0, -50.0, -700.0])
+    evt.add_sim_shower(sh)
+
+    path = str(tmp_path / "e.nur")
+    w = io_nur.EventWriter(path)
+    w.run(evt)
+    w.end()
+
+    html_dir = str(tmp_path / "html")
+    eventbrowser.main([path, "--html", html_dir])
+    html = open(os.path.join(html_dir, "index.html")).read()
+    for marker in ("Overview", "Traces", "Simulation", "Showers", "lineplot"):
+        assert marker in html
+    payload = json.loads(
+        re.search(r"const EVENTS = (\[.*?\]);\nlet tab", html, re.S).group(1))
+    assert len(payload) == 1
+    stn = payload[0]["stations"][0]
+    assert stn["triggered"] and stn["triggers"][0]["name"] == "hl"
+    assert stn["triggers"][0]["time"] == 17.5
+    assert len(stn["channels"]) == 2 and len(stn["channels"][0]["trace_mV"]) == 256
+    assert len(stn["efields"]) == 1 and len(stn["efields"][0]["eTheta"]) == 128
+    assert payload[0]["showers"][0]["energy"] == 2e18
+    assert payload[0]["showers"][0]["vertex"] == [100.0, -50.0, -700.0]
+
 def test_gzk_fluxes_vs_reference():
     """Tabulated GZK flux interpolators match the reference exactly
     (E2_fluxes3.py:573-607); sampled spectra agree within MC noise."""
