@@ -8,7 +8,9 @@ Output: one row per stage with measured ms/step, analytic bytes moved and
 FLOPs, and achieved fraction of peak HBM bandwidth / MXU throughput —
 the evidence behind BASELINE.md's roofline table.
 
-    python tools/profile_stages.py            # full table (~2 min)
+    python -u tools/profile_stages.py all          # full table
+    python -u tools/profile_stages.py full         # one stage per process
+    (stages: full noatt ray ask placement irfft trigger)
 """
 import json
 import sys
@@ -43,7 +45,7 @@ def _block_time(make_block, arg, n_blocks=N_BLOCKS):
     return (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
 
 
-def main():
+def main(only="all"):
     import dataclasses
 
     import jax
@@ -81,6 +83,8 @@ def main():
                          note=note))
         print(json.dumps(rows[-1]))
 
+    want = lambda name: only in ("all", name)
+
     # ---- 1. full pipeline --------------------------------------------------
     def full_block(k):
         def block(b):
@@ -92,8 +96,10 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
         return block
 
-    t_full = _block_time(full_block, batch)
-    add("full_step", t_full, 0, 0, f"G={G} S={S} C={C}")
+    t_full = None
+    if want("full") or want("noatt"):
+        t_full = _block_time(full_block, batch)
+        add("full_step", t_full, 0, 0, f"G={G} S={S} C={C}")
 
     # ---- 2. ablation: no attenuation --------------------------------------
     s_noatt = dataclasses.replace(settings, attenuate_ice=False)
@@ -108,13 +114,17 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
         return block
 
-    t_noatt = _block_time(noatt_block, batch)
-    add("full_minus_attenuation", t_noatt, 0, 0)
+    if not want("noatt"):
+        t_noatt = t_full
+    else:
+        t_noatt = _block_time(noatt_block, batch)
+        add("full_minus_attenuation", t_noatt, 0, 0)
     # attenuation stage traffic: spec read + att write/read + spec_att write
     att_bytes = ROWS * F_INT * c8 * 3 + ROWS * settings.n_freq_attenuation * f4
-    add("-> attenuation_stage(diff)", t_full - t_noatt, att_bytes,
-        ROWS * settings.attenuation_steps * settings.n_freq_attenuation * 8,
-        "quad eval + interp matmul + full-size multiply")
+    if want("noatt"):
+        add("-> attenuation_stage(diff)", t_full - t_noatt, att_bytes,
+            ROWS * settings.attenuation_steps * settings.n_freq_attenuation * 8,
+            "quad eval + interp matmul + full-size multiply")
 
     # ---- 3. isolated: ray solve -------------------------------------------
     # (jit wrapper: eager-op results are unfetchable through the axon tunnel)
@@ -137,9 +147,11 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
         return block
 
-    t_ray = _block_time(ray_block, flatg)
-    add("raytrace_solve", t_ray, G * S * C * 4 * f4,
-        G * S * C * settings.n_bisect * 2 * 60, "bisect+secant, transcendental-bound")
+    t_ray = _block_time(ray_block, flatg) if want("ray") else 0.0
+    if want("ray"):
+        add("raytrace_solve", t_ray, G * S * C * 4 * f4,
+            G * S * C * settings.n_bisect * 2 * 60,
+            "bisect+secant, transcendental-bound")
 
     # ---- 4. isolated: Askaryan spectra ------------------------------------
     view = np.random.default_rng(0).uniform(0.7, 1.2, ROWS).astype(np.float32)
@@ -157,9 +169,10 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return block
 
-    t_ask = _block_time(ask_block, (view, Rs))
-    add("askaryan_spectrum", t_ask, ROWS * F_INT * c8,
-        ROWS * F_INT * 20, "writes [rows, F_int] complex")
+    t_ask = _block_time(ask_block, (view, Rs)) if want("ask") else 0.0
+    if want("ask"):
+        add("askaryan_spectrum", t_ask, ROWS * F_INT * c8,
+            ROWS * F_INT * 20, "writes [rows, F_int] complex")
 
     # ---- 5. isolated: placement matmuls + phase + reduce ------------------
     rng = np.random.default_rng(2)
@@ -167,10 +180,12 @@ def main():
             + 1j * rng.standard_normal((G, S, C, 2, F_INT)).astype(np.float32)
             ).astype(np.complex64)
     offs = rng.uniform(0, 500, (G, S, C, 2)).astype(np.float32)
+    # numpy closure constants: EAGER jnp.asarray dtype conversions are
+    # UNIMPLEMENTED through the axon tunnel (CLAUDE.md quirks)
     D_r, D_i = pipeline._placement_matrices(N_INT, N_BASE)
-    D_r32 = jnp.asarray(D_r, jnp.complex64)
-    D_i32 = jnp.asarray(D_i, jnp.complex64)
-    ff_base = jnp.asarray(np.fft.rfftfreq(N_BASE, 0.5), jnp.float32)
+    D_r32 = np.asarray(D_r, np.complex64)
+    D_i32 = np.asarray(D_i, np.complex64)
+    ff_base = np.asarray(np.fft.rfftfreq(N_BASE, 0.5), np.float32)
 
     def plc_block(k):
         def block(args):
@@ -187,21 +202,22 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return block
 
-    t_plc = _block_time(plc_block, (volt, offs))
+    t_plc = _block_time(plc_block, (volt, offs)) if want("placement") else 0.0
     plc_flops = 2 * ROWS * F_INT * F_BASE * 2 * 2   # two real matmuls, complex out
     plc_bytes = (ROWS * F_INT * c8                  # V read
                  + ROWS * F_BASE * c8 * 3           # Xb write+read, ph product
                  + G * C * F_BASE * c8)             # output
-    add("placement_matmul_phase_reduce", t_plc, plc_bytes, plc_flops,
-        "[rows,F_int]x[F_int,F_base] + phase ramp + (S,2) sum")
+    if want("placement"):
+        add("placement_matmul_phase_reduce", t_plc, plc_bytes, plc_flops,
+            "[rows,F_int]x[F_int,F_base] + phase ramp + (S,2) sum")
 
     # ---- 6. isolated: final irfft matmul ----------------------------------
     chan = (rng.standard_normal((G, C, F_BASE)).astype(np.float32)
             + 1j * rng.standard_normal((G, C, F_BASE)).astype(np.float32)
             ).astype(np.complex64)
     I_r, I_i = pipeline._irfft_matrices(N_BASE)
-    I_r32 = jnp.asarray(I_r, jnp.float32)
-    I_i32 = jnp.asarray(I_i, jnp.float32)
+    I_r32 = np.asarray(I_r, np.float32)
+    I_i32 = np.asarray(I_i, np.float32)
 
     def irfft_block(k):
         def block(cs):
@@ -214,11 +230,12 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return block
 
-    t_ir = _block_time(irfft_block, chan)
+    t_ir = _block_time(irfft_block, chan) if want("irfft") else 0.0
     ir_flops = 2 * G * C * F_BASE * N_BASE * 2
     ir_bytes = G * C * (F_BASE * c8 + N_BASE * f4)
-    add("trigger_irfft_matmul", t_ir, ir_bytes, ir_flops,
-        "[G*C,F_base]x[F_base,n_base] x2")
+    if want("irfft"):
+        add("trigger_irfft_matmul", t_ir, ir_bytes, ir_flops,
+            "[G*C,F_base]x[F_base,n_base] x2")
 
     # ---- 7. isolated: trigger kernels -------------------------------------
     traces = rng.standard_normal((G, C, N_BASE)).astype(np.float32)
@@ -234,21 +251,23 @@ def main():
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
         return block
 
-    t_tr = _block_time(trig_block, traces)
-    add("trigger_highlow_majority", t_tr,
-        G * C * N_BASE * (f4 + 4), G * C * N_BASE * 20,
-        "boolean shift-OR windows")
+    t_tr = _block_time(trig_block, traces) if want("trigger") else 0.0
+    if want("trigger"):
+        add("trigger_highlow_majority", t_tr,
+            G * C * N_BASE * (f4 + 4), G * C * N_BASE * 20,
+            "boolean shift-OR windows")
 
     # ---- summary -----------------------------------------------------------
-    known = t_ray + t_ask + (t_full - t_noatt) + t_plc + t_ir + t_tr
-    print(json.dumps({
-        "stage": "SUMMARY", "full_ms": round(t_full * 1e3, 2),
-        "sum_of_isolated_ms": round(known * 1e3, 2),
-        "unattributed_ms": round((t_full - known) * 1e3, 2),
-        "events_per_s": round(G / t_full, 0),
-    }))
+    if only == "all":
+        known = t_ray + t_ask + (t_full - t_noatt) + t_plc + t_ir + t_tr
+        print(json.dumps({
+            "stage": "SUMMARY", "full_ms": round(t_full * 1e3, 2),
+            "sum_of_isolated_ms": round(known * 1e3, 2),
+            "unattributed_ms": round((t_full - known) * 1e3, 2),
+            "events_per_s": round(G / t_full, 0),
+        }))
     return rows
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "all")
