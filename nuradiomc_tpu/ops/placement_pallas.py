@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: fused spectrum placement + phase ramp + ray reduction.
+
+The XLA path of pipeline stage 7 materializes two [rows, F_base] complex64
+intermediates in HBM — the placement matmul output ``Xb`` and the per-row
+phase ramp product — ~4x the size of all other stage traffic combined
+(2 x 2.1 GB at the bench shape). This kernel keeps both in VMEM:
+
+  per row tile (rows = flattened (group, shower, ray), channel-major):
+    1. MXU: E = V.re @ D_r + V.im @ D_i            (complex placement DFT)
+    2. VPU: factored phase ramp from the row's time offset
+       (k = 32a + b outer product => ~65 transcendentals/row, not F_base)
+    3. multiply + strided accumulation over the (shower, ray) axis
+  output: chan_spec rows [rows / S2, F_base]
+
+Numerically identical to the XLA path up to f32 rounding. Select with
+PipelineSettings(placement_impl="pallas"); "xla" stays the default until
+the kernel is benchmarked on the target chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BLOCK = 32          # phase-table factorization: k = _BLOCK * a + b
+
+
+def _kernel(vr_ref, vi_ref, off_ref, drr_ref, dri_ref, dir_ref, dii_ref,
+            out_re_ref, out_im_ref, *, s2: int, df: float, f_base: int):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    vr = vr_ref[:]                    # [R_t, F_int]
+    vi = vi_ref[:]
+    # 1. placement DFT on the MXU (D = D_r + i D_i per input plane)
+    xb_re = (jnp.dot(vr, drr_ref[:], preferred_element_type=jnp.float32)
+             + jnp.dot(vi, dir_ref[:], preferred_element_type=jnp.float32))
+    xb_im = (jnp.dot(vr, dri_ref[:], preferred_element_type=jnp.float32)
+             + jnp.dot(vi, dii_ref[:], preferred_element_type=jnp.float32))
+
+    # 2. factored phase ramp exp(-2 pi i k df t): tables w^b and (w^B)^a
+    r_t = vr.shape[0]
+    theta = jnp.asarray(-2.0 * np.pi * df, jnp.float32) * off_ref[:]  # [R_t]
+    n_hi = -(-f_base // _BLOCK)
+    b = jax.lax.broadcasted_iota(jnp.float32, (r_t, _BLOCK), 1)
+    a = jax.lax.broadcasted_iota(jnp.float32, (r_t, n_hi), 1) * _BLOCK
+    tb = theta[:, None] * b
+    ta = theta[:, None] * a
+    wb_re, wb_im = jnp.cos(tb), jnp.sin(tb)
+    wa_re, wa_im = jnp.cos(ta), jnp.sin(ta)
+    ph_re = (wa_re[:, :, None] * wb_re[:, None, :]
+             - wa_im[:, :, None] * wb_im[:, None, :]).reshape(r_t, n_hi * _BLOCK)
+    ph_im = (wa_re[:, :, None] * wb_im[:, None, :]
+             + wa_im[:, :, None] * wb_re[:, None, :]).reshape(r_t, n_hi * _BLOCK)
+    ph_re = ph_re[:, :f_base]
+    ph_im = ph_im[:, :f_base]
+
+    y_re = xb_re * ph_re - xb_im * ph_im
+    y_im = xb_re * ph_im + xb_im * ph_re
+
+    # 3. (shower, ray) reduction: rows are channel-major consecutive groups
+    acc_re = y_re[0::s2]
+    acc_im = y_im[0::s2]
+    for j in range(1, s2):
+        acc_re = acc_re + y_re[j::s2]
+        acc_im = acc_im + y_im[j::s2]
+    out_re_ref[:] = acc_re
+    out_im_ref[:] = acc_im
+
+
+@functools.partial(jax.jit, static_argnames=("s2", "df", "row_tile"))
+def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
+                     df: float, row_tile: int = 256):
+    """chan_spec rows = sum over the s2-sized (shower, ray) blocks of
+    (V @ D) * exp(-2 pi i f offset).
+
+    volt_re/volt_im : [R, F_int] f32 (R divisible by row_tile; row order
+        (out_row, s2) with the s2 axis fastest)
+    offsets : [R] f32
+    D_r, D_i : [F_int, F_base] complex (host numpy)
+    Returns (out_re, out_im) with shape [R // s2, F_base].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, F_int = volt_re.shape
+    F_base = D_r.shape[1]
+    assert R % row_tile == 0 and row_tile % s2 == 0
+    grid = (R // row_tile,)
+    out_tile = row_tile // s2
+
+    drr = jnp.real(D_r).astype(jnp.float32)
+    dri = jnp.imag(D_r).astype(jnp.float32)
+    dir_ = jnp.real(D_i).astype(jnp.float32)
+    dii = jnp.imag(D_i).astype(jnp.float32)
+
+    kernel = functools.partial(_kernel, s2=s2, df=float(df),
+                               f_base=int(F_base))
+    return pl.pallas_call(
+        kernel,
+        # interpreter mode off-TPU so the kernel is testable on the CPU host
+        interpret=jax.default_backend() != "tpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((row_tile, F_int), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, F_int), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_int, F_base), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_int, F_base), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_int, F_base), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_int, F_base), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((out_tile, F_base), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_tile, F_base), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R // s2, F_base), jnp.float32),
+            jax.ShapeDtypeStruct((R // s2, F_base), jnp.float32),
+        ),
+    )(volt_re, volt_im, offsets, drr, dri, dir_, dii)

@@ -21,6 +21,29 @@ def time_shift_phase(frequencies, dt_shift):
     return jnp.exp(jnp.asarray(-2j * jnp.pi, ctype) * frequencies * dt_shift)
 
 
+def time_shift_phase_uniform(n_freqs: int, df, dt_shift, block: int = 32):
+    """exp(-2 pi i k df dt) for k = 0..n_freqs-1 on a UNIFORM frequency grid.
+
+    Equivalent to ``time_shift_phase(k * df, dt)`` but built as the outer
+    product of two small phase tables (k = block*a + b  =>
+    w^k = (w^block)^a * w^b): ~(block + n/block) transcendental evaluations
+    per element of ``dt_shift`` instead of n_freqs. On TPU the per-bin
+    sin/cos chain of the full ramp is VPU-transcendental-bound (hundreds of
+    millions of sincos per pipeline step at production batch sizes); the
+    factored form replaces ~94% of them with 6-flop complex multiplies.
+    """
+    real_dtype = jnp.asarray(dt_shift).dtype
+    ctype = jnp.result_type(real_dtype, jnp.complex64)
+    n_hi = -(-n_freqs // block)
+    theta = jnp.asarray(-2 * jnp.pi * df, real_dtype) * dt_shift   # [...]
+    b = jnp.arange(block, dtype=real_dtype)
+    a = jnp.arange(n_hi, dtype=real_dtype) * block
+    wb = jnp.exp(jnp.asarray(1j, ctype) * theta[..., None] * b)    # [..., B]
+    wa = jnp.exp(jnp.asarray(1j, ctype) * theta[..., None] * a)    # [..., A]
+    ph = wa[..., :, None] * wb[..., None, :]
+    return ph.reshape(*theta.shape, n_hi * block)[..., :n_freqs]
+
+
 def shift_spectrum(spectrum, frequencies, dt_shift):
     """Delay a spectrum by dt_shift (sub-bin accurate, BaseTrace.apply_time_shift)."""
     return spectrum * time_shift_phase(frequencies, dt_shift)

@@ -92,6 +92,11 @@ class PipelineSettings:
     # the TPU at the bench shape: 104 -> 84.7 ms/step (+23%); numerically
     # equivalent to ~1e-15.
     trigger_irfft: str = "matmul"
+    # placement stage implementation: "xla" (einsum + factored phase ramp)
+    # or "pallas" (ops.placement_pallas fused kernel — placement DFT, phase
+    # and (shower, ray) reduction in VMEM, no [rows, F_base] HBM
+    # intermediates; float32 only, falls back to "xla" at float64)
+    placement_impl: str = "xla"
     # birefringence block (config propagation.birefringence*,
     # apply_propagation_effects analyticraytracing.py:3020-3030)
     birefringence: bool = False
@@ -845,10 +850,33 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     # ones (better MXU utilization), then the per-solution phase ramp and the
     # (shower, ray) reduction
     V = volt_spec                                       # [G,S,C,2,F_int]
-    Xb = (jnp.einsum("gscrf,fk->gscrk", V.real.astype(real_dtype), D_r)
-          + jnp.einsum("gscrf,fk->gscrk", V.imag.astype(real_dtype), D_i))
-    ph = trace_ops.time_shift_phase(ff_base, offset[..., None])  # [G,S,C,2,Fb]
-    chan_spec = jnp.sum(Xb * ph.astype(ctype), axis=(1, 3))      # [G,C,Fb]
+    df_base = float(s.sampling_rate / s.n_base)
+    F_base = s.n_base // 2 + 1
+    if s.placement_impl == "pallas" and real_dtype == jnp.float32:
+        # fused kernel: placement DFT + phase + (S,2) reduction in VMEM
+        from nuradiomc_tpu.ops import placement_pallas
+
+        s2 = S * 2
+        out_tile = 64
+        while (G * C) % out_tile:
+            out_tile //= 2
+        Vt = jnp.moveaxis(V, 2, 1)                      # [G,C,S,2,F_int]
+        offs = jnp.moveaxis(offset, 2, 1).astype(jnp.float32).reshape(-1)
+        R = G * C * s2
+        out_re, out_im = placement_pallas.placement_reduce(
+            Vt.real.astype(jnp.float32).reshape(R, -1),
+            Vt.imag.astype(jnp.float32).reshape(R, -1),
+            offs, D_r, D_i, s2=s2, df=df_base,
+            row_tile=out_tile * s2)
+        chan_spec = jax.lax.complex(out_re, out_im).reshape(G, C, F_base)
+    else:
+        Xb = (jnp.einsum("gscrf,fk->gscrk", V.real.astype(real_dtype), D_r)
+              + jnp.einsum("gscrf,fk->gscrk", V.imag.astype(real_dtype), D_i))
+        # factored phase ramp: the rFFT grid is uniform, so the per-bin
+        # sincos chain (the VPU-transcendental hot spot of this stage)
+        # reduces to two small per-row tables + complex multiplies
+        ph = trace_ops.time_shift_phase_uniform(F_base, df_base, offset)
+        chan_spec = jnp.sum(Xb * ph.astype(ctype), axis=(1, 3))     # [G,C,Fb]
 
     # ---- 8. filter chain (+ optional noise) --------------------------------
     if s.add_noise:

@@ -1,0 +1,73 @@
+"""Fused Pallas placement kernel == the XLA einsum + phase + reduce path
+(pipeline stage 7), in interpreter mode on the CPU host.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nuradiomc_tpu.ops import placement_pallas
+from nuradiomc_tpu.ops import trace as trace_ops
+from nuradiomc_tpu.sim import pipeline
+
+
+def test_kernel_matches_xla_path():
+    G, S, C = 8, 2, 1
+    N_INT, N_BASE = 64, 256
+    F_INT, F_BASE = N_INT // 2 + 1, N_BASE // 2 + 1
+    fs = 2.0
+    df = fs / N_BASE
+
+    rng = np.random.default_rng(4)
+    V = (rng.standard_normal((G, S, C, 2, F_INT))
+         + 1j * rng.standard_normal((G, S, C, 2, F_INT))).astype(np.complex64)
+    offset = rng.uniform(0, 300, (G, S, C, 2)).astype(np.float32)
+
+    D_r, D_i = pipeline._placement_matrices(N_INT, N_BASE)
+
+    # XLA reference path
+    Xb = (np.einsum("gscrf,fk->gscrk", V.real, D_r)
+          + np.einsum("gscrf,fk->gscrk", V.imag, D_i))
+    ph = np.asarray(trace_ops.time_shift_phase_uniform(
+        F_BASE, np.float32(df), jnp.asarray(offset)))
+    ref = np.sum(Xb * ph, axis=(1, 3))                   # [G, C, F_BASE]
+
+    # Pallas kernel (channel-major rows, (s, r) fastest)
+    s2 = S * 2
+    Vt = np.moveaxis(V, 2, 1).reshape(G * C * s2, F_INT)
+    offs = np.moveaxis(offset, 2, 1).reshape(-1)
+    out_re, out_im = placement_pallas.placement_reduce(
+        jnp.asarray(Vt.real), jnp.asarray(Vt.imag), jnp.asarray(offs),
+        D_r, D_i, s2=s2, df=float(df), row_tile=2 * s2)
+    got = (np.asarray(out_re) + 1j * np.asarray(out_im)).reshape(G, C, F_BASE)
+
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=0)
+
+
+def test_pipeline_flag_equivalence():
+    """simulate_batch(placement_impl='pallas') == 'xla' at float32 on a
+    small batch (interpreter mode)."""
+    import dataclasses
+
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _make_settings_and_inputs
+    from nuradiomc_tpu.sim.pipeline import simulate_batch
+
+    settings, ch, batch = _make_settings_and_inputs(
+        n_groups=8, n_showers=2, n_channels=2, n_internal=128, n_base=256)
+    s_pl = dataclasses.replace(settings, placement_impl="pallas")
+
+    out_x = jax.jit(lambda b: simulate_batch(b, ch, settings,
+                                             keep_traces=True))(batch)
+    out_p = jax.jit(lambda b: simulate_batch(b, ch, s_pl,
+                                             keep_traces=True))(batch)
+
+    np.testing.assert_array_equal(np.asarray(out_x.triggered),
+                                  np.asarray(out_p.triggered))
+    scale = float(np.abs(np.asarray(out_x.traces)).max())
+    np.testing.assert_allclose(np.asarray(out_p.traces),
+                               np.asarray(out_x.traces),
+                               atol=3e-6 * scale, rtol=0)
