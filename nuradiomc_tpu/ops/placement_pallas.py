@@ -70,6 +70,152 @@ def _kernel(vr_ref, vi_ref, off_ref, drr_ref, dri_ref, dir_ref, dii_ref,
     out_im_ref[:] = acc_im
 
 
+def _chain_kernel(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
+                  oh_ref, off_ref,
+                  w_ref, tr_ref, ti_ref,
+                  drr_ref, dri_ref, dir_ref, dii_ref,
+                  out_re_ref, out_im_ref, *, s2: int, df: float, f_base: int):
+    """v2: spectrum x interpolated attenuation x (one-hot) template x scalar
+    factors, then the v1 placement DFT + phase + reduction — the whole
+    factored propagation chain without HBM intermediates."""
+    att = jnp.dot(att_ref[:], w_ref[:],
+                  preferred_element_type=jnp.float32)          # [R_t, F_int]
+    tpl_re = jnp.dot(oh_ref[:], tr_ref[:],
+                     preferred_element_type=jnp.float32)       # [R_t, F_int]
+    tpl_im = jnp.dot(oh_ref[:], ti_ref[:],
+                     preferred_element_type=jnp.float32)
+    # volt = template * combined * spec * att  (complex x complex x real)
+    sa_re = sr_ref[:] * att
+    sa_im = si_ref[:] * att
+    cr = cr_ref[:][:, None]
+    ci = ci_ref[:][:, None]
+    cs_re = cr * sa_re - ci * sa_im
+    cs_im = cr * sa_im + ci * sa_re
+    vr = tpl_re * cs_re - tpl_im * cs_im
+    vi = tpl_re * cs_im + tpl_im * cs_re
+    # select (not multiply): invalid solution slots may carry non-finite
+    # spectra that 0 * x would propagate as NaN
+    m = mask_ref[:][:, None] > 0.5
+    vr = jnp.where(m, vr, 0.0)
+    vi = jnp.where(m, vi, 0.0)
+
+    xb_re = (jnp.dot(vr, drr_ref[:], preferred_element_type=jnp.float32)
+             + jnp.dot(vi, dir_ref[:], preferred_element_type=jnp.float32))
+    xb_im = (jnp.dot(vr, dri_ref[:], preferred_element_type=jnp.float32)
+             + jnp.dot(vi, dii_ref[:], preferred_element_type=jnp.float32))
+
+    r_t = vr.shape[0]
+    theta = jnp.asarray(-2.0 * np.pi * df, jnp.float32) * off_ref[:]
+    n_hi = -(-f_base // _BLOCK)
+    b = jax.lax.broadcasted_iota(jnp.float32, (r_t, _BLOCK), 1)
+    a = jax.lax.broadcasted_iota(jnp.float32, (r_t, n_hi), 1) * _BLOCK
+    tb = theta[:, None] * b
+    ta = theta[:, None] * a
+    wb_re, wb_im = jnp.cos(tb), jnp.sin(tb)
+    wa_re, wa_im = jnp.cos(ta), jnp.sin(ta)
+    ph_re = (wa_re[:, :, None] * wb_re[:, None, :]
+             - wa_im[:, :, None] * wb_im[:, None, :]).reshape(r_t, n_hi * _BLOCK)
+    ph_im = (wa_re[:, :, None] * wb_im[:, None, :]
+             + wa_im[:, :, None] * wb_re[:, None, :]).reshape(r_t, n_hi * _BLOCK)
+    ph_re = ph_re[:, :f_base]
+    ph_im = ph_im[:, :f_base]
+
+    y_re = xb_re * ph_re - xb_im * ph_im
+    y_im = xb_re * ph_im + xb_im * ph_re
+
+    acc_re = y_re[0::s2]
+    acc_im = y_im[0::s2]
+    for j in range(1, s2):
+        acc_re = acc_re + y_re[j::s2]
+        acc_im = acc_im + y_im[j::s2]
+    out_re_ref[:] = acc_re
+    out_im_ref[:] = acc_im
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("s2", "df", "row_tile", "n_templates"))
+def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
+                           mask, tpl_idx, offsets, W, templates, D_r, D_i, *,
+                           s2: int, df: float, n_templates: int,
+                           row_tile: int = 256):
+    """Fused factored-chain placement:
+
+        out rows = sum over s2-blocks of
+          ((template[tpl_idx] * combined * spec * (att_sparse @ W)) @ D)
+          * exp(-2 pi i f offset)
+
+    spec_* : [R, F_int] f32; att_sparse : [R, n_sparse] f32;
+    comb_* : [R] f32; mask : [R] f32 validity (invalid rows zeroed by
+    SELECT, so non-finite garbage in their spectra cannot poison the
+    output); tpl_idx : [R] int32 row into
+    ``templates`` [n_templates, F_int] complex (DC mask premultiplied);
+    W : [n_sparse, F_int] f32. Returns [R // s2, F_base] (re, im).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, F_int = spec_re.shape
+    F_base = D_r.shape[1]
+    n_sparse = att_sparse.shape[1]
+    assert R % row_tile == 0 and row_tile % s2 == 0
+    grid = (R // row_tile,)
+    out_tile = row_tile // s2
+
+    drr = jnp.real(D_r).astype(jnp.float32)
+    dri = jnp.imag(D_r).astype(jnp.float32)
+    dir_ = jnp.real(D_i).astype(jnp.float32)
+    dii = jnp.imag(D_i).astype(jnp.float32)
+    tr = jnp.real(templates).astype(jnp.float32)
+    ti = jnp.imag(templates).astype(jnp.float32)
+    w32 = jnp.asarray(W, jnp.float32)
+    # template row selection as a tiny one-hot matmul (vector gathers do
+    # not lower well on TPU)
+    onehot = (tpl_idx[:, None]
+              == jnp.arange(n_templates)[None, :]).astype(jnp.float32)
+
+    kernel = functools.partial(_chain_kernel, s2=s2, df=float(df),
+                               f_base=int(F_base))
+    row_spec = pl.BlockSpec((row_tile, F_int), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=grid,
+        in_specs=[
+            row_spec, row_spec,
+            pl.BlockSpec((row_tile, n_sparse), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, n_templates), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            full((n_sparse, F_int)),
+            full((n_templates, F_int)), full((n_templates, F_int)),
+            full((F_int, F_base)), full((F_int, F_base)),
+            full((F_int, F_base)), full((F_int, F_base)),
+        ],
+        out_specs=(
+            pl.BlockSpec((out_tile, F_base), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_tile, F_base), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R // s2, F_base), jnp.float32),
+            jax.ShapeDtypeStruct((R // s2, F_base), jnp.float32),
+        ),
+    )(spec_re, spec_im, att_sparse, comb_re, comb_im, mask, onehot, offsets,
+      w32, tr, ti, drr, dri, dir_, dii)
+
+
 @functools.partial(jax.jit, static_argnames=("s2", "df", "row_tile"))
 def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
                      df: float, row_tile: int = 256):

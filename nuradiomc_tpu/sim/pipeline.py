@@ -321,16 +321,12 @@ def _interp_matrix(x_sparse: tuple, x_dense: tuple):
     return W
 
 
-def _attenuation_sparse(sols: raytrace.RaySolutions, geom, s: PipelineSettings):
-    """Attenuation factors on the internal frequency grid via a sparse grid.
-
-    Mirrors the reference's sparse-frequency optimization
-    (analyticraytracing.py:885-931 + get_attenuation_along_path): evaluate the
-    path integral at ``n_freq_attenuation`` frequencies and linearly
-    interpolate to the full grid.
-    """
-    ff = s.freqs_internal
-    # host-side (static) copies of both grids for the interpolation matrix
+def _attenuation_sparse_values(sols: raytrace.RaySolutions, geom,
+                               s: PipelineSettings):
+    """Attenuation factors at the sparse frequencies [..., n_sparse] plus the
+    host interpolation matrix W [n_sparse, F_int] mapping to the dense grid
+    (the reference's sparse-frequency optimization,
+    analyticraytracing.py:885-931)."""
     ff_np = np.fft.rfftfreq(s.n_internal, s.dt)
     sparse_np = np.linspace(ff_np[1], ff_np[-1], s.n_freq_attenuation)
     sparse = jnp.asarray(sparse_np)
@@ -349,11 +345,17 @@ def _attenuation_sparse(sols: raytrace.RaySolutions, geom, s: PipelineSettings):
         jnp.broadcast_to(geom.x2y[..., None], shape).reshape(-1),
         jnp.broadcast_to(geom.x2z[..., None], shape).reshape(-1),
     ).reshape(*shape, -1)  # [..., n_sparse]
-
-    # piecewise-linear interpolation from the FIXED sparse grid to the FIXED
-    # dense grid is a linear map -> one [n_sparse, F_int] matmul (gathers are
-    # slow on TPU; jnp.interp compiles to them)
     W = _interp_matrix(tuple(sparse_np), tuple(ff_np))
+    return flat, W
+
+
+def _attenuation_sparse(sols: raytrace.RaySolutions, geom, s: PipelineSettings):
+    """Attenuation factors on the internal frequency grid via a sparse grid
+    + one [n_sparse, F_int] interpolation matmul (gathers are slow on TPU;
+    jnp.interp compiles to them)."""
+    ff = s.freqs_internal
+    flat, W = _attenuation_sparse_values(sols, geom, s)
+    shape = flat.shape[:-1]
     full = jnp.einsum("ps,sf->pf", flat.reshape(-1, s.n_freq_attenuation),
                       jnp.asarray(W, flat.dtype))
     full = jnp.where(ff > 0, full, 1.0)
@@ -640,8 +642,14 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         pol_onsky = jnp.zeros((*bshape, 3), dtype=real_dtype)
 
     # ---- 5. propagation effects --------------------------------------------
+    att_vals = att_W = None
     if s.attenuate_ice:
-        att = _attenuation_sparse(sols, geom, s)                   # [G,S,C,2,F]
+        att_vals, att_W = _attenuation_sparse_values(sols, geom, s)
+        full = jnp.einsum(
+            "ps,sf->pf", att_vals.reshape(-1, s.n_freq_attenuation),
+            jnp.asarray(att_W, att_vals.dtype))
+        att = jnp.where(ff_int > 0, full, 1.0).reshape(
+            *att_vals.shape[:-1], -1)                              # [G,S,C,2,F]
         if factored:
             spec_att = spec * att
         else:
@@ -860,14 +868,40 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         out_tile = 64
         while (G * C) % out_tile:
             out_tile //= 2
-        Vt = jnp.moveaxis(V, 2, 1)                      # [G,C,S,2,F_int]
         offs = jnp.moveaxis(offset, 2, 1).astype(jnp.float32).reshape(-1)
         R = G * C * s2
-        out_re, out_im = placement_pallas.placement_reduce(
-            Vt.real.astype(jnp.float32).reshape(R, -1),
-            Vt.imag.astype(jnp.float32).reshape(R, -1),
-            offs, D_r, D_i, s2=s2, df=df_base,
-            row_tile=out_tile * s2)
+
+        def ch_major(x):
+            return jnp.moveaxis(x, 2, 1).reshape(R, *x.shape[4:])
+
+        if factored and att_vals is not None:
+            # v2: the whole factored chain (spec x att-interp x template x
+            # scalars) fused in-kernel — spec_att / volt_spec / Xb / phase
+            # never hit HBM on this path
+            tpl_idx = (c_idx * 3 + sector).astype(jnp.int32)
+            dcmask = jnp.asarray(
+                np.fft.rfftfreq(s.n_internal, s.dt) >= 5e-3, jnp.float32)
+            tpl_table = (jnp.asarray(ch.templates)
+                         .reshape(C * 3, -1).astype(jnp.complex64)
+                         * dcmask[None, :])
+            out_re, out_im = placement_pallas.chain_placement_reduce(
+                ch_major(spec.real.astype(jnp.float32)),
+                ch_major(spec.imag.astype(jnp.float32)),
+                ch_major(att_vals.astype(jnp.float32)),
+                ch_major(combined.real.astype(jnp.float32)),
+                ch_major(combined.imag.astype(jnp.float32)),
+                ch_major(valid.astype(jnp.float32)),
+                ch_major(tpl_idx), offs,
+                att_W, tpl_table, D_r, D_i,
+                s2=s2, df=df_base, n_templates=C * 3,
+                row_tile=out_tile * s2)
+        else:
+            Vt = jnp.moveaxis(V, 2, 1)                  # [G,C,S,2,F_int]
+            out_re, out_im = placement_pallas.placement_reduce(
+                Vt.real.astype(jnp.float32).reshape(R, -1),
+                Vt.imag.astype(jnp.float32).reshape(R, -1),
+                offs, D_r, D_i, s2=s2, df=df_base,
+                row_tile=out_tile * s2)
         chan_spec = jax.lax.complex(out_re, out_im).reshape(G, C, F_base)
     else:
         Xb = (jnp.einsum("gscrf,fk->gscrk", V.real.astype(real_dtype), D_r)
