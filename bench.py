@@ -4,6 +4,7 @@ Prints ONE JSON line (the headline dipole-Veff number) when run with no
 arguments — the driver contract. Additional configurations:
 
     python bench.py             # headline: dipole Veff pipeline (validated)
+    python bench.py pallas      # headline with placement_impl='pallas'
     python bench.py pa          # 4-channel phased array + noise + ADC
     python bench.py raytrace    # ray-trace solutions/sec
 
@@ -13,9 +14,10 @@ Every published configuration is tied to a conformance test:
   n_bisect=28 — the EXACT configuration of
   tests/test_e2e.py::test_benchmark_settings_reproduce_golden, which
   reproduces the reference-golden triggered set on the 3000-event e2e input.
-* pa: the tests/test_e2e_phased_array.py physics (Alvarez2009 + focusing +
-  rayleigh noise + trigger-ADC + 2x upsampling + 11-beam power integration)
-  at float32 on synthetic event kinematics of the same shape.
+* pa: the tests/test_e2e_phased_array.py configuration AND event
+  kinematics (Alvarez2009 + focusing + rayleigh noise + trigger-ADC + 2x
+  upsampling + 11-beam power integration at float32 on the committed
+  3000-event input, tiled to fill the chip).
 * raytrace: find_solutions pairs/sec, the solver validated against the
   reference's committed reference_C0.pkl anchor (1000/1000 at 2e-7).
 
@@ -54,7 +56,7 @@ def _best_block_rate(step_fn, arg, n_items, k_steps, n_blocks=3):
     return float(np.max(rates))
 
 
-def bench_veff():
+def bench_veff(placement_impl=None):
     import jax
     import jax.numpy as jnp
 
@@ -65,6 +67,9 @@ def bench_veff():
     settings, ch, batch = _make_settings_and_inputs(
         n_groups=n_groups, n_showers=2, n_channels=1,
         n_internal=512, n_base=2048)
+    if placement_impl is not None:
+        import dataclasses
+        settings = dataclasses.replace(settings, placement_impl=placement_impl)
 
     k_steps = 5
 
@@ -77,8 +82,9 @@ def bench_veff():
         return jax.lax.fori_loop(0, k_steps, body, jnp.int32(0))
 
     rate = _best_block_rate(jax.jit(block), batch, n_groups, k_steps)
+    suffix = f"_{placement_impl}" if placement_impl else ""
     return {
-        "metric": "veff_pipeline_events_per_sec_per_chip",
+        "metric": f"veff_pipeline_events_per_sec_per_chip{suffix}",
         "value": round(rate, 1),
         "unit": "events/s/chip",
         "vs_baseline": round(rate / REFERENCE_EVENTS_PER_SEC_PER_CORE, 1),
@@ -86,60 +92,64 @@ def bench_veff():
 
 
 def bench_pa():
-    """Phased-array + noise + trigger-ADC configuration (the physics of
-    tests/test_e2e_phased_array.py) on synthetic kinematics."""
-    import dataclasses
+    """Phased-array + noise + trigger-ADC: the EXACT configuration and
+    event kinematics of tests/test_e2e_phased_array.py (the validated
+    workload), batch tiled up to fill the chip."""
+    import os
 
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _make_settings_and_inputs
-    from nuradiomc_tpu.ops import filters, phased_array
     from nuradiomc_tpu.sim.pipeline import simulate_batch
+    from nuradiomc_tpu.sim.simulation import (FilterStage, Simulation,
+                                              TriggerSpec)
     from nuradiomc_tpu.utils import units
 
+    here = os.path.dirname(os.path.abspath(__file__))
     n_groups = 16384
-    settings, ch, batch = _make_settings_and_inputs(
-        n_groups=n_groups, n_showers=2, n_channels=4,
-        n_internal=512, n_base=2048)
+    sim = Simulation(
+        os.path.join(here, "tests", "data", "1e18_n3000.hdf5"),
+        {"channels": {str(i + 1): {
+            "adc_n_samples": 256, "adc_sampling_frequency": 0.5,
+            "adc_nbits": 8,
+            "ant_orientation_phi": 0.0, "ant_orientation_theta": 0.0,
+            "ant_position_x": 0.0, "ant_position_y": 0.0,
+            "ant_position_z": -197.0 - i,
+            "ant_rotation_phi": 90.0, "ant_rotation_theta": 90.0,
+            "ant_type": "RNOG_vpol_v1_n1.73", "amp_type": "",
+            "cab_time_delay": 1051.0, "channel_id": i, "station_id": 1,
+        } for i in range(4)},
+         "stations": {"1": {"station_id": 1, "pos_altitude": 0,
+                            "pos_easting": 0, "pos_northing": 0}}},
+        config={"sampling_rate": 2.0, "noise": True,
+                "propagation": {"ice_model": "southpole_2015",
+                                "focusing": True, "n_freq": 16,
+                                "attenuation_steps": 8, "n_bisect": 28},
+                "signal": {"model": "Alvarez2009"},
+                "weights": {"weight_mode": "core_mantle_crust_simple",
+                            "cross_section_type": "ctw"}},
+        filter_chain=[
+            FilterStage((96 * units.MHz, 100 * units.GHz), "cheby1",
+                        {"order": 4, "rp": 0.1}),
+            FilterStage((0, 220 * units.MHz), "cheby1",
+                        {"order": 7, "rp": 0.1}),
+        ],
+        trigger=TriggerSpec(trigger_type="phased_array"),
+        antenna_replacements={"RNOG_vpol_v1_n1.73": "analytic_VPol"},
+        dtype=jnp.float32)
+    _, _, _, _, batch0 = sim._build_batches()
+    g0 = batch0.energies.shape[0]
+    reps = -(-n_groups // g0)
 
-    # PA trigger static config mirroring the PA e2e Simulation (4 channels
-    # @ 0.5 GHz ADC, 8 bit, x2 upsampling, 11 beams, window 16, step 8)
-    det_fs = 0.5
-    fs_up = det_fs * 2
-    angles = np.arcsin(np.linspace(np.sin(np.deg2rad(-59.54968597864437)),
-                                   np.sin(np.deg2rad(59.54968597864437)), 11))
-    z = np.array([-197.0 - i for i in range(4)])
-    cable = np.full(4, 1051.0)
-    rolls = phased_array.beam_rolls(z, cable, angles, 1.75, fs_up)
-    vrms = 1e-5
-    settings = dataclasses.replace(
-        settings,
-        askaryan_model="Alvarez2009",
-        apply_focusing=True,
-        add_noise=True,
-        trigger_type="phased_array",
-        pa_rolls=tuple(tuple(int(v) for v in row) for row in rolls),
-        pa_window=int(16 * det_fs * 2), pa_step=int(8 * det_fs * 2),
-        pa_upsampling=2, pa_threshold=30.85 * vrms ** 2,
-        pa_digitize=True, pa_adc_fs=det_fs, pa_adc_nbits=8,
-        pa_adc_range=vrms * (2 ** 8 - 1) / 15,
-    )
-    ff = np.fft.rfftfreq(settings.n_base, 1.0 / settings.sampling_rate)
-    ff_int = np.fft.rfftfreq(settings.n_internal, 1.0 / settings.sampling_rate)
-    chain = [((96 * units.MHz, 100 * units.GHz), "cheby1", {"order": 4, "rp": 0.1}),
-             ((0, 220 * units.MHz), "cheby1", {"order": 7, "rp": 0.1})]
-    filt = filters.chain_response(ff, chain)
-    filt_int = filters.chain_response(ff_int, chain)
-    ch = ch._replace(
-        positions=np.asarray(np.c_[np.zeros(4), np.zeros(4), z], np.float32),
-        cable_delays=np.asarray(cable, np.float32),
-        filter_response=np.asarray(np.broadcast_to(filt, (4, len(ff))),
-                                   np.complex64),
-        filter_response_int=np.asarray(
-            np.broadcast_to(filt_int, (4, len(ff_int))), np.complex64),
-        noise_amplitude=np.full(4, vrms / np.sqrt(0.110 / 1.0), np.float32),
-    )
+    def tile(a):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        return np.tile(a, (reps,) + (1,) * (a.ndim - 1))[:n_groups]
+
+    batch = jax.tree.map(tile, batch0)
+    ch = sim.channel_params
+    settings = sim.settings
 
     k_steps = 5
 
@@ -159,6 +169,7 @@ def bench_pa():
         "value": round(rate, 1),
         "unit": "events/s/chip",
         "vs_baseline": round(rate / REFERENCE_PA_EVENTS_PER_SEC_PER_CORE, 1),
+        "note": "validated e2e input kinematics (tiled), round-3 onward",
     }
 
 
@@ -205,7 +216,8 @@ def bench_raytrace():
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "veff"
     result = {"veff": bench_veff, "pa": bench_pa,
-              "raytrace": bench_raytrace}[mode]()
+              "raytrace": bench_raytrace,
+              "pallas": lambda: bench_veff("pallas")}[mode]()
     print(json.dumps(result))
 
 
