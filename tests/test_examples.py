@@ -86,3 +86,18 @@ def test_interop_example(tmp_path):
              ["100"], cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "interop roundtrip OK" in r.stdout
+
+
+def test_threshold_ladder_example(tmp_path):
+    ex = os.path.join(REPO, "examples", "09_threshold_ladder")
+    from nuradiomc_tpu.sim import evtgen
+    from nuradiomc_tpu.utils import units
+    volume = {"fiducial_rmin": 0, "fiducial_rmax": 4 * units.km,
+              "fiducial_zmin": -2.7 * units.km, "fiducial_zmax": 0}
+    inp = str(tmp_path / "events.hdf5")
+    evtgen.generate_eventlist_cylinder(inp, 300, 1e18, 1e18, volume, seed=10)
+
+    r = _run(os.path.join(ex, "run_ladder.py"), [inp], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "hilo_1.5sigma" in r.stdout and "loose_not_tight" in r.stdout
+    assert os.path.exists(tmp_path / "ladder_veffs.yaml")
