@@ -138,3 +138,39 @@ def test_gzk_fluxes_vs_reference():
     e3 = get_energies(5000, 1e17, 1e19, "GZK-2+IceCube-nu-2022",
                       np.random.default_rng(10))
     assert e3.min() >= 1e17 and e3.max() <= 1e19
+
+
+def test_muon_flux_api(tmp_path):
+    """MuonFlux (utilities/muon_flux.py API) on the Gaisser backend: known
+    magnitude at 1 TeV vertical, sec(theta) enhancement at high energy,
+    band integration and buffering."""
+    from nuradiomc_tpu.sim.muon_flux import MuonFlux, gaisser_flux
+    from nuradiomc_tpu.utils import units
+
+    # textbook check: E^3 dN/dE at 1 TeV vertical is ~0.1-0.2 GeV^2/(cm2 s sr)
+    e = 1e12  # 1 TeV
+    f = gaisser_flux(e, 0.0) * units.GeV * units.cm ** 2 * units.s
+    val = (e / units.GeV) ** 3 * f
+    assert 0.05 < val < 0.5, val
+
+    # sec(theta) enhancement: at 10 TeV the 60-deg flux exceeds vertical
+    assert (gaisser_flux(1e13, np.deg2rad(60))
+            > gaisser_flux(1e13, 0.0))
+    # ... but the integral spectrum is steeper at low energy & large zenith
+    mf = MuonFlux(buffer_file=str(tmp_path / "buf.pkl"))
+    e_grid, flux = mf.get_mu_flux(45 * units.deg)
+    assert np.all(np.diff(flux) < 0) and flux[0] > 0
+
+    interp = mf.get_interp_angle_mu_flux(np.deg2rad(58), np.deg2rad(62))
+    v1 = float(interp(np.log10(1e15)))
+    assert v1 > 0
+    # buffered call agrees and writes the buffer file
+    v2 = mf.get_int_angle_mu_flux_buffered(1e15, np.deg2rad(58),
+                                           np.deg2rad(62))
+    np.testing.assert_allclose(v1, v2, rtol=1e-9)
+    assert os.path.exists(tmp_path / "buf.pkl")
+    # a fresh instance reuses the pickle
+    mf2 = MuonFlux(buffer_file=str(tmp_path / "buf.pkl"))
+    v3 = mf2.get_int_angle_mu_flux_buffered(1e15, np.deg2rad(58),
+                                            np.deg2rad(62))
+    np.testing.assert_allclose(v1, v3, rtol=1e-9)
