@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BLOCK = 32          # phase-table factorization: k = _BLOCK * a + b
+_BLOCK = 128         # phase-table factorization: k = _BLOCK * a + b
+                     # (exactly one lane register wide: the [R, n_hi, 128]
+                     # -> [R, n_hi*128] merge is then layout-preserving)
 
 
 def _kernel(vr_ref, vi_ref, off_ref, drr_ref, dri_ref, dir_ref, dii_ref,
@@ -42,10 +44,12 @@ def _kernel(vr_ref, vi_ref, off_ref, drr_ref, dri_ref, dir_ref, dii_ref,
 
     # 2. factored phase ramp exp(-2 pi i k df t): tables w^b and (w^B)^a
     r_t = vr.shape[0]
-    theta = jnp.asarray(-2.0 * np.pi * df, jnp.float32) * off_ref[:]  # [R_t]
+    theta = jnp.asarray(-2.0 * np.pi * df, jnp.float32) * off_ref[:, 0]
     n_hi = -(-f_base // _BLOCK)
-    b = jax.lax.broadcasted_iota(jnp.float32, (r_t, _BLOCK), 1)
-    a = jax.lax.broadcasted_iota(jnp.float32, (r_t, n_hi), 1) * _BLOCK
+    # iota must be integer on TPU (tpu.iota verification)
+    b = jax.lax.broadcasted_iota(jnp.int32, (r_t, _BLOCK), 1).astype(jnp.float32)
+    a = (jax.lax.broadcasted_iota(jnp.int32, (r_t, n_hi), 1)
+         .astype(jnp.float32) * _BLOCK)
     tb = theta[:, None] * b
     ta = theta[:, None] * a
     wb_re, wb_im = jnp.cos(tb), jnp.sin(tb)
@@ -61,13 +65,11 @@ def _kernel(vr_ref, vi_ref, off_ref, drr_ref, dri_ref, dir_ref, dii_ref,
     y_im = xb_re * ph_im + xb_im * ph_re
 
     # 3. (shower, ray) reduction: rows are channel-major consecutive groups
-    acc_re = y_re[0::s2]
-    acc_im = y_im[0::s2]
-    for j in range(1, s2):
-        acc_re = acc_re + y_re[j::s2]
-        acc_im = acc_im + y_im[j::s2]
-    out_re_ref[:] = acc_re
-    out_im_ref[:] = acc_im
+    # (shower, ray) reduction as a reshape-sum (strided slices lower to
+    # unsupported gathers in Mosaic)
+    f = y_re.shape[-1]
+    out_re_ref[:] = jnp.sum(y_re.reshape(r_t // s2, s2, f), axis=1)
+    out_im_ref[:] = jnp.sum(y_im.reshape(r_t // s2, s2, f), axis=1)
 
 
 def _chain_kernel(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
@@ -87,15 +89,15 @@ def _chain_kernel(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
     # volt = template * combined * spec * att  (complex x complex x real)
     sa_re = sr_ref[:] * att
     sa_im = si_ref[:] * att
-    cr = cr_ref[:][:, None]
-    ci = ci_ref[:][:, None]
+    cr = cr_ref[:]                    # [R_t, 1]
+    ci = ci_ref[:]
     cs_re = cr * sa_re - ci * sa_im
     cs_im = cr * sa_im + ci * sa_re
     vr = tpl_re * cs_re - tpl_im * cs_im
     vi = tpl_re * cs_im + tpl_im * cs_re
     # select (not multiply): invalid solution slots may carry non-finite
     # spectra that 0 * x would propagate as NaN
-    m = mask_ref[:][:, None] > 0.5
+    m = mask_ref[:] > 0.5             # [R_t, 1]
     vr = jnp.where(m, vr, 0.0)
     vi = jnp.where(m, vi, 0.0)
 
@@ -105,10 +107,12 @@ def _chain_kernel(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
              + jnp.dot(vi, dii_ref[:], preferred_element_type=jnp.float32))
 
     r_t = vr.shape[0]
-    theta = jnp.asarray(-2.0 * np.pi * df, jnp.float32) * off_ref[:]
+    theta = jnp.asarray(-2.0 * np.pi * df, jnp.float32) * off_ref[:, 0]
     n_hi = -(-f_base // _BLOCK)
-    b = jax.lax.broadcasted_iota(jnp.float32, (r_t, _BLOCK), 1)
-    a = jax.lax.broadcasted_iota(jnp.float32, (r_t, n_hi), 1) * _BLOCK
+    # iota must be integer on TPU (tpu.iota verification)
+    b = jax.lax.broadcasted_iota(jnp.int32, (r_t, _BLOCK), 1).astype(jnp.float32)
+    a = (jax.lax.broadcasted_iota(jnp.int32, (r_t, n_hi), 1)
+         .astype(jnp.float32) * _BLOCK)
     tb = theta[:, None] * b
     ta = theta[:, None] * a
     wb_re, wb_im = jnp.cos(tb), jnp.sin(tb)
@@ -123,17 +127,13 @@ def _chain_kernel(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
     y_re = xb_re * ph_re - xb_im * ph_im
     y_im = xb_re * ph_im + xb_im * ph_re
 
-    acc_re = y_re[0::s2]
-    acc_im = y_im[0::s2]
-    for j in range(1, s2):
-        acc_re = acc_re + y_re[j::s2]
-        acc_im = acc_im + y_im[j::s2]
-    out_re_ref[:] = acc_re
-    out_im_ref[:] = acc_im
+    # (shower, ray) reduction as a reshape-sum (strided slices lower to
+    # unsupported gathers in Mosaic)
+    f = y_re.shape[-1]
+    out_re_ref[:] = jnp.sum(y_re.reshape(r_t // s2, s2, f), axis=1)
+    out_im_ref[:] = jnp.sum(y_im.reshape(r_t // s2, s2, f), axis=1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("s2", "df", "row_tile", "n_templates"))
 def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
                            mask, tpl_idx, offsets, W, templates, D_r, D_i, *,
                            s2: int, df: float, n_templates: int,
@@ -157,6 +157,10 @@ def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
     R, F_int = spec_re.shape
     F_base = D_r.shape[1]
     n_sparse = att_sparse.shape[1]
+    comb_re = comb_re.reshape(R, 1)
+    comb_im = comb_im.reshape(R, 1)
+    mask = mask.reshape(R, 1)
+    offsets = offsets.reshape(R, 1)
     assert R % row_tile == 0 and row_tile % s2 == 0
     grid = (R // row_tile,)
     out_tile = row_tile // s2
@@ -187,15 +191,15 @@ def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
             row_spec, row_spec,
             pl.BlockSpec((row_tile, n_sparse), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile,), lambda i: (i,),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile,), lambda i: (i,),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile,), lambda i: (i,),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((row_tile, n_templates), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile,), lambda i: (i,),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             full((n_sparse, F_int)),
             full((n_templates, F_int)), full((n_templates, F_int)),
@@ -216,7 +220,6 @@ def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
       w32, tr, ti, drr, dri, dir_, dii)
 
 
-@functools.partial(jax.jit, static_argnames=("s2", "df", "row_tile"))
 def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
                      df: float, row_tile: int = 256):
     """chan_spec rows = sum over the s2-sized (shower, ray) blocks of
@@ -233,6 +236,7 @@ def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
 
     R, F_int = volt_re.shape
     F_base = D_r.shape[1]
+    offsets = offsets.reshape(R, 1)
     assert R % row_tile == 0 and row_tile % s2 == 0
     grid = (R // row_tile,)
     out_tile = row_tile // s2
@@ -254,7 +258,7 @@ def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((row_tile, F_int), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile,), lambda i: (i,),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((F_int, F_base), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

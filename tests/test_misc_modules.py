@@ -355,7 +355,8 @@ def test_hann_tapered_and_fir_filters():
     fs, n = 1.0, 1024
     st = Station(1)
     ch = Channel(0)
-    ch.set_trace(rng.normal(0, 1.0, n), fs)
+    raw = rng.normal(0, 1.0, n)
+    ch.set_trace(raw.copy(), fs)
     st.add_channel(ch)
     evt = Event(0, 0)
 
@@ -364,12 +365,12 @@ def test_hann_tapered_and_fir_filters():
     mod.run(evt, st, None, passband=[0.1, 0.3], filter_type="hann_tapered",
             half_hann_percent=0.1)
     tr = np.asarray(ch.get_trace())
-    # tapered ends are suppressed
+    # tapered ends are suppressed; NO band is applied — the reference's
+    # hann_tapered is the time-domain window only
+    # (channelBandPassFilter.py:242-246)
     assert np.max(np.abs(tr[:5])) < 0.2 * np.std(tr[300:700])
-    # out-of-band power killed by the rectangular part
-    spec = np.abs(np.asarray(ch.get_frequency_spectrum()))
-    ff = np.asarray(ch.get_frequencies())
-    assert np.max(spec[ff > 0.35]) < 1e-10
+    np.testing.assert_allclose(tr, raw * half_hann_window(len(raw), 0.1),
+                               rtol=0, atol=1e-12)
 
     # FIR filter suppresses out-of-band power in the time domain
     ch2 = Channel(1)

@@ -52,7 +52,7 @@ def test_two_station_or_trigger(tmp_path):
     res = sim.run()
 
     # the OR trigger can only add events relative to the primary station
-    trig_primary, _, _, _ = sim._run_station(101, sim._build_batches()[4])
+    trig_primary = sim._run_station(101, sim._build_batches()[4])[0]
     assert res["triggered"].sum() >= trig_primary.sum()
 
     with h5py.File(out) as f:
