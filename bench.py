@@ -3,17 +3,19 @@
 Prints ONE JSON line (the headline dipole-Veff number) when run with no
 arguments — the driver contract. Additional configurations:
 
-    python bench.py             # headline: dipole Veff pipeline (validated)
-    python bench.py pallas      # headline with placement_impl='pallas'
+    python bench.py             # headline: dipole Veff (pallas placement)
+    python bench.py xla         # headline with the XLA placement path
+    python bench.py pallas      # same as headline, labelled metric
     python bench.py pa          # 4-channel phased array + noise + ADC
     python bench.py raytrace    # ray-trace solutions/sec
 
 Every published configuration is tied to a conformance test:
 
-* headline: float32, n_freq_attenuation=16, attenuation_steps=32,
-  n_bisect=28 — the EXACT configuration of
-  tests/test_e2e.py::test_benchmark_settings_reproduce_golden, which
-  reproduces the reference-golden triggered set on the 3000-event e2e input.
+* headline: float32, n_freq_attenuation=16, attenuation_steps=8 (GL),
+  n_bisect=28, placement_impl='pallas' — the EXACT configuration of
+  tests/test_e2e.py::test_benchmark_settings_reproduce_golden (which runs
+  BOTH placement paths), reproducing the reference-golden triggered set on
+  the 3000-event e2e input.
 * pa: the tests/test_e2e_phased_array.py configuration AND event
   kinematics (Alvarez2009 + focusing + rayleigh noise + trigger-ADC + 2x
   upsampling + 11-beam power integration at float32 on the committed
@@ -56,7 +58,7 @@ def _best_block_rate(step_fn, arg, n_items, k_steps, n_blocks=3):
     return float(np.max(rates))
 
 
-def bench_veff(placement_impl=None):
+def bench_veff(placement_impl="pallas", labelled=False):
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +84,7 @@ def bench_veff(placement_impl=None):
         return jax.lax.fori_loop(0, k_steps, body, jnp.int32(0))
 
     rate = _best_block_rate(jax.jit(block), batch, n_groups, k_steps)
-    suffix = f"_{placement_impl}" if placement_impl else ""
+    suffix = f"_{placement_impl}" if labelled else ""
     return {
         "metric": f"veff_pipeline_events_per_sec_per_chip{suffix}",
         "value": round(rate, 1),
@@ -217,7 +219,8 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "veff"
     result = {"veff": bench_veff, "pa": bench_pa,
               "raytrace": bench_raytrace,
-              "pallas": lambda: bench_veff("pallas")}[mode]()
+              "pallas": lambda: bench_veff("pallas", labelled=True),
+              "xla": lambda: bench_veff("xla", labelled=True)}[mode]()
     print(json.dumps(result))
 
 

@@ -177,3 +177,15 @@ def test_benchmark_settings_reproduce_golden(golden):
     assert ref_groups <= mine, sorted(ref_groups - mine)
     extras = mine - ref_groups
     assert extras <= {1272}, sorted(extras)
+
+    # the published headline uses placement_impl='pallas' (bench.py): the
+    # fused kernel must reproduce the same golden set with the same
+    # borderline budget (interpreter mode on CPU, Mosaic on the chip)
+    import dataclasses
+    sim.settings = dataclasses.replace(sim.settings, placement_impl="pallas")
+    sim._jit_step_by_station = {}
+    res_p = sim.run()
+    mine_p = set(res_p["group_ids"][(res_p["triggered"])
+                                    & (res_p["weights"] >= min_w)])
+    assert ref_groups <= mine_p, sorted(ref_groups - mine_p)
+    assert (mine_p - ref_groups) <= {1272}, sorted(mine_p - ref_groups)
