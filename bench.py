@@ -58,7 +58,8 @@ def _best_block_rate(step_fn, arg, n_items, k_steps, n_blocks=3):
     return float(np.max(rates))
 
 
-def bench_veff(placement_impl="pallas", labelled=False):
+def bench_veff(placement_impl="pallas", labelled=False,
+               matmul_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -69,9 +70,9 @@ def bench_veff(placement_impl="pallas", labelled=False):
     settings, ch, batch = _make_settings_and_inputs(
         n_groups=n_groups, n_showers=2, n_channels=1,
         n_internal=512, n_base=2048)
-    if placement_impl is not None:
-        import dataclasses
-        settings = dataclasses.replace(settings, placement_impl=placement_impl)
+    import dataclasses
+    settings = dataclasses.replace(settings, placement_impl=placement_impl,
+                                   matmul_dtype=matmul_dtype)
 
     k_steps = 5
 
@@ -220,7 +221,9 @@ def main():
     result = {"veff": bench_veff, "pa": bench_pa,
               "raytrace": bench_raytrace,
               "pallas": lambda: bench_veff("pallas", labelled=True),
-              "xla": lambda: bench_veff("xla", labelled=True)}[mode]()
+              "xla": lambda: bench_veff("xla", labelled=True),
+              "bf16": lambda: dict(bench_veff("pallas", matmul_dtype="bfloat16"),
+                                   metric="veff_pipeline_events_per_sec_per_chip_bf16")}[mode]()
     print(json.dumps(result))
 
 

