@@ -235,6 +235,12 @@ class Simulation:
             **({"n_bisect": int(cfg["propagation"]["n_bisect"])}
                if cfg["propagation"].get("n_bisect") else {}),
             attenuate_ice=bool(cfg["propagation"]["attenuate_ice"]),
+            # perf block (optional): placement_impl 'xla'|'pallas',
+            # matmul_dtype 'float32'|'bfloat16' (see docs/performance.md)
+            **({"placement_impl": str(cfg["perf"]["placement_impl"])}
+               if cfg.get("perf", {}).get("placement_impl") else {}),
+            **({"matmul_dtype": str(cfg["perf"]["matmul_dtype"])}
+               if cfg.get("perf", {}).get("matmul_dtype") else {}),
             apply_focusing=bool(cfg["propagation"]["focusing"]),
             focusing_limit=float(cfg["propagation"]["focusing_limit"]),
             birefringence=bool(cfg["propagation"].get("birefringence", False)),
