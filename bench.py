@@ -155,14 +155,16 @@ def bench_pa():
     settings = sim.settings
 
     k_steps = 5
+    # rbg PRNG: hardware-accelerated random bits on TPU (threefry key
+    # splitting + bit generation is a measurable slice of the noisy step)
+    base_key = jax.random.key(0, impl="rbg")
 
     def block(b):
         def body(i, acc):
             bb = b._replace(energies=b.energies
                             * (1.0 + 1e-7 * i.astype(b.energies.dtype)))
             out = simulate_batch(bb, ch, settings,
-                                 noise_key=jax.random.fold_in(
-                                     jax.random.PRNGKey(0), i))
+                                 noise_key=jax.random.fold_in(base_key, i))
             return acc + jnp.sum(out.triggered.astype(jnp.int32))
         return jax.lax.fori_loop(0, k_steps, body, jnp.int32(0))
 

@@ -925,7 +925,9 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     if s.add_noise:
         if noise_key is None:
             raise ValueError("add_noise=True requires a noise_key")
-        keys = jax.random.split(noise_key, G * C).reshape(G, C, 2)
+        keys = jax.random.split(noise_key, G * C)
+        # legacy uint32 keys are [n, 2]; typed (e.g. rbg) keys are [n]
+        keys = keys.reshape(G, C, *keys.shape[1:])
         nyquist = s.sampling_rate / 2
 
         def noise_one(key, amp):
