@@ -73,3 +73,34 @@ def test_pipeline_flag_equivalence():
     np.testing.assert_allclose(np.asarray(out_p.traces),
                                np.asarray(out_x.traces),
                                atol=3e-6 * scale, rtol=0)
+
+
+def test_pipeline_flag_equivalence_phased_array():
+    """The phased-array trigger path consumes the kernel-produced channel
+    spectra (decimating-matmul branch): pallas == xla decisions."""
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _make_settings_and_inputs
+    from nuradiomc_tpu.ops import phased_array
+    from nuradiomc_tpu.sim.pipeline import simulate_batch
+
+    settings, ch, batch = _make_settings_and_inputs(
+        n_groups=8, n_showers=2, n_channels=4, n_internal=128, n_base=512)
+    rolls = phased_array.beam_rolls(
+        np.asarray(ch.positions)[:, 2], np.asarray(ch.cable_delays),
+        phased_array.default_angles, 1.75, 1.0)
+    pa = dict(trigger_type="phased_array",
+              pa_rolls=tuple(tuple(int(v) for v in r) for r in rolls),
+              pa_window=16, pa_step=8, pa_upsampling=2,
+              pa_threshold=1e-12, pa_digitize=True, pa_adc_fs=0.5,
+              pa_adc_nbits=8, pa_adc_range=1e-4)
+    s_x = dataclasses.replace(settings, **pa)
+    s_p = dataclasses.replace(s_x, placement_impl="pallas")
+
+    out_x = jax.jit(lambda b: simulate_batch(b, ch, s_x))(batch)
+    out_p = jax.jit(lambda b: simulate_batch(b, ch, s_p))(batch)
+    np.testing.assert_array_equal(np.asarray(out_x.triggered),
+                                  np.asarray(out_p.triggered))
+    assert np.asarray(out_x.triggered).any()
