@@ -175,7 +175,9 @@ def test_three_named_triggers_match_reference():
 
     gid_ref = golden["group_ids"]
     mt_ref = golden["multiple_triggers"]
+    tt_ref = golden["trigger_times"]
     w_ok = res["weights"] >= 1e-5
+    gidx = {int(g): i for i, g in enumerate(res["group_ids"])}
     for iT, name in enumerate(names):
         mine = set(int(g) for g in
                    res["group_ids"][res["multiple_triggers"][:, iT] & w_ok])
@@ -187,3 +189,18 @@ def test_three_named_triggers_match_reference():
         extra, missing = mine - ref, ref - mine
         assert len(extra) + len(missing) <= 1, (name, sorted(extra),
                                                 sorted(missing))
+
+        # per-trigger-name trigger times of commonly-triggered groups
+        # (output_writer_hdf5 trigger_times columns). Bin-exact 1-ns parity
+        # is pinned by the single-channel waveform e2e
+        # (tests/test_e2e_waveforms.py); for this 4-channel multi-ray deep
+        # station the reference's voltage-trace-start event splitting and
+        # window-start conventions shift times by up to ~-19 ns (we
+        # evaluate the merged group trace, measured distribution in the
+        # test history), so this pins the times at the convention level
+        tol = 25.0 if name == "PA_4channel" else 15.0
+        for g in sorted(mine & ref):
+            rows = np.where(gid_ref == g)[0]
+            t_ref = float(np.nanmin(tt_ref[rows, iT]))
+            t_got = float(res["trigger_times_per_trigger"][gidx[g], iT])
+            assert abs(t_got - t_ref) < tol, (name, g, t_got, t_ref)
