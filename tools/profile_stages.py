@@ -165,7 +165,7 @@ def main(only="all"):
                 spec = jax.vmap(lambda vv, rr: askaryan.get_frequency_spectrum(
                     1e18, vv, N_INT, 0.5, False, 1.78, rr, "Alvarez2000",
                     k_L=30.0))(v + 1e-6 * i.astype(v.dtype), r)
-                return acc + jnp.sum(jnp.abs(spec[:, 3]))
+                return acc + jnp.sum(jnp.abs(spec))   # full sum: no DCE
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return block
 
@@ -198,7 +198,7 @@ def main(only="all"):
                       + jnp.einsum("gscrf,fk->gscrk", V.imag, D_i32))
                 ph = trace_ops.time_shift_phase(ff_base, off[..., None])
                 chan = jnp.sum(Xb * ph.astype(jnp.complex64), axis=(1, 3))
-                return acc + jnp.sum(jnp.abs(chan[:, :, 5]))
+                return acc + jnp.sum(jnp.abs(chan))   # full sum: no DCE
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return block
 
@@ -226,7 +226,7 @@ def main(only="all"):
                                  cs.real * (1.0 + 1e-7 * i.astype(jnp.float32)),
                                  I_r32)
                       + jnp.einsum("gcf,fn->gcn", cs.imag, I_i32))
-                return acc + jnp.sum(jnp.abs(tr[:, :, 5]))
+                return acc + jnp.sum(jnp.abs(tr))     # full sum: no DCE
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return block
 
