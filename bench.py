@@ -33,7 +33,9 @@ tests/golden/measure_reference_rates.py). ``vs_baseline`` = ours / reference.
 Measurement lore (CLAUDE.md): ONE host dispatch/readback through the device
 tunnel costs 70-110 ms and the shared chip drifts ~2x with thermal/neighbor
 load — run k steps inside one jitted fori_loop per readback, repeat blocks,
-take the best.
+take the best. k=25 amortizes the fixed dispatch cost to <1% of a block
+(k=5 left ~15% of the wall time in host overhead at the round-3 step time;
+the k-differenced device step itself is measured by tools/profile_stages.py).
 """
 
 import json
@@ -74,7 +76,7 @@ def bench_veff(placement_impl="pallas", labelled=False,
     settings = dataclasses.replace(settings, placement_impl=placement_impl,
                                    matmul_dtype=matmul_dtype)
 
-    k_steps = 5
+    k_steps = 25
 
     def block(b):
         def body(i, acc):
@@ -154,7 +156,7 @@ def bench_pa():
     ch = sim.channel_params
     settings = sim.settings
 
-    k_steps = 5
+    k_steps = 25
     # rbg PRNG: hardware-accelerated random bits on TPU (threefry key
     # splitting + bit generation is a measurable slice of the noisy step)
     base_key = jax.random.key(0, impl="rbg")
@@ -195,7 +197,7 @@ def bench_raytrace():
     x2y = rr.astype(np.float32)
     x2z = np.full(n_pairs, -5.0, np.float32)
 
-    k_steps = 5
+    k_steps = 25
 
     def block(args):
         a, b, c, d = args

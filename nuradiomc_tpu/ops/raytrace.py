@@ -477,6 +477,40 @@ def attenuation_factor_general(c0, x1z, x2z, ice: IceModelSimple, frequencies,
     return jnp.exp(-exponent)
 
 
+def attenuation_factor_slots(c0, sol_type, reflection, refl_case, x1z, x2z,
+                             ice: IceModelSimple, frequencies, model: str,
+                             n_steps: int = 64, quadrature: str = "gauss"):
+    """attenuation_factor_general with TRACED per-slot (r, case, mirror) —
+    one uniform code path over the 2 + 4*n_reflections solution slots of
+    ``find_solutions_all`` (the reference integrates each path segment with
+    adaptive quad, get_attenuation_along_path analyticraytracing.py:933-1089;
+    the coefficient identity c1 I(z1) + 2r I(zb) + c2 I(z2) with
+    I(z) = int_z^{z_turn} ds/L covers every slot, r=0 included: mirror is
+    sol_type != direct, case is the stored refl_case)."""
+    _, z_turn = _turning_point(c0, ice)
+    zb = ice.refl_z if ice.refl_z is not None else 0.0
+    qt, qw = _quad_nodes(n_steps, quadrature)
+
+    def I_of(z_start):
+        T = jnp.sqrt(jnp.maximum(z_turn - z_start, 0.0))
+        t = jnp.asarray(qt, c0.dtype) * T
+        z = z_turn - t ** 2
+        nz = _n_z(z, ice)
+        arg = jnp.maximum(c0 ** 2 * nz ** 2 - 1.0, 1e-20)
+        ds_dt = 2.0 * t * c0 * nz / jnp.sqrt(arg)
+        inv_L = attenuation_ops.inv_length_factored(z, frequencies, model)
+        return jnp.sum((jnp.asarray(qw, c0.dtype) * ds_dt)[:, None] * inv_L,
+                       axis=0) * T
+
+    one = jnp.ones((), c0.dtype)
+    c1 = jnp.where(refl_case == 1, one, -one)
+    cb = 2.0 * reflection.astype(c0.dtype)
+    c2 = jnp.where(sol_type != SOL_DIRECT, one, -one)
+    exponent = c1 * I_of(x1z) + cb * I_of(jnp.asarray(zb, c0.dtype)) \
+        + c2 * I_of(x2z)
+    return jnp.exp(-exponent)
+
+
 def launch_angle_general(c0, x1z, ice: IceModelSimple, case):
     """Launch zenith; case 2 paths start downward (pi - upward angle)."""
     up = jnp.arctan(_dy_dz(x1z, c0, ice))
@@ -494,6 +528,16 @@ def surface_touches(r: int, case: int, mirror: bool, z_turn):
     """Number of surface reflections of the path (Fresnel factor count)."""
     n = (r if case == 1 else r - 1) + int(mirror)
     return jnp.where(z_turn >= 0, n, 0)
+
+
+def surface_touches_slots(sol_type, reflection, refl_case, z_turn):
+    """surface_touches with traced per-slot fields (every slot of
+    find_solutions_all, r=0 included — the reference applies one Fresnel
+    factor per surface touch, apply_propagation_effects:2967-3002; all
+    touches of a slot share the same C0 hence the same angle)."""
+    n = (reflection - (refl_case == 2).astype(reflection.dtype)
+         + (sol_type != SOL_DIRECT).astype(reflection.dtype))
+    return jnp.where(z_turn >= 0, jnp.maximum(n, 0), 0)
 
 
 def find_solutions_all(x1y, x1z, x2y, x2z, ice: IceModelSimple,

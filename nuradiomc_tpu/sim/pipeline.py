@@ -59,6 +59,15 @@ class PipelineSettings:
     distance_cut_coefficients: tuple = (-1.56610502e02, 2.54070157e01,
                                         -1.34286590e00, 2.43426766e-02)
     n_freq_attenuation: int = 25   # sparse frequencies for the attenuation integral
+    # detector nyquist frequency: the sparse attenuation grid is dense up to
+    # here and half as dense above (reference analyticraytracing.py:885-931)
+    max_detector_freq: float = None
+    # bottom-reflection solutions (Moore's Bay): the solution axis widens to
+    # 2 + 4*n_reflections slots ordered [r=0 x2, (r=1,case=1) x2,
+    # (r=1,case=2) x2, ...] (propagation_base_class.py:424-429); each bounce
+    # multiplies the spectrum by ice.refl_coef * exp(i*refl_phase_shift)
+    # (apply_propagation_effects:3004-3011). Requires ice.refl_z.
+    n_reflections: int = 0
     attenuation_steps: int = 16    # quadrature nodes along the path
     # "gauss" (default): Gauss-Legendre nodes — the t-substituted integrand is
     # smooth, so GL-16 reaches ~1e-5 accuracy (the old midpoint-64 was ~4e-4);
@@ -169,6 +178,10 @@ class TriggerSettings:
     pa_adc_fs: float = 0.5
     pa_adc_nbits: int = 8
     pa_adc_range: float = 0.0
+    # name of an earlier-declared trigger this one is gated on (the
+    # reference's set_not_triggered(not has_triggered(name)) pattern); None
+    # evaluates unconditionally
+    requires: str = None
 
 
 class ChannelParams(NamedTuple):
@@ -328,6 +341,30 @@ def _interp_matrix(x_sparse: tuple, x_dense: tuple):
     return W
 
 
+def _attenuation_freq_grid(ff, n_freq, max_detector_freq=None):
+    """The reference's sparse frequency vector for the attenuation integral
+    (analyticraytracing.py:885-931): n_freq points over the positive
+    detector band (0, f_nyq_det] plus n_freq//2 points over
+    (f_nyq_det, f_max] when the internal band extends beyond the detector —
+    linear interpolation of the attenuation curve between THESE nodes is
+    part of the conformance contract (the interpolation error is a few
+    percent mid-band and both sides must make the same one)."""
+    ff = np.asarray(ff)
+    pos = ff[ff > 0]
+    n = min(int(n_freq), pos.size)
+    if max_detector_freq is not None and n < pos.size:
+        det = pos[pos <= max_detector_freq]
+        if det.size:
+            n = min(int(n_freq), det.size)
+            freqs = np.linspace(det.min(), det.max(), n)
+            above = pos[pos > max_detector_freq]
+            if above.size > 1:
+                freqs = np.append(
+                    freqs, np.linspace(above.min(), above.max(), n // 2))
+            return freqs
+    return np.linspace(pos.min(), pos.max(), n)
+
+
 def _attenuation_sparse_values(sols: raytrace.RaySolutions, geom,
                                s: PipelineSettings):
     """Attenuation factors at the sparse frequencies [..., n_sparse] plus the
@@ -335,7 +372,8 @@ def _attenuation_sparse_values(sols: raytrace.RaySolutions, geom,
     (the reference's sparse-frequency optimization,
     analyticraytracing.py:885-931)."""
     ff_np = np.fft.rfftfreq(s.n_internal, s.dt)
-    sparse_np = np.linspace(ff_np[1], ff_np[-1], s.n_freq_attenuation)
+    sparse_np = _attenuation_freq_grid(tuple(ff_np), s.n_freq_attenuation,
+                                       s.max_detector_freq)
     sparse = jnp.asarray(sparse_np)
 
     def one(c0, x1y, x1z, x2y, x2z):
@@ -363,7 +401,7 @@ def _attenuation_sparse(sols: raytrace.RaySolutions, geom, s: PipelineSettings):
     ff = s.freqs_internal
     flat, W = _attenuation_sparse_values(sols, geom, s)
     shape = flat.shape[:-1]
-    full = jnp.einsum("ps,sf->pf", flat.reshape(-1, s.n_freq_attenuation),
+    full = jnp.einsum("ps,sf->pf", flat.reshape(-1, flat.shape[-1]),
                       jnp.asarray(W, flat.dtype))
     full = jnp.where(ff > 0, full, 1.0)
     return full.reshape(*shape, ff.shape[0])
@@ -506,11 +544,21 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     geom = raytrace.to_2d(jnp.broadcast_to(x1, (G, S, C, 3)), x2)
 
     flat = lambda a: a.reshape(-1)
-    sols_flat = jax.vmap(lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, s.ice, n_bisect=s.n_bisect))(
+
+    def _solve(a, b, c, d):
+        if s.n_reflections > 0:
+            return raytrace.find_solutions_all(
+                a, b, c, d, s.ice, n_reflections=s.n_reflections,
+                n_bisect=s.n_bisect)
+        return raytrace.find_solutions(a, b, c, d, s.ice,
+                                       n_bisect=s.n_bisect)
+
+    sols_flat = jax.vmap(_solve)(
         flat(geom.x1y), flat(geom.x1z), flat(geom.x2y), flat(geom.x2z))
     sols = jax.tree.map(lambda a: a.reshape(G, S, C, *a.shape[1:]), sols_flat)
+    n_rays = sols.c0.shape[-1]                      # 2 + 4*n_reflections
 
-    launch, receive = raytrace.launch_receive_vectors(geom, sols)  # [G,S,C,2,3]
+    launch, receive = raytrace.launch_receive_vectors(geom, sols)  # [G,S,C,R,3]
 
     # ---- 2. viewing angle + delta_C cut ------------------------------------
     n_vertex = s.ice.index_of_refraction(batch.vertices[..., 2])   # [G,S]
@@ -653,7 +701,7 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     if s.attenuate_ice:
         att_vals, att_W = _attenuation_sparse_values(sols, geom, s)
         full = jnp.einsum(
-            "ps,sf->pf", att_vals.reshape(-1, s.n_freq_attenuation),
+            "ps,sf->pf", att_vals.reshape(-1, att_vals.shape[-1]),
             jnp.asarray(att_W, att_vals.dtype))
         att = jnp.where(ff_int > 0, full, 1.0).reshape(
             *att_vals.shape[:-1], -1)                              # [G,S,C,2,F]
@@ -985,10 +1033,25 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
             pa_adc_nbits=s.pa_adc_nbits, pa_adc_range=s.pa_adc_range),)
 
     trig_cols, time_cols = [], []
+    name_to_col = {}
     for t in trig_list:
         trig_t, time_t = _eval_trigger(t, trigger_traces, trig_spec, base_t0,
                                        s, ch, real_dtype)
-        trig_cols.append(trig_t & any_valid & candidate)
+        trig_t = trig_t & any_valid & candidate
+        if getattr(t, "requires", None):
+            # set_not_triggered dependency: the reference evaluates this
+            # trigger only when an earlier named trigger fired for the event
+            # (test/SingleEvents/T02RunSimulation.py:42-61 gates the ARIANNA
+            # high-low triggers on has_triggered("simple_threshold")); in the
+            # fused pass that is an AND with the prerequisite's decision.
+            # Declaration order resolves chains (prereq must come first).
+            if t.requires not in name_to_col:
+                raise ValueError(
+                    f"trigger {t.name!r} requires {t.requires!r}, which must "
+                    "be declared earlier in the trigger list")
+            trig_t = trig_t & trig_cols[name_to_col[t.requires]]
+        name_to_col[t.name] = len(trig_cols)
+        trig_cols.append(trig_t)
         time_cols.append(time_t)
     triggered_per = jnp.stack(trig_cols, axis=-1)           # [G, T]
     trigger_times_per = jnp.stack(time_cols, axis=-1)       # [G, T]

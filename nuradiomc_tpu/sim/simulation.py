@@ -68,6 +68,10 @@ class TriggerSpec:
     pa_threshold_factor: float = 30.85      # threshold = factor * Vrms^2
     pa_digitize: bool = True                # ADC before phasing (module default)
     pa_adc_noise_count: int = None          # from detector if None
+    # evaluate this trigger only for events where the named earlier trigger
+    # fired (the reference's set_not_triggered(not has_triggered(name))
+    # gating, test/SingleEvents/T02RunSimulation.py:42-61)
+    requires: str = None
 
 
 class Simulation:
@@ -228,6 +232,13 @@ class Simulation:
             distance_cut=bool(cfg["speedup"]["distance_cut"]),
             distance_cut_coefficients=tuple(cfg["speedup"]["distance_cut_coefficients"]),
             n_freq_attenuation=int(cfg["propagation"]["n_freq"]),
+            # detector nyquist: the sparse attenuation grid is dense up to
+            # max(channel adc rate)/2 and half as dense above
+            # (propagation_base_class.py:75-80 + analyticraytracing.py:885-931)
+            max_detector_freq=float(max(
+                float(np.max(self.det.get_station(sid).channels
+                             .sampling_frequency))
+                for sid in self.det.get_station_ids())) * 0.5,
             **({"attenuation_steps": int(cfg["propagation"]["attenuation_steps"])}
                if cfg["propagation"].get("attenuation_steps") else {}),
             **({"attenuation_quadrature": str(cfg["propagation"]["attenuation_quadrature"])}
@@ -243,6 +254,14 @@ class Simulation:
                if cfg.get("perf", {}).get("matmul_dtype") else {}),
             apply_focusing=bool(cfg["propagation"]["focusing"]),
             focusing_limit=float(cfg["propagation"]["focusing_limit"]),
+            # "implicit" (default): exact dz->0 derivative at the solved
+            # root; "numeric": the reference's dz=-1cm displaced-receiver
+            # re-solve (get_focusing, analyticraytracing.py:2778-2888) —
+            # they differ only for grazing rays near a turning point, where
+            # the true derivative diverges and the finite difference
+            # regularizes it differently (see tests/test_singleevents.py)
+            **({"focusing_mode": str(cfg["propagation"]["focusing_mode"])}
+               if cfg["propagation"].get("focusing_mode") else {}),
             birefringence=bool(cfg["propagation"].get("birefringence", False)),
             birefringence_model=str(cfg["propagation"].get(
                 "birefringence_model", "southpole_A")),
@@ -370,7 +389,8 @@ class Simulation:
             pa_rolls=pa_rolls, pa_window=pa_window, pa_step=pa_step,
             pa_upsampling=spec.pa_upsampling, pa_threshold=pa_threshold,
             pa_digitize=pa_digitize, pa_adc_fs=pa_adc_fs,
-            pa_adc_nbits=pa_adc_nbits, pa_adc_range=pa_adc_range)
+            pa_adc_nbits=pa_adc_nbits, pa_adc_range=pa_adc_range,
+            requires=spec.requires)
 
     def _build_channel_params(self, station_id) -> ChannelParams:
         """Device-side per-channel arrays for one station."""

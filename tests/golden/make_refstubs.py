@@ -266,6 +266,22 @@ write("tinydb/__init__.py", '''
                     return d
             return None
 
+        def insert(self, doc):
+            # decode TinyDate markers exactly as the serialization storage
+            # would (generic_detector's dictionary source inserts raw docs)
+            self._docs.append(_decode(dict(doc)))
+
+        def truncate(self):
+            self._docs = []
+
+        def update(self, fields, cond=None):
+            for d in self._docs:
+                if cond is None or cond(d):
+                    d.update(_decode(dict(fields)))
+
+        def __iter__(self):
+            return iter(self._docs)
+
         def __len__(self):
             return len(self._docs)
 
@@ -296,6 +312,9 @@ write("tinydb/__init__.py", '''
 
         def table(self, name, **kwargs):
             return self._tables.setdefault(name, _Table([]))
+
+        def truncate(self):
+            self._tables = {}
 
         def close(self):
             pass
