@@ -524,6 +524,12 @@ def receive_angle_general(c0, x2z, ice: IceModelSimple, mirror: bool):
     return jnp.pi - ang
 
 
+def turning_depth(c0, ice: IceModelSimple):
+    """Turning depth of the ray (clamped to the surface for reflected
+    rays, get_turning_point:133-158)."""
+    return _turning_point(c0, ice)[1]
+
+
 def surface_touches(r: int, case: int, mirror: bool, z_turn):
     """Number of surface reflections of the path (Fresnel factor count)."""
     n = (r if case == 1 else r - 1) + int(mirror)

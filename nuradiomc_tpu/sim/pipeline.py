@@ -68,6 +68,17 @@ class PipelineSettings:
     # multiplies the spectrum by ice.refl_coef * exp(i*refl_phase_shift)
     # (apply_propagation_effects:3004-3011). Requires ice.refl_z.
     n_reflections: int = 0
+    # sub-event readout windows per group: the reference splits one event
+    # group into sub-events when ray arrivals gap by more than
+    # split_event_time_diff and evaluates each sub-event's readout window
+    # separately (simulation.py group splitting). A fixed n_base window
+    # cannot hold arrivals that span more than (n_base - n_internal)*dt
+    # (e.g. bottom-bounce rays arrive ~1-6 us after the direct pulse), so
+    # the pipeline greedily clusters arrivals into up to n_windows windows
+    # (anchor = earliest remaining arrival) and evaluates the full
+    # filter+trigger chain per window; decisions OR, trigger time = min.
+    # n_windows=1 reproduces the single-window behavior exactly.
+    n_windows: int = 1
     attenuation_steps: int = 16    # quadrature nodes along the path
     # "gauss" (default): Gauss-Legendre nodes — the t-substituted integrand is
     # smooth, so GL-16 reaches ~1e-5 accuracy (the old midpoint-64 was ~4e-4);
@@ -261,6 +272,11 @@ class PipelineOutput(NamedTuple):
     viewing_angle: jnp.ndarray
     max_amp_per_solution: jnp.ndarray  # [G, S, C, 2]
     focusing: jnp.ndarray         # [G, S, C, 2]
+    # per-slot bottom-bounce bookkeeping (0 / r for bounce slots, and the
+    # reflection case 1|2) — the output writer's ray_tracing_reflection /
+    # ray_tracing_reflection_case columns (output_writer_hdf5 schema)
+    reflection: Optional[jnp.ndarray] = None
+    refl_case: Optional[jnp.ndarray] = None
     # propagated on-sky efield spectra [2(theta,phi), G, S, C, 2, F_int]
     # (only when requested with keep_efields)
     efields: Optional[jnp.ndarray] = None
@@ -376,13 +392,33 @@ def _attenuation_sparse_values(sols: raytrace.RaySolutions, geom,
                                        s.max_detector_freq)
     sparse = jnp.asarray(sparse_np)
 
+    shape = sols.c0.shape
+    if s.n_reflections > 0:
+        # uniform per-slot path: traced (r, case, mirror) coefficients
+        # cover base AND bottom-bounce slots (attenuation_factor_slots)
+        def one_slot(c0, st, rr, cc, x1z, x2z):
+            return raytrace.attenuation_factor_slots(
+                c0, st, rr, cc, x1z, x2z, s.ice, sparse,
+                s.attenuation_model, n_steps=s.attenuation_steps,
+                quadrature=s.attenuation_quadrature)
+
+        flat = jax.vmap(one_slot)(
+            sols.c0.reshape(-1),
+            sols.sol_type.reshape(-1),
+            sols.reflection.reshape(-1),
+            sols.refl_case.reshape(-1),
+            jnp.broadcast_to(geom.x1z[..., None], shape).reshape(-1),
+            jnp.broadcast_to(geom.x2z[..., None], shape).reshape(-1),
+        ).reshape(*shape, -1)  # [..., n_sparse]
+        W = _interp_matrix(tuple(sparse_np), tuple(ff_np))
+        return flat, W
+
     def one(c0, x1y, x1z, x2y, x2z):
         return raytrace.attenuation_factor(
             c0, x1y, x1z, x2y, x2z, s.ice, sparse, s.attenuation_model,
             n_steps=s.attenuation_steps, quadrature=s.attenuation_quadrature)
 
     # flatten [G,S,C,2] -> vmap -> restore
-    shape = sols.c0.shape
     flat = jax.vmap(one)(
         sols.c0.reshape(-1),
         jnp.broadcast_to(geom.x1y[..., None], shape).reshape(-1),
@@ -567,7 +603,7 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     viewing_angle = jnp.arccos(jnp.clip(cos_view, -1.0, 1.0))      # [G,S,C,2]
     delta_C = viewing_angle - cherenkov[:, :, None, None]
 
-    bshape = (G, S, C, 2)
+    bshape = (G, S, C, n_rays)
     R_safe = jnp.where(sols.path_length > 1.0, sols.path_length, 1.0)
 
     if s.distance_cut:
@@ -713,17 +749,35 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     elif factored:
         spec_att = spec
 
-    # surface-reflection Fresnel coefficients for reflected rays
-    # (apply_propagation_effects, analyticraytracing.py:2993-3007)
+    # surface-reflection Fresnel coefficients, one factor per surface touch
+    # (apply_propagation_effects, analyticraytracing.py:2967-3007; all
+    # touches of a slot share the same C0 hence the same angle). For the
+    # base 2-slot solver this reduces to exactly one factor on reflected
+    # rays; bottom-bounce slots can touch the surface up to r+1 times.
     n_surf = s.ice.index_of_refraction(jnp.asarray(-1e-5, real_dtype))
     refl_zenith = jnp.arctan(1.0 / jnp.sqrt(jnp.maximum(
-        sols.c0 ** 2 * n_surf ** 2 - 1.0, 1e-12)))                 # [G,S,C,2]
-    is_reflected = sols.sol_type == raytrace.SOL_REFLECTED
+        sols.c0 ** 2 * n_surf ** 2 - 1.0, 1e-12)))                 # [G,S,C,R]
     r_p = geometry.fresnel_r_p(refl_zenith, n_2=1.0, n_1=n_surf)
     r_s = geometry.fresnel_r_s(refl_zenith, n_2=1.0, n_1=n_surf)
     one_c = jnp.ones((), dtype=r_p.dtype)
-    a_p = jnp.where(is_reflected, r_p, one_c)          # [G,S,C,2] complex
-    a_s = jnp.where(is_reflected, r_s, one_c)
+    z_turn_slots = raytrace.turning_depth(sols.c0, s.ice)
+    n_touch = raytrace.surface_touches_slots(
+        sols.sol_type, sols.reflection, sols.refl_case, z_turn_slots)
+    a_p = jnp.ones_like(r_p)
+    a_s = jnp.ones_like(r_s)
+    for k in range(s.n_reflections + 1):
+        a_p = jnp.where(n_touch > k, a_p * r_p, a_p)
+        a_s = jnp.where(n_touch > k, a_s * r_s, a_s)
+    if s.n_reflections > 0:
+        # bottom bounces: refl_coef * exp(i*phase) per bounce, both
+        # components equally (apply_propagation_effects:3004-3011)
+        b1 = jnp.asarray(
+            s.ice.refl_coef * np.exp(1j * s.ice.refl_phase_shift),
+            a_p.dtype)
+        for k in range(s.n_reflections):
+            bounce = sols.reflection > k
+            a_p = jnp.where(bounce, a_p * b1, a_p)
+            a_s = jnp.where(bounce, a_s * b1, a_s)
     if not factored:
         e_theta = e_theta * a_p[..., None]
         e_phi = e_phi * a_s[..., None]
@@ -738,14 +792,17 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         lau_ang = jnp.arccos(jnp.clip(launch[..., 2], -1.0, 1.0))
         rec_ang = jnp.arccos(jnp.clip(-receive[..., 2], -1.0, 1.0))
 
-        if s.focusing_mode == "implicit":
+        if s.focusing_mode == "implicit" and s.n_reflections == 0:
             d_launch_dz = raytrace.focusing_dtheta_dz(geom, sols, s.ice)
             foc_valid = sols.mask
         else:
+            # bottom-bounce slots always use the displaced-receiver re-solve
+            # (slot ordering of find_solutions_all is stable, so slots of
+            # the displaced problem align 1:1)
             dz = jnp.asarray(s.focusing_dz, real_dtype)
             x1z_d = jnp.where(geom.swapped, geom.x1z + dz, geom.x1z)
             x2z_d = jnp.where(geom.swapped, geom.x2z, geom.x2z + dz)
-            sols1_flat = jax.vmap(lambda a, b, c, d: raytrace.find_solutions(a, b, c, d, s.ice, n_bisect=s.n_bisect))(
+            sols1_flat = jax.vmap(_solve)(
                 flat(geom.x1y), flat(x1z_d), flat(geom.x2y), flat(x2z_d))
             sols1 = jax.tree.map(lambda a: a.reshape(G, S, C, *a.shape[1:]), sols1_flat)
             geom_d = raytrace.Geometry2D(geom.x1y, x1z_d, geom.x2y, x2z_d,
@@ -890,134 +947,17 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     t_start = (batch.vertex_times[:, :, None, None] + sols.travel_time
                - 0.5 * s.n_internal * dt + ch.cable_delays[None, None, :, None])
     big = jnp.asarray(1e30, real_dtype)
-    base_t0 = jnp.min(jnp.where(valid, t_start, big), axis=(1, 2, 3))  # [G]
     any_valid = jnp.any(valid, axis=(1, 2, 3))
-    base_t0 = jnp.where(any_valid, base_t0, 0.0)
+    cap = (s.n_base - s.n_internal) * dt
 
-    offset = t_start - base_t0[:, None, None, None]
-
-    # frequency-domain placement: the old path (irfft at n_internal, pad to
-    # n_base, per-trace dynamic jnp.roll, sum, rfft) compiles to a huge
-    # gather that dominates the whole pipeline on TPU (~75% of runtime).
-    # Instead, interpolate each short spectrum onto the n_base rFFT grid with
-    # a precomputed dense DFT matrix (rfft_base . pad . irfft_int — an
-    # MXU-friendly matmul) and apply the whole time offset (integer +
-    # fractional) as one phase ramp.  Placement stays circular, identical to
-    # the roll semantics up to float association.
     ctype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
     D_r, D_i = _placement_matrices(s.n_internal, s.n_base)
     D_r = jnp.asarray(D_r, ctype)
     D_i = jnp.asarray(D_i, ctype)
     ff_base = s.freqs_base.astype(real_dtype)
-    # one [G*S*C*2, F_int] x [F_int, F_base] matmul instead of S*2 smaller
-    # ones (better MXU utilization), then the per-solution phase ramp and the
-    # (shower, ray) reduction
-    V = volt_spec                                       # [G,S,C,2,F_int]
     df_base = float(s.sampling_rate / s.n_base)
     F_base = s.n_base // 2 + 1
-    if s.placement_impl == "pallas" and real_dtype == jnp.float32:
-        # fused kernel: placement DFT + phase + (S,2) reduction in VMEM
-        from nuradiomc_tpu.ops import placement_pallas
 
-        s2 = S * 2
-        out_tile = 64
-        while (G * C) % out_tile:
-            out_tile //= 2
-        offs = jnp.moveaxis(offset, 2, 1).astype(jnp.float32).reshape(-1)
-        R = G * C * s2
-        mm_dtype = (jnp.bfloat16 if s.matmul_dtype == "bfloat16"
-                    else jnp.float32)
-
-        def ch_major(x):
-            return jnp.moveaxis(x, 2, 1).reshape(R, *x.shape[4:])
-
-        if factored and att_vals is not None:
-            # v2: the whole factored chain (spec x att-interp x template x
-            # scalars) fused in-kernel — spec_att / volt_spec / Xb / phase
-            # never hit HBM on this path
-            tpl_idx = (c_idx * 3 + sector).astype(jnp.int32)
-            dcmask = jnp.asarray(
-                np.fft.rfftfreq(s.n_internal, s.dt) >= 5e-3, jnp.float32)
-            tpl_table = (jnp.asarray(ch.templates)
-                         .reshape(C * 3, -1).astype(jnp.complex64)
-                         * dcmask[None, :])
-            out_re, out_im = placement_pallas.chain_placement_reduce(
-                ch_major(spec.real.astype(jnp.float32)),
-                ch_major(spec.imag.astype(jnp.float32)),
-                ch_major(att_vals.astype(jnp.float32)),
-                ch_major(combined.real.astype(jnp.float32)),
-                ch_major(combined.imag.astype(jnp.float32)),
-                ch_major(valid.astype(jnp.float32)),
-                ch_major(tpl_idx), offs,
-                att_W, tpl_table, D_r, D_i,
-                s2=s2, df=df_base, n_templates=C * 3,
-                row_tile=out_tile * s2, matmul_dtype=mm_dtype)
-        else:
-            Vt = jnp.moveaxis(V, 2, 1)                  # [G,C,S,2,F_int]
-            out_re, out_im = placement_pallas.placement_reduce(
-                Vt.real.astype(jnp.float32).reshape(R, -1),
-                Vt.imag.astype(jnp.float32).reshape(R, -1),
-                offs, D_r, D_i, s2=s2, df=df_base,
-                row_tile=out_tile * s2, matmul_dtype=mm_dtype)
-        chan_spec = jax.lax.complex(out_re, out_im).reshape(G, C, F_base)
-    else:
-        Xb = (jnp.einsum("gscrf,fk->gscrk", V.real.astype(real_dtype), D_r)
-              + jnp.einsum("gscrf,fk->gscrk", V.imag.astype(real_dtype), D_i))
-        # factored phase ramp: the rFFT grid is uniform, so the per-bin
-        # sincos chain (the VPU-transcendental hot spot of this stage)
-        # reduces to two small per-row tables + complex multiplies
-        ph = trace_ops.time_shift_phase_uniform(F_base, df_base, offset)
-        chan_spec = jnp.sum(Xb * ph.astype(ctype), axis=(1, 3))     # [G,C,Fb]
-
-    # ---- 8. filter chain (+ optional noise) --------------------------------
-    if s.add_noise:
-        if noise_key is None:
-            raise ValueError("add_noise=True requires a noise_key")
-        keys = jax.random.split(noise_key, G * C)
-        # legacy uint32 keys are [n, 2]; typed (e.g. rbg) keys are [n]
-        keys = keys.reshape(G, C, *keys.shape[1:])
-        nyquist = s.sampling_rate / 2
-
-        def noise_one(key, amp):
-            return noise_ops.bandlimited_noise_spectrum(
-                key, s.n_base, s.sampling_rate, amp, None, nyquist,
-                type=s.noise_type, dtype=real_dtype)
-        nspec = jax.vmap(jax.vmap(noise_one))(
-            keys, jnp.broadcast_to(ch.noise_amplitude[None, :], (G, C)))
-        chan_spec = chan_spec + nspec
-
-    def to_time(spec):
-        if s.trigger_irfft == "matmul":
-            I_r, I_i = _irfft_matrices(s.n_base)
-            mm_dtype = (jnp.bfloat16 if s.matmul_dtype == "bfloat16"
-                        and real_dtype == jnp.float32 else real_dtype)
-            scale = s.sampling_rate / np.sqrt(2.0)
-            return (jnp.einsum("gcf,fn->gcn", spec.real.astype(mm_dtype),
-                               jnp.asarray(I_r, mm_dtype),
-                               preferred_element_type=real_dtype)
-                    + jnp.einsum("gcf,fn->gcn", spec.imag.astype(mm_dtype),
-                                 jnp.asarray(I_i, mm_dtype),
-                                 preferred_element_type=real_dtype)) * scale
-        return fft.freq2time(spec, s.sampling_rate, n=s.n_base)
-
-    raw_spec = chan_spec
-    chan_spec = raw_spec * ch.filter_response[None, :, :]
-    channel_traces = to_time(chan_spec)
-    if ch.trigger_filter_response is not None:
-        # distinct trigger-channel response: same pre-amp voltage + noise,
-        # different signal chain (hardwareResponseIncorporator
-        # trigger_channels semantics, RNO_G/hardwareResponseIncorporator
-        # .py:191-229); trigger kernels read these traces only
-        trig_spec = raw_spec * ch.trigger_filter_response[None, :, :]
-        trigger_traces = to_time(trig_spec)
-    else:
-        trig_spec = chan_spec
-        trigger_traces = channel_traces
-
-    # ---- 9. triggers (one kernel per declared named trigger) ---------------
-    # all declared triggers run on the SAME assembled traces; the per-trigger
-    # kernel cost is trivial next to the propagation chain, which is the
-    # point of multi-trigger one-pass orchestration (vs N re-simulations)
     if s.triggers:
         trig_list = s.triggers
     else:
@@ -1032,27 +972,184 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
             pa_digitize=s.pa_digitize, pa_adc_fs=s.pa_adc_fs,
             pa_adc_nbits=s.pa_adc_nbits, pa_adc_range=s.pa_adc_range),)
 
+    def _assemble_and_trigger(place_valid, offset, t0_w, key_w):
+        """Place the in-window pulses, apply filters (+noise), run every
+        declared trigger: ONE sub-event readout window."""
+        V = jnp.where(place_valid[..., None], volt_spec, 0.0)  # [G,S,C,R,F]
+        if s.placement_impl == "pallas" and real_dtype == jnp.float32:
+            # fused kernel: placement DFT + phase + (S,R) reduction in VMEM
+            from nuradiomc_tpu.ops import placement_pallas
+
+            s2 = S * n_rays
+            out_tile = 64
+            while (G * C) % out_tile:
+                out_tile //= 2
+            offs = jnp.moveaxis(offset, 2, 1).astype(jnp.float32).reshape(-1)
+            R = G * C * s2
+            mm_dtype = (jnp.bfloat16 if s.matmul_dtype == "bfloat16"
+                        else jnp.float32)
+
+            def ch_major(x):
+                return jnp.moveaxis(x, 2, 1).reshape(R, *x.shape[4:])
+
+            if factored and att_vals is not None:
+                # v2: the whole factored chain (spec x att-interp x template
+                # x scalars) fused in-kernel — spec_att / volt_spec / Xb /
+                # phase never hit HBM on this path
+                tpl_idx = (c_idx * 3 + sector).astype(jnp.int32)
+                dcmask = jnp.asarray(
+                    np.fft.rfftfreq(s.n_internal, s.dt) >= 5e-3, jnp.float32)
+                tpl_table = (jnp.asarray(ch.templates)
+                             .reshape(C * 3, -1).astype(jnp.complex64)
+                             * dcmask[None, :])
+                out_re, out_im = placement_pallas.chain_placement_reduce(
+                    ch_major(spec.real.astype(jnp.float32)),
+                    ch_major(spec.imag.astype(jnp.float32)),
+                    ch_major(att_vals.astype(jnp.float32)),
+                    ch_major(combined.real.astype(jnp.float32)),
+                    ch_major(combined.imag.astype(jnp.float32)),
+                    ch_major(place_valid.astype(jnp.float32)),
+                    ch_major(tpl_idx), offs,
+                    att_W, tpl_table, D_r, D_i,
+                    s2=s2, df=df_base, n_templates=C * 3,
+                    row_tile=out_tile * s2, matmul_dtype=mm_dtype)
+            else:
+                Vt = jnp.moveaxis(V, 2, 1)              # [G,C,S,R,F_int]
+                out_re, out_im = placement_pallas.placement_reduce(
+                    Vt.real.astype(jnp.float32).reshape(R, -1),
+                    Vt.imag.astype(jnp.float32).reshape(R, -1),
+                    offs, D_r, D_i, s2=s2, df=df_base,
+                    row_tile=out_tile * s2, matmul_dtype=mm_dtype)
+            chan_spec = jax.lax.complex(out_re, out_im).reshape(G, C, F_base)
+        else:
+            Xb = (jnp.einsum("gscrf,fk->gscrk", V.real.astype(real_dtype), D_r)
+                  + jnp.einsum("gscrf,fk->gscrk", V.imag.astype(real_dtype),
+                               D_i))
+            # factored phase ramp: the rFFT grid is uniform, so the per-bin
+            # sincos chain (the VPU-transcendental hot spot of this stage)
+            # reduces to two small per-row tables + complex multiplies
+            ph = trace_ops.time_shift_phase_uniform(F_base, df_base, offset)
+            chan_spec = jnp.sum(Xb * ph.astype(ctype), axis=(1, 3))  # [G,C,Fb]
+
+        # ---- 8. filter chain (+ optional noise) ----------------------------
+        if s.add_noise:
+            if key_w is None:
+                raise ValueError("add_noise=True requires a noise_key")
+            keys = jax.random.split(key_w, G * C)
+            # legacy uint32 keys are [n, 2]; typed (e.g. rbg) keys are [n]
+            keys = keys.reshape(G, C, *keys.shape[1:])
+            nyquist = s.sampling_rate / 2
+
+            def noise_one(key, amp):
+                return noise_ops.bandlimited_noise_spectrum(
+                    key, s.n_base, s.sampling_rate, amp, None, nyquist,
+                    type=s.noise_type, dtype=real_dtype)
+            nspec = jax.vmap(jax.vmap(noise_one))(
+                keys, jnp.broadcast_to(ch.noise_amplitude[None, :], (G, C)))
+            chan_spec = chan_spec + nspec
+
+        def to_time(spec_):
+            if s.trigger_irfft == "matmul":
+                I_r, I_i = _irfft_matrices(s.n_base)
+                mm_dtype = (jnp.bfloat16 if s.matmul_dtype == "bfloat16"
+                            and real_dtype == jnp.float32 else real_dtype)
+                scale = s.sampling_rate / np.sqrt(2.0)
+                return (jnp.einsum("gcf,fn->gcn", spec_.real.astype(mm_dtype),
+                                   jnp.asarray(I_r, mm_dtype),
+                                   preferred_element_type=real_dtype)
+                        + jnp.einsum("gcf,fn->gcn",
+                                     spec_.imag.astype(mm_dtype),
+                                     jnp.asarray(I_i, mm_dtype),
+                                     preferred_element_type=real_dtype)) * scale
+            return fft.freq2time(spec_, s.sampling_rate, n=s.n_base)
+
+        raw_spec = chan_spec
+        chan_spec = raw_spec * ch.filter_response[None, :, :]
+        channel_traces = to_time(chan_spec)
+        if ch.trigger_filter_response is not None:
+            # distinct trigger-channel response: same pre-amp voltage +
+            # noise, different signal chain (hardwareResponseIncorporator
+            # trigger_channels semantics, RNO_G/hardwareResponseIncorporator
+            # .py:191-229); trigger kernels read these traces only
+            trig_spec = raw_spec * ch.trigger_filter_response[None, :, :]
+            trigger_traces = to_time(trig_spec)
+        else:
+            trig_spec = chan_spec
+            trigger_traces = channel_traces
+
+        # ---- 9. triggers (one kernel per declared named trigger) -----------
+        # all declared triggers run on the SAME assembled traces; the
+        # per-trigger kernel cost is trivial next to the propagation chain,
+        # which is the point of multi-trigger one-pass orchestration
+        cols, times = [], []
+        for t in trig_list:
+            trig_t, time_t = _eval_trigger(t, trigger_traces, trig_spec,
+                                           t0_w, s, ch, real_dtype)
+            cols.append(trig_t & any_valid & candidate)
+            times.append(time_t)
+        return cols, times, channel_traces
+
+    # ---- 7b. sub-event window loop (n_windows=1: single global window) ----
+    remaining = valid
+    per_window = []
+    base_t0 = None
+    traces0 = None
+    max_amp_tr = None
+    for w in range(max(1, s.n_windows)):
+        any_rem = jnp.any(remaining, axis=(1, 2, 3))
+        t0_w = jnp.min(jnp.where(remaining, t_start, big), axis=(1, 2, 3))
+        t0_w = jnp.where(any_rem, t0_w, 0.0)
+        offset = t_start - t0_w[:, None, None, None]
+        in_w = remaining & (offset <= cap)
+        key_w = (None if noise_key is None
+                 else (noise_key if s.n_windows == 1
+                       else jax.random.fold_in(noise_key, w)))
+        cols, times, traces_w = _assemble_and_trigger(in_w, offset, t0_w,
+                                                      key_w)
+        # a window with no pulses must not trigger (noise-only windows do
+        # not exist in the reference: no sub-event is created without rays)
+        cols = [c & any_rem for c in cols]
+        per_window.append((cols, times))
+        amp_w = jnp.max(jnp.abs(traces_w), axis=-1)
+        if w == 0:
+            base_t0, traces0, max_amp_tr = t0_w, traces_w, amp_w
+        else:
+            max_amp_tr = jnp.maximum(max_amp_tr, amp_w)
+        remaining = remaining & ~in_w
+
+    # combine windows per trigger: requires-gating applies WITHIN each
+    # sub-event (the reference gates set_not_triggered per station/event),
+    # decisions OR across windows, trigger time = earliest fired window
     trig_cols, time_cols = [], []
-    name_to_col = {}
-    for t in trig_list:
-        trig_t, time_t = _eval_trigger(t, trigger_traces, trig_spec, base_t0,
-                                       s, ch, real_dtype)
-        trig_t = trig_t & any_valid & candidate
-        if getattr(t, "requires", None):
-            # set_not_triggered dependency: the reference evaluates this
-            # trigger only when an earlier named trigger fired for the event
-            # (test/SingleEvents/T02RunSimulation.py:42-61 gates the ARIANNA
-            # high-low triggers on has_triggered("simple_threshold")); in the
-            # fused pass that is an AND with the prerequisite's decision.
-            # Declaration order resolves chains (prereq must come first).
-            if t.requires not in name_to_col:
-                raise ValueError(
-                    f"trigger {t.name!r} requires {t.requires!r}, which must "
-                    "be declared earlier in the trigger list")
-            trig_t = trig_t & trig_cols[name_to_col[t.requires]]
-        name_to_col[t.name] = len(trig_cols)
-        trig_cols.append(trig_t)
-        time_cols.append(time_t)
+    name_to_col = {t.name: i for i, t in enumerate(trig_list)}
+    inf_t = jnp.asarray(jnp.inf, real_dtype)
+    gated_per_window = []
+    for w, (cols, times) in enumerate(per_window):
+        gated = []
+        for i, t in enumerate(trig_list):
+            c = cols[i]
+            if getattr(t, "requires", None):
+                # set_not_triggered dependency: evaluated only when an
+                # earlier named trigger fired (T02RunSimulation.py:42-61);
+                # in the fused pass that is an AND with the prerequisite.
+                if t.requires not in name_to_col or                         name_to_col[t.requires] >= i:
+                    raise ValueError(
+                        f"trigger {t.name!r} requires {t.requires!r}, which "
+                        "must be declared earlier in the trigger list")
+                c = c & gated[name_to_col[t.requires]]
+            gated.append(c)
+        gated_per_window.append(gated)
+    for i in range(len(trig_list)):
+        fired_w = [gated_per_window[w][i] for w in range(len(per_window))]
+        times_w = [per_window[w][1][i] for w in range(len(per_window))]
+        fired = fired_w[0]
+        tmin = jnp.where(fired_w[0], times_w[0], inf_t)
+        for w in range(1, len(per_window)):
+            fired = fired | fired_w[w]
+            tmin = jnp.minimum(tmin, jnp.where(fired_w[w], times_w[w], inf_t))
+        trig_cols.append(fired)
+        time_cols.append(jnp.where(fired, tmin, times_w[0]))
+    channel_traces = traces0
     triggered_per = jnp.stack(trig_cols, axis=-1)           # [G, T]
     trigger_times_per = jnp.stack(time_cols, axis=-1)       # [G, T]
     triggered = jnp.any(triggered_per, axis=-1)
@@ -1070,7 +1167,7 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         trigger_times_per=trigger_times_per,
         max_efield=jnp.max(ef_max, axis=(1, 2, 3)),
         trigger_time=trigger_time,
-        max_amplitude=jnp.max(jnp.abs(channel_traces), axis=-1),
+        max_amplitude=max_amp_tr,
         traces=channel_traces if keep_traces else None,
         base_t0=base_t0,
         sol_mask=valid,
@@ -1080,5 +1177,6 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         polarization=pol_onsky, viewing_angle=viewing_angle,
         max_amp_per_solution=max_amp_sol,
         focusing=foc,
+        reflection=sols.reflection, refl_case=sols.refl_case,
         efields=jnp.stack([e_theta, e_phi]) if keep_efields else None,
     )

@@ -246,6 +246,15 @@ class Simulation:
             **({"n_bisect": int(cfg["propagation"]["n_bisect"])}
                if cfg["propagation"].get("n_bisect") else {}),
             attenuate_ice=bool(cfg["propagation"]["attenuate_ice"]),
+            n_reflections=int(cfg["propagation"].get("n_reflections", 0)
+                              or 0),
+            # sub-event windows: bounce rays arrive micro-seconds after the
+            # direct pulse, one per (r, case) family — mirror the
+            # reference's gap-based sub-event splitting with one window per
+            # arrival cluster (config propagation.n_windows overrides)
+            n_windows=int(cfg["propagation"].get("n_windows", 0)
+                          or (1 + 2 * int(cfg["propagation"]
+                                          .get("n_reflections", 0) or 0))),
             # perf block (optional): placement_impl 'xla'|'pallas',
             # matmul_dtype 'float32'|'bfloat16' (see docs/performance.md)
             **({"placement_impl": str(cfg["perf"]["placement_impl"])}
@@ -723,9 +732,9 @@ class Simulation:
                 station_rows["ray_tracing_solution_type"].append(
                     np.asarray(out.sol_type)[idx])
                 station_rows["ray_tracing_reflection"].append(
-                    np.zeros_like(np.asarray(out.sol_type)[idx]))
+                    np.asarray(out.reflection)[idx])
                 station_rows["ray_tracing_reflection_case"].append(
-                    np.ones_like(np.asarray(out.sol_type)[idx]))
+                    np.asarray(out.refl_case)[idx])
                 station_rows["focusing_factor"].append(np.asarray(out.focusing)[idx])
                 station_rows["launch_vectors"].append(np.asarray(out.launch_vector)[idx])
                 station_rows["receive_vectors"].append(np.asarray(out.receive_vector)[idx])

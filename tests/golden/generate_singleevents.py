@@ -107,8 +107,12 @@ with open(cfg_path, "w") as f:
     yaml.safe_dump(base_cfg, f)
 
 out_hdf5 = os.path.join(here, f"_singleevents_{variant}_output.hdf5")
+# the MB variant uses its own committed shallow event list (zmin=-0.55 km,
+# vertices must sit above the reflective bottom at -576 m; validate_MB.sh)
+infile = ("MB_1e18_reference.hdf5" if variant == "mb"
+          else "1e18_output_reference.hdf5")
 sim = mySimulation(
-    inputfilename=os.path.join(REF, "1e18_output_reference.hdf5"),
+    inputfilename=os.path.join(REF, infile),
     outputfilename=out_hdf5,
     detectorfile=os.path.join(REF, "surface_station_1GHz.json"),
     config_file=cfg_path,
