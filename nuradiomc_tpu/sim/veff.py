@@ -78,8 +78,11 @@ def get_Veff_Aeff_single(filename, trigger_combinations=None,
                  'triggerAND': name, 'notriggers': [names],
                  'efficiency': {'func': SNR->eff, 'channel_ids': [...],
                                 'scale': float}}
-        (Veff.py:341-480 semantics; min_sigma/ray_solution/n_reflections
-        selections are not implemented).
+        (Veff.py:341-480 semantics), plus 'min_sigma'/'channels'/'n_channels'
+        (pre-noise per-ray amplitude cut, SNR reported in out['SNR']),
+        'ray_solution'/'ray_channel' (strongest-solution type selection) and
+        'n_reflections' (strongest solution's bottom-bounce count) — these
+        three need ``station=`` to reach the per-ray station data.
 
     veff_aeff : 'veff' | 'aeff_surface_muons'
         For surface muons the generation *area* attr is projected
@@ -108,6 +111,7 @@ def get_Veff_Aeff_single(filename, trigger_combinations=None,
             raise AttributeError(veff_aeff)
         # per-event-group station amplitudes for the efficiency option
         station_amps = {}
+        station_rays = {}
         if station is not None and f"station_{station}" in f:
             sg = f[f"station_{station}"]
             if "event_group_ids" in sg:
@@ -115,6 +119,16 @@ def get_Veff_Aeff_single(filename, trigger_combinations=None,
                     "gids": np.asarray(sg["event_group_ids"]),
                     "amps": np.asarray(sg["maximum_amplitudes_envelope"]),
                 }
+            if "max_amp_shower_and_ray" in sg:
+                station_rays = {
+                    "gid": np.asarray(sg["event_group_id_per_shower"]),
+                    "sid": np.asarray(sg["shower_id"]),
+                    "amps": np.asarray(sg["max_amp_shower_and_ray"]),
+                    "sol_type": np.asarray(sg["ray_tracing_solution_type"]),
+                    "reflection": np.asarray(sg["ray_tracing_reflection"]),
+                }
+        shower_ids = (np.asarray(f["shower_ids"]) if "shower_ids" in f
+                      else np.arange(len(gid)))
 
     if not trigger_names:
         trigger_names = [f"trigger_{i}" for i in range(mt.shape[1])]
@@ -136,7 +150,27 @@ def get_Veff_Aeff_single(filename, trigger_combinations=None,
         mask = remove_duplicate_triggers(mask, gid)
         return get_veff_output(volume, float(np.sum(w_all[mask])), n_events)
 
+    def _rays_per_row(key):
+        """Station per-(shower, channel, solution) array mapped onto the
+        top-level row order (NaN where the station has no row): the station
+        group stores only simulated/triggered showers, Veff row masks index
+        the full per-shower table (Veff.py:375-405 uses the same quantity)."""
+        if not station_rays:
+            return None
+        src = station_rays[key]
+        out_arr = np.full((len(gid),) + src.shape[1:], np.nan, src.dtype
+                          if np.issubdtype(src.dtype, np.floating)
+                          else np.float64)
+        row_of = {(int(g), int(s)): i for i, (g, s) in
+                  enumerate(zip(station_rays["gid"], station_rays["sid"]))}
+        for i, (g, s) in enumerate(zip(gid, shower_ids)):
+            j = row_of.get((int(g), int(s)))
+            if j is not None:
+                out_arr[i] = src[j]
+        return out_arr
+
     veffs = {}
+    snr_out = {}
     for name, col in name_to_col.items():
         veffs[name] = veff_of(mt[:, col].astype(bool))
 
@@ -151,10 +185,57 @@ def get_Veff_Aeff_single(filename, trigger_combinations=None,
             mask &= mt[:, name_to_col[values["triggerAND"]]].astype(bool)
         for t in np.atleast_1d(values.get("notriggers", [])):
             mask &= ~mt[:, name_to_col[str(t)]].astype(bool)
-        for unsupported in ("min_sigma", "ray_solution", "n_reflections"):
-            if unsupported in values:
-                raise NotImplementedError(
-                    f"trigger_combinations['{name}']['{unsupported}']")
+        if "min_sigma" in values:
+            # pre-noise per-ray amplitude cut (Veff.py:366-393): at least
+            # n_channels of `channels` must exceed min_sigma*Vrms on their
+            # best ray solution; the SNR of the n-th-largest channel is
+            # reported per surviving row
+            amps = _rays_per_row("amps")
+            if amps is None:
+                raise ValueError(
+                    "min_sigma needs station= and per-ray station data")
+            As = np.max(np.nan_to_num(amps), axis=-1)          # [rows, C]
+            ms, chans, nch = values["min_sigma"], values["channels"], \
+                values["n_channels"]
+            if isinstance(ms, list):
+                snr_out[name] = {}
+                masks = np.zeros_like(mask)
+                for iS in range(len(ms)):
+                    Asub = As[:, np.asarray(chans[iS], dtype=int)]
+                    m = (np.sum(Asub >= ms[iS] * vrms, axis=1) >= nch[iS])
+                    masks |= m
+                    snr_out[name][iS] = (np.sort(Asub, axis=1)
+                                         [:, -int(nch[iS])][m] / vrms)
+                mask &= masks
+            else:
+                Asub = As[:, np.asarray(chans, dtype=int)]
+                m = np.sum(Asub >= ms * vrms, axis=1) >= nch
+                snr_out[name] = np.sort(Asub, axis=1)[m] / vrms
+                mask &= m
+        if "ray_solution" in values:
+            # keep rows whose strongest solution on `ray_channel` is of the
+            # requested type (Veff.py:395-400)
+            amps = _rays_per_row("amps")
+            sol = _rays_per_row("sol_type")
+            if amps is None:
+                raise ValueError(
+                    "ray_solution needs station= and per-ray station data")
+            rc = int(values["ray_channel"])
+            best = np.argmax(np.nan_to_num(amps[:, rc, :]), axis=-1)
+            mask &= (sol[np.arange(len(best)), rc, best]
+                     == float(values["ray_solution"]))
+        if "n_reflections" in values:
+            # keep rows whose overall strongest (channel, solution) has the
+            # requested bottom-bounce count (Veff.py:402-408 intent)
+            amps = _rays_per_row("amps")
+            refl = _rays_per_row("reflection")
+            if amps is None:
+                raise ValueError(
+                    "n_reflections needs station= and per-ray station data")
+            flat = np.nan_to_num(amps).reshape(len(gid), -1)
+            best = np.argmax(flat, axis=-1)
+            mask &= (refl.reshape(len(gid), -1)[np.arange(len(best)), best]
+                     == float(values["n_reflections"]))
         mask = remove_duplicate_triggers(mask, gid)
         v, v_err, c, v_lo, v_hi = get_veff_output(
             volume, float(np.sum(w_all[mask])), n_events)
@@ -207,6 +288,7 @@ def get_Veff_Aeff_single(filename, trigger_combinations=None,
         "n_events": n_events,
         "volume": volume,
         "trigger_names": trigger_names,
+        "SNR": snr_out,
         ("veffs" if veff_aeff == "veff" else "aeff_surface_muons"): veffs,
     }
 

@@ -59,3 +59,66 @@ def test_fc_limits_monotone():
         assert lo <= n <= hi
         assert hi > prev_high
         prev_high = hi
+
+
+def test_trigger_combination_ray_selections(tmp_path):
+    """min_sigma / ray_solution / n_reflections combination options
+    (Veff.py:366-408): synthetic file with 4 single-shower groups, known
+    per-ray amplitudes/types/reflections on a 2-channel station."""
+    import h5py
+
+    fn = str(tmp_path / "sel.hdf5")
+    n = 4
+    with h5py.File(fn, "w") as f:
+        f["event_group_ids"] = np.arange(n)
+        f["shower_ids"] = np.arange(n)
+        f["triggered"] = np.ones(n, bool)
+        f["weights"] = np.ones(n)
+        f["zeniths"] = np.full(n, np.pi / 2)
+        f["energies"] = np.full(n, 1e18)
+        f["multiple_triggers"] = np.ones((n, 1), bool)
+        f.attrs["n_events"] = n
+        f.attrs["volume"] = 1.0
+        f.attrs["Vrms"] = 1.0
+        f.attrs["trigger_names"] = ["T"]
+        st = f.create_group("station_101")
+        st["event_group_id_per_shower"] = np.arange(n)
+        st["shower_id"] = np.arange(n)
+        st["event_group_ids"] = np.arange(n)
+        st["maximum_amplitudes_envelope"] = np.ones((n, 2))
+        # amps[row, channel, solution]: row i has best amp (i+1) sigma on
+        # ch0 solution 0; ch1 always 0.5
+        amps = np.full((n, 2, 2), 0.1)
+        for i in range(n):
+            amps[i, 0, 0] = i + 1.0
+            amps[i, 1, 0] = 0.5
+        st["max_amp_shower_and_ray"] = amps
+        sol = np.zeros((n, 2, 2))
+        sol[:, 0, 0] = [1, 1, 2, 3]       # best solution's type per row
+        st["ray_tracing_solution_type"] = sol
+        refl = np.zeros((n, 2, 2))
+        refl[3, 0, 0] = 1                 # row 3's best is a bounce
+        st["ray_tracing_reflection"] = refl
+
+    def count(combos):
+        res = veff.get_Veff_Aeff_single(fn, trigger_combinations=combos,
+                                        station=101)
+        return res["veffs"]["sel"][2], res
+
+    # min_sigma 2.5 on ch0 (1 coincidence): rows 2, 3 pass (amps 3, 4)
+    c, res = count({"sel": {"triggers": "T", "min_sigma": 2.5,
+                            "channels": [0], "n_channels": 1}})
+    assert c == 2.0
+    np.testing.assert_allclose(sorted(res["SNR"]["sel"][:, -1]), [3.0, 4.0])
+
+    # ray_solution: keep rows whose best ch0 solution is type 1 -> rows 0, 1
+    c, _ = count({"sel": {"triggers": "T", "ray_solution": 1,
+                          "ray_channel": 0}})
+    assert c == 2.0
+
+    # n_reflections: best overall solution has 1 bounce -> row 3 only
+    c, _ = count({"sel": {"triggers": "T", "n_reflections": 1}})
+    assert c == 1.0
+    # ... and 0 bounces -> rows 0-2
+    c, _ = count({"sel": {"triggers": "T", "n_reflections": 0}})
+    assert c == 3.0
