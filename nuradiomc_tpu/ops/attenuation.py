@@ -37,6 +37,24 @@ def _sp1_temperature(z):
     return 1.83415e-09 * z2 ** 3 - 1.59061e-08 * z2 ** 2 + 0.00267687 * z2 - 51.0696
 
 
+def sp1_w_coeffs(z):
+    """SP1's 1/L(z, f) = exp(b1(z) + bb(z) * w), w = ln(f/GHz): returns
+    (b1, bb_lo, bb_hi) with bb chosen by branch (f < 1 GHz -> lo).
+
+    Both piecewise branches of the reference's tri-point interpolation
+    (attenuation.py:137-160) share the SAME intercept at w = 0 (the 1 GHz
+    control point b1) — the algebraic identity the moment-factored
+    quadrature in ops.raytrace exploits (one exp per depth sample instead
+    of one per (sample, frequency))."""
+    t = _sp1_temperature(z)
+    w0 = jnp.log(jnp.asarray(0.0001, t.dtype))
+    w2 = jnp.log(jnp.asarray(3.16, t.dtype))
+    b0 = -6.74890 + t * (0.026709 - t * 0.000884)
+    b1 = -6.22121 - t * (0.070927 + t * 0.001773)
+    b2 = -4.09468 - t * (0.002213 + t * 0.000332)
+    return b1, (b1 - b0) / (-w0), (b2 - b1) / w2
+
+
 def _sp1(z, frequency):
     t = _sp1_temperature(z)
     f0 = 0.0001

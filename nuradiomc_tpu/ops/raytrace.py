@@ -68,6 +68,27 @@ def _n_z(z, ice: IceModelSimple):
     return ice.n_ice - ice.delta_n * jnp.exp((z - ice.z_shift) / ice.z_0)
 
 
+def _arg_stable(z, c0, ice: IceModelSimple):
+    """c0^2 n(z)^2 - 1 without the near-turning-point cancellation.
+
+    The naive form subtracts two ~1 numbers (float32 noise ~1e-7 absolute),
+    which inflates the 1/sqrt(arg) path-measure by orders of magnitude for
+    quadrature nodes near the turning point (true arg ~ t^2 * dn2/dz). The
+    factored identity  arg = c0 (gamma_t - gamma(z)) (c0 n(z) + 1)  with
+    gamma_t - gamma(z) = -gamma_t expm1((z - z_turn_raw)/z_0)  evaluates the
+    small factor directly (z_turn_raw = UNclamped turning depth)."""
+    b = 2.0 * ice.n_ice
+    c = ice.n_ice ** 2 - c0 ** -2
+    disc = jnp.sqrt(jnp.maximum(0.25 * b * b - c, 0.0))
+    gamma_t = c / (0.5 * b + disc)
+    # dz = z - z_turn_raw; gamma_t <= 0 (no turning) -> dz large negative
+    safe_g = jnp.maximum(gamma_t, 1e-30)
+    dz = (z - ice.z_shift) - jnp.log(safe_g / ice.delta_n) * ice.z_0
+    dgamma = -safe_g * jnp.expm1(jnp.minimum(dz / ice.z_0, 0.0))
+    nz = _n_z(z, ice)
+    return c0 * dgamma * (c0 * nz + 1.0)
+
+
 def _turning_point(c0, ice: IceModelSimple):
     """(gamma_turn, z_turn); stable form of get_turning_point (:133-158).
 
@@ -464,7 +485,7 @@ def attenuation_factor_general(c0, x1z, x2z, ice: IceModelSimple, frequencies,
         t = jnp.asarray(qt, c0.dtype) * T
         z = z_turn - t ** 2
         nz = _n_z(z, ice)
-        arg = jnp.maximum(c0 ** 2 * nz ** 2 - 1.0, 1e-20)
+        arg = jnp.maximum(_arg_stable(z, c0, ice), 1e-20)
         ds_dt = 2.0 * t * c0 * nz / jnp.sqrt(arg)
         inv_L = attenuation_ops.inv_length_factored(z, frequencies, model)
         return jnp.sum((jnp.asarray(qw, c0.dtype) * ds_dt)[:, None] * inv_L,
@@ -496,7 +517,7 @@ def attenuation_factor_slots(c0, sol_type, reflection, refl_case, x1z, x2z,
         t = jnp.asarray(qt, c0.dtype) * T
         z = z_turn - t ** 2
         nz = _n_z(z, ice)
-        arg = jnp.maximum(c0 ** 2 * nz ** 2 - 1.0, 1e-20)
+        arg = jnp.maximum(_arg_stable(z, c0, ice), 1e-20)
         ds_dt = 2.0 * t * c0 * nz / jnp.sqrt(arg)
         inv_L = attenuation_ops.inv_length_factored(z, frequencies, model)
         return jnp.sum((jnp.asarray(qw, c0.dtype) * ds_dt)[:, None] * inv_L,
@@ -737,6 +758,64 @@ def focusing_factor(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple, limit=2.0):
     return jnp.minimum(focusing, limit)
 
 
+# moment-factored SP1 quadrature: 1/L = exp(b1(z) + bb(z) w), w = ln(f/GHz),
+# and both frequency branches share the intercept b1 (attenuation.sp1_w_coeffs)
+# so exp(bb w) = exp(b_bar w) exp((bb - b_bar) w) Taylor-expands around a
+# static per-branch center — the quadrature then needs ONE exp per depth
+# sample (not one per (sample, frequency)) and the frequency evaluation
+# collapses to an [K+1]x[K+1,F] contraction. |bb - b_bar| <= 0.13 (lo) /
+# 0.47 (hi) over z in [-2800, 0], so K=10 keeps the truncation below 1e-6
+# for any detector band (incl. sparse grids down to 0.1 MHz via the w clamp).
+_SP1_BLO = 0.22
+_SP1_BHI = 1.6
+_SP1_K = 10
+
+
+def _sp1_branch_moments(c0, ice, qt, qw, z_start, z_end_top):
+    """Taylor moments M_k = int q(z) e^{b1(z)} (bb(z)-b_bar)^k ds for one
+    t-substituted quadrature branch; (lo, hi) moment vectors of length K+1."""
+    T = jnp.sqrt(jnp.maximum(z_end_top - z_start, 0.0))
+    t = jnp.asarray(qt, c0.dtype) * T
+    z = z_end_top - t ** 2
+    nz = _n_z(z, ice)
+    arg = jnp.maximum(_arg_stable(z, c0, ice), 1e-20)
+    ds_dt = 2.0 * t * c0 * nz / jnp.sqrt(arg)
+    q = jnp.asarray(qw, c0.dtype) * ds_dt * T
+    b1, bb_lo, bb_hi = attenuation_ops.sp1_w_coeffs(z)
+    e = jnp.where(z > 0, 0.0, q * jnp.exp(b1))
+    dlo = bb_lo - _SP1_BLO
+    dhi = bb_hi - _SP1_BHI
+    mlo, mhi = [], []
+    plo = e
+    phi = e
+    for _ in range(_SP1_K + 1):
+        mlo.append(jnp.sum(plo))
+        mhi.append(jnp.sum(phi))
+        plo = plo * dlo
+        phi = phi * dhi
+    return jnp.stack(mlo), jnp.stack(mhi)
+
+
+def _sp1_attenuation_from_moments(m_lo, m_hi, frequencies, dtype):
+    """exp(-exponent(f)) from the summed branch moments."""
+    import math as _math
+
+    import numpy as _np
+    from nuradiomc_tpu.utils import units as _units
+
+    f_ghz = jnp.maximum(frequencies / _units.GHz, 1e-4)
+    w = jnp.log(f_ghz).astype(dtype)                      # [F]
+    kk = _np.arange(_SP1_K + 1)
+    inv_fact = jnp.asarray(1.0 / _np.asarray(
+        [_math.factorial(int(k)) for k in kk]), dtype)
+    wk = jnp.power(w[None, :], jnp.asarray(kk, dtype)[:, None]) \
+        * inv_fact[:, None]                               # [K+1, F]
+    expo_lo = jnp.exp(_SP1_BLO * w) * (m_lo @ wk)
+    expo_hi = jnp.exp(_SP1_BHI * w) * (m_hi @ wk)
+    lo = frequencies < 1.0 * _units.GHz
+    return jnp.exp(-jnp.where(lo, expo_lo, expo_hi))
+
+
 def attenuation_factor(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple,
                        frequencies, model: str, n_steps: int = 64,
                        quadrature: str = "midpoint"):
@@ -763,6 +842,14 @@ def attenuation_factor(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple,
 
     qt, qw = _quad_nodes(n_steps, quadrature)
 
+    if model == "SP1":
+        up_lo, up_hi = _sp1_branch_moments(
+            c0, ice, qt, qw, x1z, jnp.where(direct, x2z, z_top))
+        dn_lo, dn_hi = _sp1_branch_moments(
+            c0, ice, qt, qw, x2z, jnp.where(direct, x2z, z_top))
+        return _sp1_attenuation_from_moments(
+            up_lo + dn_lo, up_hi + dn_hi, frequencies, c0.dtype)
+
     def branch_exponent(z_start, z_end_top):
         """int_{z_start}^{z_end_top} ds/L, with z_end_top >= z_start, via t-substitution."""
         # t in [0, T], z = z_end_top - t^2; quadrature nodes on [0, 1]
@@ -770,7 +857,7 @@ def attenuation_factor(c0, x1y, x1z, x2y, x2z, ice: IceModelSimple,
         t = jnp.asarray(qt, c0.dtype) * T
         z = z_end_top - t ** 2
         nz = _n_z(z, ice)
-        arg = jnp.maximum(c0 ** 2 * nz ** 2 - 1.0, 1e-20)
+        arg = jnp.maximum(_arg_stable(z, c0, ice), 1e-20)
         ds_dt = 2.0 * t * c0 * nz / jnp.sqrt(arg)
         # guard: at the exact turning point arg -> 0 like t^2, ratio finite;
         # the epsilon floor keeps it bounded

@@ -146,3 +146,70 @@ def test_focusing_implicit_matches_numeric():
     rel = np.abs(d_imp - d_num) / np.maximum(d_num, 1e-12)
     assert np.median(rel[m]) < 1e-3
     assert rel[m].max() < 0.01
+
+
+def test_sp1_moment_quadrature_equivalence(golden, solutions):
+    """The moment-factored SP1 quadrature (one exp per depth sample,
+    Taylor-in-(bb - b_bar) frequency evaluation) must agree with the exact
+    exp(b1 + bb*w) branch quadrature (attenuation_factor_general, which
+    evaluates inv_length_factored per (sample, frequency)) to ~1e-4 across
+    the full band incl. sub-MHz frequencies."""
+    geom, sols = solutions
+    ice = ice_models.southpole_simple
+    # wide grid: 0.3 MHz .. 5 GHz
+    ff = jnp.asarray(np.geomspace(3e-4, 5.0, 24))
+
+    # the same internal classification attenuation_factor uses (sol_type
+    # from find_solutions can disagree near the shadow boundary)
+    mirror = jax.jit(jax.vmap(jax.vmap(
+        lambda c0, a, b, c, d: raytrace._solution_type(c0, a, b, c, d, ice)
+        != raytrace.SOL_DIRECT,
+        in_axes=(0, None, None, None, None)),
+    ))(sols.c0, geom.x1y, geom.x1z, geom.x2y, geom.x2z)
+
+    def general(c0, m, x1z, x2z):
+        def f(mm):
+            return raytrace.attenuation_factor_general(
+                c0, x1z, x2z, ice, ff, "SP1", r=0, case=1, mirror=mm,
+                n_steps=128, quadrature="gauss")
+        return jnp.where(m, f(True), f(False))
+
+    exact = jax.jit(jax.vmap(jax.vmap(
+        general, in_axes=(0, 0, None, None)),
+    ))(sols.c0, mirror, geom.x1z, geom.x2z)
+
+    fast = jax.jit(jax.vmap(jax.vmap(
+        lambda c0, x1y, x1z, x2y, x2z: raytrace.attenuation_factor(
+            c0, x1y, x1z, x2y, x2z, ice, ff, "SP1", n_steps=128,
+            quadrature="gauss"),
+        in_axes=(0, None, None, None, None)),
+    ))(sols.c0, geom.x1y, geom.x1z, geom.x2y, geom.x2z)
+
+    mask = np.asarray(sols.mask) & (np.asarray(sols.sol_type) != 3)
+    # (reflected rays clamp z_top to the surface in attenuation_factor but
+    # not in the r=0 general path's turning point -- excluded: different
+    # node placement, not different math)
+    np.testing.assert_allclose(np.asarray(fast)[mask],
+                               np.asarray(exact)[mask], atol=2e-4, rtol=2e-4)
+
+    # float32 path stays well-behaved (excluding slots whose direct/mirror
+    # classification flips at reduced precision near the shadow boundary —
+    # a different path, not a different quadrature)
+    mirror32 = jax.jit(jax.vmap(jax.vmap(
+        lambda c0, a, b, c, d: raytrace._solution_type(c0, a, b, c, d, ice)
+        != raytrace.SOL_DIRECT,
+        in_axes=(0, None, None, None, None)),
+    ))(jnp.asarray(sols.c0, jnp.float32),
+       jnp.asarray(geom.x1y, jnp.float32), jnp.asarray(geom.x1z, jnp.float32),
+       jnp.asarray(geom.x2y, jnp.float32), jnp.asarray(geom.x2z, jnp.float32))
+    mask32 = mask & (np.asarray(mirror32) == np.asarray(mirror))
+    fast32 = jax.jit(jax.vmap(jax.vmap(
+        lambda c0, x1y, x1z, x2y, x2z: raytrace.attenuation_factor(
+            c0, x1y, x1z, x2y, x2z, ice, jnp.asarray(ff, jnp.float32),
+            "SP1", n_steps=32, quadrature="gauss"),
+        in_axes=(0, None, None, None, None)),
+    ))(jnp.asarray(sols.c0, jnp.float32),
+       jnp.asarray(geom.x1y, jnp.float32), jnp.asarray(geom.x1z, jnp.float32),
+       jnp.asarray(geom.x2y, jnp.float32), jnp.asarray(geom.x2z, jnp.float32))
+    np.testing.assert_allclose(np.asarray(fast32)[mask32],
+                               np.asarray(exact)[mask32], atol=2e-3)
