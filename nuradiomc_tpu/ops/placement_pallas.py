@@ -241,6 +241,18 @@ def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
     F_base = D_r.shape[1]
     offsets = offsets.reshape(R, 1)
     assert R % row_tile == 0 and row_tile % s2 == 0
+    # shrink the tile until the kernel's working set fits scoped VMEM
+    # (~16 MB): row inputs + 4 DFT matrices + ~4 row_tile x F_base f32
+    # temporaries (Xb products / phase) + the output tile
+    def _vmem(rt):
+        # ~10 row_tile x F_base temporaries measured from the Mosaic scoped
+        # allocation report (16.66M at rt=256, F_int=257, F_base=1025)
+        return 4 * (2 * rt * F_int + 4 * F_int * F_base
+                    + 10 * rt * F_base + 2 * (rt // s2) * F_base)
+    while row_tile > s2 and _vmem(row_tile) > 14 * 2 ** 20 \
+            and row_tile % 2 == 0 and (row_tile // 2) % s2 == 0 \
+            and R % (row_tile // 2) == 0:
+        row_tile //= 2
     grid = (R // row_tile,)
     out_tile = row_tile // s2
 

@@ -43,6 +43,10 @@ class EventInput:
     # (simulation.py:737-740); None when absent from the input file
     shower_realization_Alvarez2009: np.ndarray = None
     shower_realization_ARZ: np.ndarray = None
+    # emitter-mode per-row columns (attrs simulation_mode == 'emitter',
+    # generator write side: examples/05_pulser_calibration A01; read side:
+    # simulation.py:750-758 reads every 'emitter_<param>' dataset)
+    emitter: dict = None
 
     @property
     def n_showers(self) -> int:
@@ -58,23 +62,41 @@ def read_input_hdf5(path: str) -> EventInput:
             return default
 
         n = len(f["shower_ids"])
+        mode = f.attrs.get("simulation_mode", "neutrino")
+        mode = mode.decode() if isinstance(mode, bytes) else str(mode)
+        emitter = None
+        if mode == "emitter":
+            # emitter event lists carry emitter_* columns and usually no
+            # shower kinematics — synthesize neutral defaults for those
+            emitter = {k: np.asarray(f[k]) for k in f.keys()
+                       if k.startswith("emitter_")}
+        amps = get("emitter_amplitudes", np.zeros(n))
+
+        def strings(key, default):
+            raw = get(key)
+            if raw is None:
+                return np.full(n, default, dtype="U8")
+            return np.array([s.decode() if isinstance(s, bytes) else s
+                             for s in raw])
+
         return EventInput(
             event_group_ids=get("event_group_ids"),
             shower_ids=get("shower_ids"),
             xx=get("xx"), yy=get("yy"), zz=get("zz"),
-            zeniths=get("zeniths"), azimuths=get("azimuths"),
-            energies=get("energies"),
-            shower_energies=get("shower_energies"),
-            shower_type=np.array([s.decode() if isinstance(s, bytes) else s
-                                  for s in get("shower_type")]),
-            flavors=get("flavors"),
-            interaction_type=np.array([s.decode() if isinstance(s, bytes) else s
-                                       for s in get("interaction_type")]),
-            inelasticity=get("inelasticity"),
+            zeniths=get("zeniths", np.zeros(n)),
+            azimuths=get("azimuths", np.zeros(n)),
+            energies=get("energies", amps),
+            shower_energies=get("shower_energies",
+                                get("energies", amps)),
+            shower_type=strings("shower_type", "had"),
+            flavors=get("flavors", np.zeros(n, dtype=int)),
+            interaction_type=strings("interaction_type", "nc"),
+            inelasticity=get("inelasticity", np.ones(n)),
             vertex_times=get("vertex_times", np.zeros(n)),
             attrs=dict(f.attrs),
             shower_realization_Alvarez2009=get("shower_realization_Alvarez2009"),
             shower_realization_ARZ=get("shower_realization_ARZ"),
+            emitter=emitter,
         )
 
 

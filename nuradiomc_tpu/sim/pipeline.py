@@ -249,6 +249,9 @@ class ShowerBatch(NamedTuple):
     k_L: jnp.ndarray           # [G, S] Alvarez2009 parameter (ignored otherwise)
     vertex_times: jnp.ndarray  # [G, S]
     profile_idx: Optional[jnp.ndarray] = None  # [G, S] ARZ shower-library pick
+    # emitter mode: per-emitter efield polarization (0 = eTheta, 1 = ePhi;
+    # efield_delta_pulse semantics, SignalGen/emitter.py:153-157)
+    emitter_polarization: Optional[jnp.ndarray] = None  # [G, S]
 
 
 class PipelineOutput(NamedTuple):
@@ -457,6 +460,11 @@ class EmitterParams(NamedTuple):
     rot: jnp.ndarray           # [3, 3]
     kind: int
     half_width: float = 5.0
+    # measured-waveform models (idl1/hvsp1/ARA02/rno_cal5C_*): the unit-
+    # amplitude voltage spectrum, precomputed on the host (the waveform is
+    # normalized so amplitude scales it linearly, emitter.py:121-152);
+    # numpy, [F_int] complex. None for analytic models.
+    unit_spec: Optional[np.ndarray] = None
 
 
 def _eval_trigger(t: TriggerSettings, channel_traces, chan_spec, base_t0,
@@ -712,24 +720,52 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
 
         valid = sols.mask & batch.shower_mask[:, :, None, None]
 
-        vspec = jax.vmap(lambda amp, fq: emitter_ops.get_frequency_spectrum(
-            amp, s.n_internal, dt, emitter.model,
-            emitter_frequency=fq, half_width=emitter.half_width))(
-            flat(jnp.broadcast_to(batch.energies[:, :, None, None], bshape)),
-            flat(jnp.broadcast_to(batch.k_L[:, :, None, None], bshape)),
-        ).reshape(*bshape, -1)
+        if emitter.model.startswith("efield_"):
+            # efield emitter models produce (eR, eTheta, ePhi) directly —
+            # no emitting antenna, no -i f n/c factor; only the 1/R
+            # spreading is applied here (simulation.py:388-400, 421-423)
+            pol = (batch.emitter_polarization
+                   if batch.emitter_polarization is not None
+                   else jnp.full_like(batch.energies, 0.5))
+            spec3 = jax.vmap(
+                lambda amp, p: emitter_ops.get_frequency_spectrum(
+                    amp, s.n_internal, dt, emitter.model, polarization=p,
+                    half_width=emitter.half_width))(
+                flat(jnp.broadcast_to(batch.energies[:, :, None, None],
+                                      bshape)),
+                flat(jnp.broadcast_to(pol[:, :, None, None], bshape)),
+            ).reshape(*bshape, 3, -1)
+            e_theta = spec3[..., 1, :] / R_safe[..., None]
+            e_phi = spec3[..., 2, :] / R_safe[..., None]
+        else:
+            if emitter.unit_spec is not None:
+                # measured waveform: per-row amplitude x static unit spectrum
+                vspec = (batch.energies[:, :, None, None, None]
+                         * jnp.asarray(emitter.unit_spec))
+                vspec = jnp.broadcast_to(vspec, (*bshape, vspec.shape[-1]))
+            else:
+                vspec = jax.vmap(lambda amp, fq: emitter_ops.get_frequency_spectrum(
+                    amp, s.n_internal, dt, emitter.model,
+                    emitter_frequency=fq, half_width=emitter.half_width))(
+                    flat(jnp.broadcast_to(batch.energies[:, :, None, None], bshape)),
+                    flat(jnp.broadcast_to(batch.k_L[:, :, None, None], bshape)),
+                ).reshape(*bshape, -1)
 
-        zen_l, az_l = geometry.cartesian_to_spherical(launch)
-        vel_t, vel_p = jax.vmap(lambda z, a: antenna.analytic_vel(
-            z, a, emitter.rot, emitter.templates, emitter.kind))(
-            flat(zen_l), flat(az_l))
-        vel_t = vel_t.reshape(*bshape, -1)
-        vel_p = vel_p.reshape(*bshape, -1)
+            zen_l, az_l = geometry.cartesian_to_spherical(launch)
+            # templates/rot are numpy closure constants (axon rule) — the
+            # LPDA sector gather needs a device array
+            em_tpl = jnp.asarray(emitter.templates)
+            em_rot = jnp.asarray(emitter.rot)
+            vel_t, vel_p = jax.vmap(lambda z, a: antenna.analytic_vel(
+                z, a, em_rot, em_tpl, emitter.kind))(
+                flat(zen_l), flat(az_l))
+            vel_t = vel_t.reshape(*bshape, -1)
+            vel_p = vel_p.reshape(*bshape, -1)
 
-        deriv = ((-1j) * ff_int[None, None, None, None, :]
-                 * n_vertex[:, :, None, None, None] / speed_of_light)
-        e_theta = vel_t * vspec * deriv / R_safe[..., None]
-        e_phi = vel_p * vspec * deriv / R_safe[..., None]
+            deriv = ((-1j) * ff_int[None, None, None, None, :]
+                     * n_vertex[:, :, None, None, None] / speed_of_light)
+            e_theta = vel_t * vspec * deriv / R_safe[..., None]
+            e_phi = vel_p * vspec * deriv / R_safe[..., None]
         pol_onsky = jnp.zeros((*bshape, 3), dtype=real_dtype)
 
     # ---- 5. propagation effects --------------------------------------------

@@ -26,6 +26,7 @@ import numpy as np
 from nuradiomc_tpu.detector.detector import Detector
 from nuradiomc_tpu.models import ice as ice_models
 from nuradiomc_tpu.ops import antenna, askaryan, filters, phased_array
+from nuradiomc_tpu.ops import emitter as emitter_ops
 from nuradiomc_tpu.sim import earth_attenuation, io_hdf5
 from nuradiomc_tpu.sim.pipeline import (ChannelParams, PipelineOutput,
                                         PipelineSettings, ShowerBatch,
@@ -299,10 +300,12 @@ class Simulation:
 
         # ---- input ----------------------------------------------------------
         self.input = io_hdf5.read_input_hdf5(inputfilename)
+        self._emitter = self._build_emitter_params()
 
         def _step_mesh(batch, key, chp):
             out = simulate_batch(batch, chp, self.settings, noise_key=key,
-                                 arz_library=self.arz_library)
+                                 arz_library=self.arz_library,
+                                 emitter=self._emitter)
             # device-side trigger-count reduction: under a sharded batch this
             # compiles to a per-shard sum + AllReduce over the event axis
             return out, jnp.sum(out.triggered.astype(jnp.int32))
@@ -323,7 +326,8 @@ class Simulation:
                 self._jit_step_by_station[station_id] = jax.jit(
                     lambda batch, key: simulate_batch(
                         batch, chp, self.settings, noise_key=key,
-                        arz_library=self.arz_library))
+                        arz_library=self.arz_library,
+                        emitter=self._emitter))
             return self._jit_step_by_station[station_id]
 
         self._single_step_for = _single_step_for
@@ -338,6 +342,77 @@ class Simulation:
         self._jit_pipeline = lambda batch, key: self._jit_pipeline_ch(
             batch, key, self.channel_params)
 
+
+    def _build_emitter_params(self):
+        """EmitterParams when the input declares simulation_mode='emitter'
+        (calculate_sim_efield_for_emitter, simulation.py:299-460): the
+        emitter model + (for voltage models) the emitting-antenna VEL.
+        Static per run; per-row amplitude/frequency/polarization ride the
+        ShowerBatch."""
+        mode = self.input.attrs.get("simulation_mode", "neutrino")
+        mode = mode.decode() if isinstance(mode, bytes) else str(mode)
+        self.emitter_mode = (mode == "emitter")
+        if not self.emitter_mode:
+            return None
+        from nuradiomc_tpu.sim.pipeline import EmitterParams
+
+        em = self.input.emitter or {}
+
+        def uniq(key, default=None):
+            if key not in em:
+                return default
+            vals = [v.decode() if isinstance(v, bytes) else v for v in em[key]]
+            u = sorted(set(np.asarray(vals).tolist()))
+            if len(u) != 1:
+                raise NotImplementedError(
+                    f"mixed per-row {key} in one emitter run is not "
+                    f"supported (found {u}); split the input file")
+            return u[0]
+
+        model = str(uniq("emitter_model"))
+        half_width = float(uniq("emitter_half_width", 5.0) or 5.0)
+        dtc = np.complex64 if jnp.dtype(self.dtype) == jnp.float32 \
+            else np.complex128
+        freqs_int = np.fft.rfftfreq(self.n_internal, 1.0 / self.internal_rate)
+        if model.startswith("efield_"):
+            tpl = np.zeros((3, len(freqs_int)), dtype=dtc)
+            rot = np.eye(3)
+            kind = 0
+        else:
+            ant = str(uniq("emitter_antenna_type"))
+            ant = self.antenna_replacements.get(ant, ant)
+            if ant not in antenna.ANALYTIC_MODELS:
+                raise NotImplementedError(
+                    f"emitting antenna '{ant}' is not analytic; pass "
+                    "antenna_replacements or antenna_models_path")
+            kind = antenna.ANALYTIC_MODELS[ant][0]
+            t = antenna.build_analytic_template(ant, freqs_int)
+            tpl = np.zeros((3, len(freqs_int)), dtype=dtc)
+            tpl[:t.shape[0]] = t
+            if t.shape[0] == 1:
+                tpl[1:] = t[0]
+            rot = antenna.antenna_rotation_matrix(
+                float(uniq("emitter_orientation_theta", 0.0) or 0.0),
+                float(uniq("emitter_orientation_phi", 0.0) or 0.0),
+                float(uniq("emitter_rotation_theta", 0.0) or 0.0),
+                float(uniq("emitter_rotation_phi", 0.0) or 0.0))
+        dtr = np.float64 if jnp.dtype(self.dtype) == jnp.float64 \
+            else np.float32
+        unit_spec = None
+        if model in emitter_ops.MEASURED_MODELS:
+            # measured lab waveform: amplitude scales the normalized trace
+            # linearly (emitter.py:121-152), so the unit-amplitude spectrum
+            # is a static host-side constant
+            trace = emitter_ops.get_measured_time_trace(
+                model, 1.0, self.n_internal, 1.0 / self.internal_rate)
+            # numpy, not utils.fft: closure constants must stay host-side
+            # numpy (eager device ops raise UNIMPLEMENTED through the axon
+            # tunnel, CLAUDE.md)
+            unit_spec = np.asarray(
+                np.fft.rfft(trace) / self.internal_rate * np.sqrt(2.0), dtc)
+        return EmitterParams(model=model, templates=np.asarray(tpl, dtc),
+                             rot=np.asarray(rot, dtr), kind=int(kind),
+                             half_width=half_width, unit_spec=unit_spec)
 
     def _chain_response_for(self, freqs, channel_id, chain):
         """Combined response of the stages applying to ``channel_id``."""
@@ -574,13 +649,22 @@ class Simulation:
         S = int(count.max())
         dt = np.float64 if jnp.dtype(self.dtype) == jnp.float64 else np.float32
 
-        cols, mask = native.pad_columns(
-            {"xx": inp.xx, "yy": inp.yy, "zz": inp.zz,
-             "energies": inp.shower_energies,
-             "is_em": (inp.shower_type == "em").astype(float),
-             "zeniths": inp.zeniths, "azimuths": inp.azimuths,
-             "vertex_times": inp.vertex_times},
-            order, start, count, S)
+        pad_src = {"xx": inp.xx, "yy": inp.yy, "zz": inp.zz,
+                   "energies": inp.shower_energies,
+                   "is_em": (inp.shower_type == "em").astype(float),
+                   "zeniths": inp.zeniths, "azimuths": inp.azimuths,
+                   "vertex_times": inp.vertex_times}
+        if getattr(self, "emitter_mode", False):
+            em = inp.emitter or {}
+            n = inp.n_showers
+            pad_src["emitter_polarization"] = np.asarray(
+                em.get("emitter_polarization", np.full(n, 0.5)), dtype=float)
+            pad_src["emitter_frequency"] = np.asarray(
+                em.get("emitter_frequency", np.zeros(n)), dtype=float)
+            if "emitter_time" in em:
+                pad_src["vertex_times"] = np.asarray(em["emitter_time"],
+                                                     dtype=float)
+        cols, mask = native.pad_columns(pad_src, order, start, count, S)
 
         def padded(name):
             return cols[name].astype(dt)
@@ -640,16 +724,26 @@ class Simulation:
             key_name = ("shower_realization_ARZ" if model.startswith("ARZ")
                         else "shower_realization_Alvarez2009")
             self._realizations[key_name] = flat
+        emitter_pol = None
+        if getattr(self, "emitter_mode", False):
+            # emitter runs: k_L carries the per-row emitter frequency
+            # (cw/tone_burst); no Askaryan realizations
+            k_L = cols["emitter_frequency"].astype(dt)
+            emitter_pol = cols["emitter_polarization"].astype(dt)
+            self._realizations = {}
         batch = ShowerBatch(
             vertices=vert.astype(dt), energies=energies,
             is_em=is_em, shower_mask=mask,
             prop_dir=prop_dir.astype(dt), k_L=k_L,
-            vertex_times=vertex_times, profile_idx=profile_idx)
+            vertex_times=vertex_times, profile_idx=profile_idx,
+            emitter_polarization=emitter_pol)
         return group_ids, start, count, order, batch
 
     def _weights(self, group_ids, start, count, order):
         """Per-group earth-absorption weight (simulation.py:852 -> get_weight)."""
         inp = self.input
+        if getattr(self, "emitter_mode", False):
+            return np.ones(len(group_ids))
         first = order[start]
         mode = self.config["weights"]["weight_mode"]
         xsec = self.config["weights"]["cross_section_type"]
