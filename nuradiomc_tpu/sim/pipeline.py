@@ -56,8 +56,10 @@ class PipelineSettings:
     sampling_rate: float = 2.0     # internal rate, GHz
     delta_C_cut: float = 0.698     # rad, speedup cut off the Cherenkov cone
     distance_cut: bool = False     # polynomial vertex-distance speedup cut
-    distance_cut_coefficients: tuple = (-1.56610502e02, 2.54070157e01,
-                                        -1.34286590e00, 2.43426766e-02)
+    # config_default.yaml:20-21
+    distance_cut_coefficients: tuple = (-1.56434411e02, 2.54131322e01,
+                                        -1.34932379e00, 2.39984185e-02)
+    distance_cut_sum_length: float = 10.0   # m
     n_freq_attenuation: int = 25   # sparse frequencies for the attenuation integral
     # detector nyquist frequency: the sparse attenuation grid is dense up to
     # here and half as dense above (reference analyticraytracing.py:885-931)
@@ -616,14 +618,25 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
 
     if s.distance_cut:
         # skip shower-channel pairs whose vertex distance exceeds the
-        # energy-dependent polynomial cut (simulation.py:1399-1409; applied
-        # per shower energy — the reference's local energy sum reduces to
-        # this for spatially separated showers)
-        log10_E = jnp.log10(jnp.maximum(batch.energies, 1.0))
+        # energy-dependent polynomial cut (simulation.py:1399-1409 with the
+        # 100 m floor; calculate_sim_efield:126-161): the energy entering
+        # the polynomial is the SUM over the group's showers whose distance
+        # from shower 0 is within distance_cut_sum_length of this shower's
+        # (simulation.py:157-160)
+        vd = jnp.linalg.norm(
+            batch.vertices - batch.vertices[:, :1, :], axis=-1)   # [G,S]
+        near = (jnp.abs(vd[:, None, :] - vd[:, :, None])
+                < s.distance_cut_sum_length)                      # [G,S_i,S_j]
+        near = near & batch.shower_mask[:, None, :]
+        e_sum = jnp.sum(jnp.where(near, batch.energies[:, None, :], 0.0),
+                        axis=-1)                                  # [G,S]
+        log10_E = jnp.log10(jnp.maximum(e_sum, 1.0))
         coeffs = jnp.asarray(s.distance_cut_coefficients)
         log10_dmax = (coeffs[0] + coeffs[1] * log10_E
                       + coeffs[2] * log10_E ** 2 + coeffs[3] * log10_E ** 3)
-        d_max = 10.0 ** log10_dmax                               # [G,S]
+        # max(100 m, ...) floor; non-positive energy sums also fall back to
+        # the floor (get_distance_cut, simulation.py:1404-1407)
+        d_max = jnp.maximum(10.0 ** log10_dmax, 100.0)           # [G,S]
         dist = jnp.linalg.norm(
             batch.vertices[:, :, None, :] - ch.positions[None, None, :, :],
             axis=-1)                                             # [G,S,C]
@@ -631,68 +644,65 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         sols = sols._replace(mask=sols.mask & distance_ok)
 
     # scalar-factoring fast path: polarization/Fresnel/focusing are scalars
-    # per (shower, channel, ray) for the parametrized Askaryan models; they
-    # factor out of every [.., F]-sized op. Not applicable when the efield
-    # has independent 3-component structure (ARZ, emitter) or must be
+    # per (shower, channel, ray) for ALL shower Askaryan models — the
+    # orchestrator reduces even the semi-MC ARZ trace to a scalar spectrum
+    # (askaryan.py:128 keeps only get_time_trace(...)[1]) — so they factor
+    # out of every [.., F]-sized op. Not applicable when the efield has
+    # independent 3-component structure (emitter efield models) or must be
     # materialized (birefringence segments mix pols; keep_efields output).
     factored = (emitter is None
-                and s.askaryan_model not in ("ARZ2019", "ARZ2020")
                 and not s.birefringence and not keep_efields
                 # tabulated VEL is frequency-dependent per direction, so the
                 # scalar-mixing factorization does not apply
                 and ch.antenna_table is None)
 
-    if emitter is None and s.askaryan_model in ("ARZ2019", "ARZ2020"):
-        # ---- 3/4. ARZ semi-analytic model: 3-component efield traces -------
-        from nuradiomc_tpu.ops import arz as arz_ops
-
-        if arz_library is None or batch.profile_idx is None:
-            raise ValueError("ARZ models require arz_library and batch.profile_idx")
-        valid = (sols.mask
-                 & (jnp.abs(delta_C) <= s.delta_C_cut)
-                 & batch.shower_mask[:, :, None, None])
-
-        def arz_one(E, view, em, n_idx, R, ip):
-            ce = arz_ops.select_profile(arz_library, E, em, ip)
-            tr = arz_ops.get_time_trace(E, view, s.n_internal, dt,
-                                        arz_library.depth, ce, em, n_idx, R,
-                                        version=s.askaryan_model)
-            return fft.time2freq(tr, s.sampling_rate)              # (3, F)
-
-        e3 = jax.vmap(arz_one)(
-            flat(jnp.broadcast_to(batch.energies[:, :, None, None], bshape)),
-            flat(viewing_angle),
-            flat(jnp.broadcast_to(batch.is_em[:, :, None, None], bshape)),
-            flat(jnp.broadcast_to(n_vertex[:, :, None, None], bshape)),
-            flat(R_safe),
-            flat(jnp.broadcast_to(batch.profile_idx[:, :, None, None], bshape)),
-        ).reshape(*bshape, 3, -1)
-        e_theta = e3[..., 1, :]
-        e_phi = e3[..., 2, :]
-        # record the on-sky polarization direction from the fluence split
-        pt = jnp.sum(jnp.abs(e_theta) ** 2, axis=-1)
-        pp = jnp.sum(jnp.abs(e_phi) ** 2, axis=-1)
-        norm = jnp.sqrt(jnp.maximum(pt + pp, 1e-30))
-        pol_onsky = jnp.stack([jnp.zeros_like(pt), jnp.sqrt(pt) / norm,
-                               jnp.sqrt(pp) / norm], axis=-1)
-    elif emitter is None:
+    if emitter is None:
         valid = (sols.mask
                  & (jnp.abs(delta_C) <= s.delta_C_cut)
                  & batch.shower_mask[:, :, None, None])            # [G,S,C,2]
 
-        # ---- 3. Askaryan spectrum per (G,S,C,2) ----------------------------
-        def spec_one(E, view, em, n_idx, R, kl):
-            return askaryan.get_frequency_spectrum(
-                E, view, s.n_internal, dt, em, n_idx, R, s.askaryan_model, k_L=kl)
+        if s.askaryan_model in ("ARZ2019", "ARZ2020"):
+            # ---- 3. ARZ semi-analytic model ------------------------------
+            # The production orchestrator uses only the eTheta component of
+            # the semi-MC trace as a SCALAR spectrum (askaryan.py:128 takes
+            # ARZ.get_time_trace(...)[1]) and outer-products it with the
+            # geometric polarization vector below (simulation.py:244-246) —
+            # exactly like the parametrized models.
+            from nuradiomc_tpu.ops import arz as arz_ops
 
-        spec = jax.vmap(spec_one)(
-            flat(jnp.broadcast_to(batch.energies[:, :, None, None], bshape)),
-            flat(viewing_angle),
-            flat(jnp.broadcast_to(batch.is_em[:, :, None, None], bshape)),
-            flat(jnp.broadcast_to(n_vertex[:, :, None, None], bshape)),
-            flat(R_safe),
-            flat(jnp.broadcast_to(batch.k_L[:, :, None, None], bshape)),
-        ).reshape(*bshape, -1)                                     # [G,S,C,2,F]
+            if arz_library is None or batch.profile_idx is None:
+                raise ValueError(
+                    "ARZ models require arz_library and batch.profile_idx")
+
+            def arz_one(E, view, em, n_idx, R, ip):
+                ce = arz_ops.select_profile(arz_library, E, em, ip)
+                tr = arz_ops.get_time_trace(E, view, s.n_internal, dt,
+                                            arz_library.depth, ce, em, n_idx,
+                                            R, version=s.askaryan_model)
+                return fft.time2freq(tr[1], s.sampling_rate)       # (F,)
+
+            spec = jax.vmap(arz_one)(
+                flat(jnp.broadcast_to(batch.energies[:, :, None, None], bshape)),
+                flat(viewing_angle),
+                flat(jnp.broadcast_to(batch.is_em[:, :, None, None], bshape)),
+                flat(jnp.broadcast_to(n_vertex[:, :, None, None], bshape)),
+                flat(R_safe),
+                flat(jnp.broadcast_to(batch.profile_idx[:, :, None, None], bshape)),
+            ).reshape(*bshape, -1)                                 # [G,S,C,2,F]
+        else:
+            # ---- 3. Askaryan spectrum per (G,S,C,2) ------------------------
+            def spec_one(E, view, em, n_idx, R, kl):
+                return askaryan.get_frequency_spectrum(
+                    E, view, s.n_internal, dt, em, n_idx, R, s.askaryan_model, k_L=kl)
+
+            spec = jax.vmap(spec_one)(
+                flat(jnp.broadcast_to(batch.energies[:, :, None, None], bshape)),
+                flat(viewing_angle),
+                flat(jnp.broadcast_to(batch.is_em[:, :, None, None], bshape)),
+                flat(jnp.broadcast_to(n_vertex[:, :, None, None], bshape)),
+                flat(R_safe),
+                flat(jnp.broadcast_to(batch.k_L[:, :, None, None], bshape)),
+            ).reshape(*bshape, -1)                                 # [G,S,C,2,F]
 
         # ---- 4. polarization (on-sky at the vertex, simulation.py:798-829) -
         axis = batch.prop_dir[:, :, None, None, :]

@@ -163,7 +163,14 @@ class Simulation:
         # rescale detector samples to the internal rate (simulation.py:151-153)
         n = ch.n_samples[0] / ch.sampling_frequency[0] / dt
         self.n_internal = int(np.ceil(n / 2.0) * 2)
-        self.n_base = max(n_base, self.n_internal)
+        # the global time base must leave room beyond one readout window:
+        # pulses arriving later than (n_base - n_internal) samples after the
+        # group's earliest pulse fall into later sub-event windows
+        # (config n_windows) or are dropped. The reference's converter grows
+        # its global window to cover every pulse (efieldToVoltageConverter
+        # .py:139-166); with a static shape we keep >= 25% headroom.
+        pad = int(np.ceil(0.25 * self.n_internal / 128.0) * 128)
+        self.n_base = max(n_base, self.n_internal + pad)
 
         self.ice = ice_models.get_ice_model(cfg["propagation"]["ice_model"])
 
@@ -232,6 +239,7 @@ class Simulation:
             delta_C_cut=float(cfg["speedup"]["delta_C_cut"]),
             distance_cut=bool(cfg["speedup"]["distance_cut"]),
             distance_cut_coefficients=tuple(cfg["speedup"]["distance_cut_coefficients"]),
+            distance_cut_sum_length=float(cfg["speedup"]["distance_cut_sum_length"]),
             n_freq_attenuation=int(cfg["propagation"]["n_freq"]),
             # detector nyquist: the sparse attenuation grid is dense up to
             # max(channel adc rate)/2 and half as dense above

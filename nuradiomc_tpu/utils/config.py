@@ -34,8 +34,8 @@ DEFAULT_CONFIG: dict = {
         "min_efield_amplitude": 2,
         "amp_per_ray_solution": True,
         "distance_cut": False,
-        "distance_cut_coefficients": [-1.56610502e02, 2.54070157e01, -1.34286590e00, 2.43426766e-02],
-        "distance_cut_sum_length": 3 * units.m,
+        "distance_cut_coefficients": [-1.56434411e+02, 2.54131322e+01, -1.34932379e+00, 2.39984185e-02],
+        "distance_cut_sum_length": 10 * units.m,
     },
     "propagation": {
         "module": "analytic",

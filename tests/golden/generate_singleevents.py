@@ -16,9 +16,14 @@ Variants:
     plain  — config.yaml equivalent (ARAsim_southpole, focusing, Alvarez2000)
     mb     — config_MB.yaml equivalent (mooresbay_simple, n_reflections=1,
              split_event_time_diff=1e3)
+    arz    — config_ARZ.yaml equivalent (validate_ARZ.sh: ARZ2020 +
+             distance_cut), with the reference's ARZ class pointed at the
+             committed single-shower mini library (arz_minilib.pkl, built
+             from the repo's own raw AIRES profiles) so the stochastic
+             library pick is deterministic on both sides
 
 Run:  PYTHONPATH=/tmp/refstubs:/root/reference \
-          python tests/golden/generate_singleevents.py [plain|mb]
+          python tests/golden/generate_singleevents.py [plain|mb|arz]
 """
 import os
 import sys
@@ -101,6 +106,20 @@ if variant == "mb":
     base_cfg["speedup"]["delta_C_cut"] = 0.3490658503988659
     base_cfg["propagation"] = {"ice_model": "mooresbay_simple",
                                "n_reflections": 1}
+elif variant == "arz":
+    base_cfg["signal"]["model"] = "ARZ2020"
+    base_cfg["speedup"]["distance_cut"] = True
+    # deterministic single-shower library (the published library_v1.2.pkl
+    # is a data-server download; askaryan.py:120-122 builds ARZ() with the
+    # default path, so patch the class)
+    from NuRadioMC.SignalGen.ARZ import ARZ as ARZmod
+    _arz_init = ARZmod.ARZ.__init__
+
+    def _patched_arz_init(self, *args, **kwargs):
+        kwargs.setdefault("library", os.path.join(here, "arz_minilib.pkl"))
+        _arz_init(self, *args, **kwargs)
+
+    ARZmod.ARZ.__init__ = _patched_arz_init
 
 cfg_path = os.path.join(here, f"_singleevents_{variant}_config.yaml")
 with open(cfg_path, "w") as f:

@@ -101,3 +101,21 @@ def test_threshold_ladder_example(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "hilo_1.5sigma" in r.stdout and "loose_not_tight" in r.stdout
     assert os.path.exists(tmp_path / "ladder_veffs.yaml")
+
+
+def test_pulser_calibration_example(tmp_path):
+    ex = os.path.join(REPO, "examples", "10_pulser_calibration")
+    r1 = _run(os.path.join(ex, "A01_generate_pulser_events.py"), ["12"],
+              cwd=str(tmp_path))
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run(os.path.join(ex, "A02_run_simulation.py"), cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "triggered" in r2.stdout
+    # the amplitude sweep must be monotone: once a pulser amplitude
+    # triggers, every larger one does too
+    import re
+    seq = [int(x) for x in re.search(r"amplitude sweep: \[(.*)\]",
+                                     r2.stdout).group(1).split(",")]
+    first = seq.index(1) if 1 in seq else len(seq)
+    assert all(v == 1 for v in seq[first:]), seq
+    assert any(seq), "no pulser amplitude triggered"

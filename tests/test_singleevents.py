@@ -343,3 +343,111 @@ def test_singleevents_mooresbay_reflections_match_reference(tmp_path):
                         atol=0.02 * scale)
                     n_matched += 1
     assert n_matched > 50, n_matched
+
+
+GOLDEN_ARZ = os.path.join(HERE, "golden", "singleevents_arz_reference.npz")
+MINILIB = os.path.join(HERE, "golden", "arz_minilib.pkl")
+
+# recorded first-crossing cycle slips (group, trigger, ns); see comment in
+# the test body
+ALLOWED_ARZ_SLIPS = set()
+
+
+@pytest.mark.skipif(not (os.path.exists(GOLDEN_ARZ) and os.path.exists(INPUT)),
+                    reason="ARZ SingleEvents golden or reference input missing")
+def test_singleevents_arz_matches_reference(tmp_path):
+    """The reference's ARZ SingleEvents CI variant (validate_ARZ.sh,
+    config_ARZ.yaml): the semi-MC ARZ2020 Askaryan model + the
+    energy-dependent vertex-distance speedup cut. Both sides use the
+    committed single-shower mini library (arz_minilib.pkl) so the
+    stochastic profile pick is deterministic. Pins, on top of the plain
+    chain: the fused ARZ vector-potential path, realization persistence,
+    and the distance cut's 100 m floor + shower-energy-sum semantics
+    (simulation.py:1399-1409, calculate_sim_efield:126-161)."""
+    golden = np.load(GOLDEN_ARZ)
+    names = [n.decode() for n in golden["trigger_names"]]
+
+    sim = Simulation(
+        INPUT,
+        Detector(DETECTOR_JSON, default_station=101),
+        config={"sampling_rate": 5.0, "noise": False,
+                "speedup": {"minimum_weight_cut": 1e-5, "delta_C_cut": 0.698,
+                            "min_efield_amplitude": 2,
+                            "distance_cut": True},
+                "propagation": {"ice_model": "ARAsim_southpole",
+                                "focusing": True,
+                                "focusing_mode": "numeric"},
+                "signal": {"model": "ARZ2020"},
+                "trigger": {"noise_temperature": 300},
+                "weights": {"weight_mode": "core_mantle_crust_simple"}},
+        filter_chain=[
+            FilterStage((80 * units.MHz, 1000 * units.GHz), "butter",
+                        {"order": 2}),
+            FilterStage((0, 500 * units.MHz), "butter", {"order": 10}),
+        ],
+        triggers=TRIGGERS,
+        antenna_replacements=ANTENNAS,
+        arz_library_path=MINILIB,
+        chunk_size=32,
+        dtype=jnp.float64,
+        outputfilename=str(tmp_path / "singleevents_arz_out.hdf5"),
+    )
+    res = sim.run()
+    assert res["trigger_names"] == names
+    np.testing.assert_allclose(float(sim.Vrms), float(golden["Vrms"]),
+                               rtol=1e-6)
+
+    gid_ref = golden["group_ids"]
+    mt_ref = golden["multiple_triggers"]
+    tt_ref = golden["trigger_times"]
+    w_ref = golden["weights"]
+    groups = np.unique(gid_ref)
+    gidx = {int(g): i for i, g in enumerate(res["group_ids"])}
+    mt = np.asarray(res["multiple_triggers"])
+    tt = np.asarray(res["trigger_times_per_trigger"])
+
+    # simple_threshold latches the FIRST |V| > threshold sample; on an ARZ
+    # leading edge a few-permille trace difference (the model parity is
+    # 2e-3 of peak, tests/test_arz.py) can slip that first crossing by a
+    # cycle in either direction. Each allowed slip below is a recorded
+    # borderline: every pulse in the golden's own per-ray record for these
+    # groups sits at 0.6-1.5x threshold, so the crossing rides the leading
+    # edge. Anything outside this recorded set fails.
+    slips = []
+    for g in groups:
+        rows = np.where(gid_ref == g)[0]
+        i = gidx[int(g)]
+        for iT, name in enumerate(names):
+            ref_fired = bool(np.any(mt_ref[rows, iT]))
+            assert bool(mt[i, iT]) == ref_fired, (int(g), name)
+            if ref_fired:
+                t_ref = float(np.nanmin(tt_ref[rows, iT]))
+                dt_trig = float(tt[i, iT]) - t_ref
+                if abs(dt_trig) >= 5.0:
+                    slips.append((int(g), name, round(dt_trig, 2)))
+        np.testing.assert_allclose(res["weights"][i], w_ref[rows[0]],
+                                   rtol=1e-6)
+    assert set(slips) <= ALLOWED_ARZ_SLIPS, slips
+
+    ours = set(int(g) for g in res["group_ids"][np.asarray(res["triggered"])])
+    assert ours == set(int(g) for g in groups)
+
+    # ARZ realization persistence: the deterministic single-shower pick
+    import h5py
+    with h5py.File(sim.outputfilename) as f:
+        assert "shower_realization_ARZ" in f
+        st = f["station_101"]
+        got_amp = np.asarray(st["max_amp_shower_and_ray"])
+        got_sid = np.asarray(st["shower_id"])
+    ref_amp = golden["station_101_max_amp_shower_and_ray"]
+    ref_sid = golden["station_101_shower_id"]
+    scale = float(np.nanmax(ref_amp))
+    common = sorted(set(int(s) for s in ref_sid) &
+                    set(int(s) for s in got_sid))
+    assert common, "no common shower ids between golden and output"
+    for sid in common:
+        mine = np.nanmax(got_amp[got_sid == sid][0], axis=-1)
+        ref = np.nanmax(ref_amp[ref_sid == sid][0], axis=-1)
+        both = np.isfinite(mine) & np.isfinite(ref)
+        np.testing.assert_allclose(mine[both], ref[both],
+                                   atol=0.02 * scale)
