@@ -119,3 +119,28 @@ def test_pulser_calibration_example(tmp_path):
     first = seq.index(1) if 1 in seq else len(seq)
     assert all(v == 1 for v in seq[first:]), seq
     assert any(seq), "no pulser amplitude triggered"
+
+
+def test_station_coincidences_example(tmp_path):
+    ex = os.path.join(REPO, "examples", "11_station_coincidences")
+    r1 = _run(os.path.join(ex, "A01_create_detector.py"), ["900"],
+              cwd=str(tmp_path))
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run(os.path.join(ex, "A02_run_and_analyze.py"), ["150"],
+              cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "coincidences (>=2 stations):" in r2.stdout
+    # every station row reports its coincidence count with the center
+    assert r2.stdout.count("in coincidence with center") == 3
+
+
+def test_sensitivities_example(tmp_path):
+    r = _run(os.path.join(REPO, "examples", "12_sensitivities",
+                          "E2_fluxes.py"), cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "expected TA-GZK (ICRC2021) events:" in r.stdout
+    assert os.path.exists(tmp_path / "sensitivity.png")
+    # the expected GZK count for tens of km^3 sr over 10 yr is O(0.1-10)
+    import re
+    n = float(re.search(r"events: ([0-9.]+)", r.stdout).group(1))
+    assert 0.01 < n < 100, n
