@@ -189,3 +189,15 @@ def test_benchmark_settings_reproduce_golden(golden):
                                     & (res_p["weights"] >= min_w)])
     assert ref_groups <= mine_p, sorted(ref_groups - mine_p)
     assert (mine_p - ref_groups) <= {1272}, sorted(mine_p - ref_groups)
+
+    # bf16 DFT matmuls (`bench.py bf16`; inputs bf16, accumulation f32 via
+    # preferred_element_type) must hold the SAME golden set + borderline
+    # budget — this test is what licenses flipping matmul_dtype on the chip
+    sim.settings = dataclasses.replace(sim.settings, placement_impl="pallas",
+                                       matmul_dtype="bfloat16")
+    sim._jit_step_by_station = {}
+    res_b = sim.run()
+    mine_b = set(res_b["group_ids"][(res_b["triggered"])
+                                    & (res_b["weights"] >= min_w)])
+    assert ref_groups <= mine_b, sorted(ref_groups - mine_b)
+    assert (mine_b - ref_groups) <= {1272}, sorted(mine_b - ref_groups)
