@@ -265,6 +265,13 @@ def get_nu_cross_section(energy, flavors, inttype="total",
         crscn = np.where(anti,
                          ctw(energy, "nc_bar") + ctw(energy, "cc_bar"),
                          ctw(energy, "nc") + ctw(energy, "cc"))
+    elif isinstance(inttype, str):
+        # reference quirk, reproduced for seed-exact ccnc replay: a STRING
+        # 'cc'/'nc' uses the NEUTRINO parametrization for antineutrinos too
+        # (cross_sections.py:352-358 calls param(energy, inttype) for both
+        # particle and antiparticle selections); only 'total*' and ARRAY
+        # inttypes respect the _bar curves (:310-330, :373-381)
+        crscn = ctw(energy, inttype.lower())
     else:
         inttype_arr = np.broadcast_to(np.asarray(inttype), energy.shape)
         is_cc = np.char.lower(inttype_arr.astype(str)) == "cc"

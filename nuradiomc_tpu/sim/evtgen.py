@@ -197,8 +197,10 @@ def generate_eventlist_cylinder(
     data["vertex_times"] = np.zeros(n_events)
     data["azimuths"] = rnd.uniform(phimin, phimax, n_events)
     data["zeniths"] = np.arccos(rnd.uniform(np.cos(thetamax), np.cos(thetamin), n_events))
-    data["energies"] = get_energies(n_events, Emin, Emax, spectrum, rnd)
+    # flavor draw comes BEFORE the energy draw in the reference RNG stream
+    # (generator.py:1226-1229) — order matters for seed-exact input replay
     data["flavors"] = np.asarray(flavor)[rnd.integers(0, len(flavor), n_events)]
+    data["energies"] = get_energies(n_events, Emin, Emax, spectrum, rnd)
     data["n_interaction"] = np.ones(n_events, dtype=int)
 
     if interaction_type == "ccnc":
@@ -231,8 +233,9 @@ def generate_eventlist_cylinder(
                 extra = (1 - data["inelasticity"][idx_em]) * data["energies"][idx_em]
             elif key == "shower_type":
                 extra = np.full(len(idx_em), "em", dtype="U3")
-            elif key == "n_interaction":
-                extra = np.full(len(idx_em), 2, dtype=int)
+            # n_interaction stays 1 on the inserted EM row: the reference
+            # copies the hadronic row verbatim (generator.py:1268-1276) —
+            # both showers belong to the SAME (first) interaction
             insert_rows[key] = extra
         # interleave so rows stay sorted by event_group_id
         order = np.argsort(np.concatenate(

@@ -127,3 +127,57 @@ def test_generate_unforced(tmp_path):
         assert f.attrs["n_events"] == 30000      # thrown count
         assert bool(f.attrs["unforced"])
         assert len(np.asarray(f["xx"])) == n_kept
+
+
+def test_seed_exact_replay_of_reference_generator(tmp_path):
+    """Our generator replays the reference's RNG stream EXACTLY: same seed ->
+    byte-identical datasets (vertices, angles, flavors, ccnc, inelasticity,
+    EM-shower insertion, n_interaction). Pinned subtleties: the flavor draw
+    precedes the energy draw (generator.py:1226-1229); string-inttype CTW
+    uses the neutrino parametrization for antineutrinos in get_ccnc
+    (cross_sections.py:352-358); inserted EM rows copy the hadronic row
+    verbatim including n_interaction=1 (generator.py:1268-1276)."""
+    import subprocess
+    import sys
+
+    import h5py
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    if not os.path.isdir("/tmp/refstubs"):
+        subprocess.run([sys.executable, "tests/golden/make_refstubs.py"],
+                       check=True,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+
+    ref_path = str(tmp_path / "ref.hdf5")
+    script = f"""
+from NuRadioMC.EvtGen.generator import generate_eventlist_cylinder
+from NuRadioReco.utilities import units
+volume = {{"fiducial_rmin": 0 * units.km, "fiducial_rmax": 4 * units.km,
+          "fiducial_zmin": -2.7 * units.km, "fiducial_zmax": 0 * units.km}}
+generate_eventlist_cylinder({ref_path!r}, 2000, 1e18 * units.eV,
+                            1e18 * units.eV, volume, seed=10,
+                            cross_sections_model="ctw")
+print("REF-OK")
+"""
+    env = dict(os.environ, PYTHONPATH="/tmp/refstubs:/root/reference")
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True)
+    assert "REF-OK" in r.stdout, (r.stdout[-1500:], r.stderr[-3000:])
+
+    mine_path = str(tmp_path / "mine.hdf5")
+    evtgen.generate_eventlist_cylinder(
+        mine_path, 2000, 1e18 * units.eV, 1e18 * units.eV, VOLUME, seed=10,
+        cross_sections_model="ctw")
+
+    with h5py.File(ref_path) as a, h5py.File(mine_path) as b:
+        assert set(a.keys()) == set(b.keys())
+        for k in sorted(a.keys()):
+            va, vb = np.asarray(a[k]), np.asarray(b[k])
+            assert va.shape == vb.shape, k
+            if va.dtype.kind == "f":
+                assert np.array_equal(va, vb, equal_nan=True), k
+            elif va.dtype.kind in "SOU":
+                assert all(str(x) == str(y) for x, y in zip(va, vb)), k
+            else:
+                assert np.array_equal(va, vb), k
