@@ -164,6 +164,16 @@ class Detector:
         for st in stations_raw:
             sid = int(st["station_id"])
             chs = sorted(by_station.get(sid, []), key=lambda c: int(c["channel_id"]))
+            if not chs and st.get("reference_station") is not None:
+                # GenericDetector: a station without own channels serves the
+                # channels of its reference station (generic_detector.py
+                # reference-station defaulting)
+                ref_sid = int(st["reference_station"])
+                chs = [dict(c, station_id=sid)
+                       for c in sorted(by_station.get(ref_sid, []),
+                                       key=lambda c: int(c["channel_id"]))]
+                for c in chs:
+                    self._raw_channels[(sid, int(c["channel_id"]))] = c
             if not chs:
                 continue
             n = len(chs)
@@ -197,6 +207,42 @@ class Detector:
 
     def get_station_ids(self):
         return sorted(self._stations)
+
+    def has_station(self, station_id):
+        return int(station_id) in self._stations
+
+    def get_reference_station_ids(self):
+        """GenericDetector API: the station id(s) used for field defaulting."""
+        return [self._ref_station_id] if self._ref_station_id is not None else []
+
+    def add_generic_station(self, station_dict):
+        """Add a station on the fly (generic_detector.add_generic_station):
+        channels come from ``reference_station`` unless provided separately."""
+        self._stations_raw.append(dict(station_dict))
+        self._build()
+
+    def add_station_properties_for_event(self, properties, station_id,
+                                         run_number, event_id):
+        """Per-event station property overrides
+        (generic_detector.add_station_properties_for_event)."""
+        if not hasattr(self, "_event_properties"):
+            self._event_properties = {}
+        self._event_properties.setdefault((run_number, event_id), {})[
+            int(station_id)] = dict(properties)
+
+    def set_event(self, run_number, event_id):
+        """Apply the per-event station overrides registered for
+        (run_number, event_id) (generic_detector.set_event)."""
+        overrides = getattr(self, "_event_properties", {}).get(
+            (run_number, event_id), {})
+        for sid, props in overrides.items():
+            if sid in self._stations:
+                st = self._stations[sid]
+                st.absolute_position = np.array([
+                    props.get("pos_easting", st.absolute_position[0]),
+                    props.get("pos_northing", st.absolute_position[1]),
+                    props.get("pos_altitude", st.absolute_position[2]),
+                ], dtype=float)
 
     def get_channel(self, station_id: int, channel_id: int) -> dict:
         """Raw channel description dict (detector_base.get_channel)."""

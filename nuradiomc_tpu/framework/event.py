@@ -265,6 +265,22 @@ class SimStation(BaseStation):
         self._candidate = None
         self._is_neutrino = False
         self._is_cosmic_ray = False
+        self._simulation_weight = None
+        self._magnetic_field_vector = None
+
+    def set_simulation_weight(self, weight):
+        """Area (or probability) weight of this simulated station
+        (sim_station.py set_simulation_weight)."""
+        self._simulation_weight = weight
+
+    def get_simulation_weight(self):
+        return self._simulation_weight
+
+    def set_magnetic_field_vector(self, magnetic_field_vector):
+        self._magnetic_field_vector = magnetic_field_vector
+
+    def get_magnetic_field_vector(self):
+        return self._magnetic_field_vector
 
     def is_candidate(self):
         return self._candidate
@@ -416,6 +432,14 @@ class Event:
 
     def get_hybrid_information(self):
         return self._hybrid_information
+
+    def set_event_time(self, event_time):
+        """Wall-clock time of the event (event.py set_event_time); stored
+        as-is (datetime / astropy Time / float are all accepted)."""
+        self._event_time = event_time
+
+    def get_event_time(self):
+        return getattr(self, "_event_time", None)
 
     def get_run_number(self):
         return self._run_number

@@ -38,7 +38,9 @@ class channelTemplateCorrelation:
         self._templates = dict(templates)
 
     @register_run()
-    def run(self, evt, station, det=None):
+    def run(self, evt, station, det=None, cosmic_ray=True):
+        type_str = "cr" if cosmic_ray else "nu"
+        xcorr_param = chp.cr_xcorrelations if cosmic_ray else chp.nu_xcorrelations
         for channel in station.iter_channels():
             tpl = self._templates.get(channel.get_id(),
                                       self._templates.get("default"))
@@ -49,9 +51,16 @@ class channelTemplateCorrelation:
             b = (tpl - np.mean(tpl))
             denom = np.std(trace) * np.std(tpl) * len(tpl)
             xcorr = scsig.correlate(a, b, mode="full") / max(denom, 1e-300)
-            channel[chp.cr_xcorrelations] = {
-                "cr_max_xcorr": float(np.max(np.abs(xcorr))),
-                "cr_xcorr_time": int(np.argmax(np.abs(xcorr)))}
+            imax = int(np.argmax(np.abs(xcorr)))
+            # full-mode lag: template start aligned at sample imax-(len(tpl)-1)
+            lag = (imax - (len(tpl) - 1)) / channel.get_sampling_rate()
+            channel[xcorr_param] = {
+                f"{type_str}_max_xcorr": float(np.max(np.abs(xcorr))),
+                f"{type_str}_xcorr_time": imax,
+                # time of the template arrival within the trace, as consumed
+                # by templateDirectionFitter (templateDirectionFitter.py:60)
+                f"{type_str}_ref_xcorr_time": float(lag),
+            }
 
     def end(self):
         pass

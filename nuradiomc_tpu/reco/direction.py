@@ -265,3 +265,87 @@ class beamFormingDirectionFitter:
 
     def end(self):
         pass
+
+
+def get_refractive_index(depth, site="southpole"):
+    """Legacy two-value ice index used by the direction fitters
+    (utilities/ice.get_refractive_index:17-51): n_air for land sites, 1.3
+    below the surface of in-ice sites."""
+    if str(site).lower() in ("lofar", "auger", "ska"):
+        return 1.000293
+    return 1.3 if depth <= 0 else 1.000293
+
+
+class templateDirectionFitter:
+    """Plane-wave (zenith, azimuth) fit from per-channel template
+    cross-correlation times (modules/templateDirectionFitter.py:13-118).
+
+    Consumes the ``{cr,nu}_ref_xcorr_time`` entries written by
+    channelTemplateCorrelation; minimizes the mean-subtracted plane-wave
+    arrival-time chi2 with a Nelder-Mead polish seeded by the best of four
+    azimuth starts (templateDirectionFitter.py:89-99).
+    """
+
+    def begin(self):
+        pass
+
+    @register_run()
+    def run(self, evt, station, det, channels_to_use=None, cosmic_ray=False):
+        chp = par.channelParameters
+        if channels_to_use is None:
+            channels_to_use = [0, 1, 2, 3]
+        type_str = "cr" if cosmic_ray else "nu"
+        xcorrelations = chp.cr_xcorrelations if cosmic_ray else chp.nu_xcorrelations
+
+        station_id = station.get_id()
+        times, positions = [], []
+        for channel_id in channels_to_use:
+            channel = station.get_channel(channel_id)
+            times.append(channel[xcorrelations][f"{type_str}_ref_xcorr_time"]
+                         + channel.get_trace_start_time())
+            positions.append(det.get_relative_position(station_id, channel_id))
+        times = np.array(times)
+        positions = np.array(positions)
+
+        site = det.get_site(station_id)
+        n_ice = get_refractive_index(-0.01, site)
+
+        from scipy import optimize as opt
+
+        def obj_plane(params):
+            zenith, azimuth = params
+            if cosmic_ray:
+                if zenith < 0 or zenith > 0.5 * np.pi:
+                    return np.inf
+            elif zenith < 0.5 * np.pi or zenith > np.pi:
+                return np.inf
+            v = np.array([np.sin(zenith) * np.cos(azimuth),
+                          np.sin(zenith) * np.sin(azimuth),
+                          np.cos(zenith)])
+            c = speed_of_light if cosmic_ray else speed_of_light / n_ice
+            t_expected = -(positions @ v) / c
+            sigma = 1 * units.ns
+            return float(np.sum(((t_expected - t_expected.mean())
+                                 - (times - times.mean())) ** 2 / sigma ** 2))
+
+        zenith_start = (45 if cosmic_ray else 135) * units.deg
+        starts = np.array([0, 90, 180, 270]) * units.deg
+        azimuth_start = starts[int(np.argmin(
+            [obj_plane((zenith_start, a)) for a in starts]))]
+        res = opt.minimize(obj_plane, x0=[zenith_start, azimuth_start],
+                           method="Nelder-Mead",
+                           options={"maxiter": 1000, "disp": False})
+
+        zen = float(res.x[0])
+        az = float(np.mod(res.x[1], 2 * np.pi))
+        station[stnp.zenith] = zen
+        station[stnp.azimuth] = az
+        if cosmic_ray:
+            station[stnp.cr_zenith] = zen
+            station[stnp.cr_azimuth] = az
+        else:
+            station[stnp.nu_zenith] = zen
+            station[stnp.nu_azimuth] = az
+
+    def end(self):
+        pass

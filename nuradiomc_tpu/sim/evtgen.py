@@ -653,3 +653,51 @@ def generate_unforced(filename, n_events, Emin, Emax, volume,
     if filename is not None:
         write_events_to_hdf5(filename, data, attributes)
     return data, attributes
+
+
+if __name__ == "__main__":
+    # CLI mirroring the reference's EvtGen/generate_cylinder.py:8-94
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Generate forced-interaction events in a cylinder volume")
+    parser.add_argument("filename")
+    parser.add_argument("n_events", type=int)
+    parser.add_argument("Emin", type=float)
+    parser.add_argument("Emax", type=float)
+    parser.add_argument("fiducial_rmin", type=float)
+    parser.add_argument("fiducial_rmax", type=float)
+    parser.add_argument("fiducial_zmin", type=float)
+    parser.add_argument("fiducial_zmax", type=float)
+    parser.add_argument("--full_rmin", type=float, default=None)
+    parser.add_argument("--full_rmax", type=float, default=None)
+    parser.add_argument("--full_zmin", type=float, default=None)
+    parser.add_argument("--full_zmax", type=float, default=None)
+    parser.add_argument("--thetamin", type=float, default=0.0)
+    parser.add_argument("--thetamax", type=float, default=np.pi)
+    parser.add_argument("--phimin", type=float, default=0.0)
+    parser.add_argument("--phimax", type=float, default=2 * np.pi)
+    parser.add_argument("--start_event_id", type=int, default=1)
+    parser.add_argument("--flavor", nargs="+", type=int,
+                        default=[12, -12, 14, -14, 16, -16])
+    parser.add_argument("--spectrum", type=str, default="log_uniform")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--secondaries", type=str, default=None,
+                        help="'stochastic' inserts mu/tau secondary showers")
+    args = parser.parse_args()
+
+    volume = {"fiducial_rmin": args.fiducial_rmin,
+              "fiducial_rmax": args.fiducial_rmax,
+              "fiducial_zmin": args.fiducial_zmin,
+              "fiducial_zmax": args.fiducial_zmax}
+    for k in ("full_rmin", "full_rmax", "full_zmin", "full_zmax"):
+        v = getattr(args, k)
+        if v is not None:
+            volume[k] = v
+
+    generate_eventlist_cylinder(
+        args.filename, args.n_events, args.Emin, args.Emax, volume,
+        thetamin=args.thetamin, thetamax=args.thetamax,
+        phimin=args.phimin, phimax=args.phimax,
+        start_event_id=args.start_event_id, flavor=tuple(args.flavor),
+        spectrum=args.spectrum, seed=args.seed, secondaries=args.secondaries)

@@ -138,10 +138,152 @@ def read_CORSIKA7(input_file, declination=0.0):
         shower[shp.azimuth] = azimuth
         shower[shp.energy] = energy
         shower[shp.magnetic_field_vector] = magnet
+
+        # simulation-input shower parameters when present in the file
+        # (coreas.create_sim_shower_from_hdf5:317-401)
+        inp = corsika["inputs"].attrs
+        if "PRMPAR" in inp:
+            shower[shp.primary_particle] = inp["PRMPAR"]
+        if "OBSLEV" in inp:
+            shower[shp.observation_level] = inp["OBSLEV"] * units.cm
+        if "ATMOD" in inp:
+            shower[shp.atmospheric_model] = inp["ATMOD"]
+        if "CoREAS" in corsika:
+            ca = corsika["CoREAS"].attrs
+            if "CoreCoordinateWest" in ca:
+                shower[shp.core] = np.array([
+                    -ca["CoreCoordinateWest"],
+                    ca["CoreCoordinateNorth"],
+                    ca["CoreCoordinateVertical"]]) * units.cm
+            if "DepthOfShowerMaximum" in ca:
+                shower[shp.shower_maximum] = (
+                    ca["DepthOfShowerMaximum"] * units.g / units.cm2)
+            if "DistanceOfShowerMaximum" in ca:
+                shower[shp.distance_shower_maximum_geometric] = (
+                    ca["DistanceOfShowerMaximum"] * units.cm)
+            if "GroundLevelRefractiveIndex" in ca:
+                shower[shp.refractive_index_at_ground] = (
+                    ca["GroundLevelRefractiveIndex"])
+            if "RotationAngleForMagfieldDeclination" in ca:
+                shower[shp.magnetic_field_rotation] = (
+                    ca["RotationAngleForMagfieldDeclination"] * units.degree)
+        if "highlevel" in corsika and "Eem" in corsika["highlevel"].attrs:
+            shower[shp.electromagnetic_energy] = (
+                corsika["highlevel"].attrs["Eem"] * units.eV)
+
         evt.add_sim_shower(shower)
         station.set_sim_station(sim_station)
         evt.set_station(station)
         return evt
+
+
+def get_geomagnetic_angle(zenith, azimuth, magnetic_field_vector):
+    """Angle between shower propagation direction and the magnetic field
+    (coreas.get_geomagnetic_angle:114-136)."""
+    v = -_spherical_to_cartesian(zenith, azimuth)  # propagation direction
+    B = np.asarray(magnetic_field_vector, dtype=float)
+    return np.arccos(np.clip(
+        np.dot(v, B) / (np.linalg.norm(v) * np.linalg.norm(B)), -1.0, 1.0))
+
+
+def create_sim_shower(evt, core_shift=None):
+    """Copy the first SimShower of a read_CORSIKA7 event, optionally shifting
+    the core (coreas.create_sim_shower:404-428)."""
+    import copy
+
+    sim_shower = copy.deepcopy(evt.get_first_sim_shower())
+    if core_shift is not None:
+        core = sim_shower[shp.core] if shp.core in sim_shower.get_parameters() \
+            else np.zeros(3)
+        sim_shower[shp.core] = np.asarray(core, dtype=float) + np.asarray(core_shift)
+    return sim_shower
+
+
+def create_sim_station(station_id, evt, weight=None):
+    """Empty SimStation carrying the CR parameters of a read_CORSIKA7 event
+    (coreas.create_sim_station:431-486)."""
+    coreas_shower = evt.get_first_sim_shower()
+    coreas_sim_station = evt.get_station(0).get_sim_station()
+
+    sim_station = SimStation(station_id)
+    sim_station[stnp.azimuth] = coreas_shower[shp.azimuth]
+    sim_station[stnp.zenith] = coreas_shower[shp.zenith]
+    sim_station[stnp.cr_energy] = coreas_shower[shp.energy]
+    if shp.shower_maximum in coreas_shower.get_parameters():
+        sim_station[stnp.cr_xmax] = coreas_shower[shp.shower_maximum]
+    sim_station.set_magnetic_field_vector(
+        coreas_shower[shp.magnetic_field_vector])
+    if shp.electromagnetic_energy in coreas_shower.get_parameters():
+        sim_station[stnp.cr_energy_em] = coreas_shower[shp.electromagnetic_energy]
+    if coreas_sim_station.is_cosmic_ray():
+        sim_station.set_is_cosmic_ray()
+    sim_station.set_simulation_weight(weight)
+    return sim_station
+
+
+def add_electric_field_to_sim_station(sim_station, channel_ids, efield,
+                                      efield_start_time, zenith, azimuth,
+                                      sampling_rate, efield_position=None):
+    """Attach a (3, n) efield trace to a SimStation
+    (coreas.add_electric_field_to_sim_station:489-528)."""
+    if not isinstance(channel_ids, (list, tuple)):
+        channel_ids = [channel_ids]
+    ef = ElectricField(list(channel_ids), position=efield_position)
+    ef.set_trace(np.asarray(efield), sampling_rate)
+    ef.set_trace_start_time(efield_start_time)
+    ef[efp.ray_path_type] = "direct"
+    ef[efp.zenith] = zenith
+    ef[efp.azimuth] = azimuth
+    sim_station.add_electric_field(ef)
+
+
+def calculate_simulation_weights(positions, zenith, azimuth, site="summit",
+                                 debug=False):
+    """Voronoi-cell area per observer of a star-shape pattern, computed in
+    the shower plane (symmetry) and projected back onto the ground
+    (coreas.calculate_simulation_weights:531-630). The outermost observer of
+    each of the 8 star arms gets weight 0 (its Voronoi cell is unbounded)."""
+    import scipy.spatial as spatial
+
+    from nuradiomc_tpu.reco.advanced import MAGNETIC_FIELD_VECTORS
+    from nuradiomc_tpu.reco.rit import shower_frame
+
+    positions = np.asarray(positions, dtype=float)
+    e1, e2, v = shower_frame(zenith, azimuth, MAGNETIC_FIELD_VECTORS[site])
+    basis = np.array([e1, e2, v])                 # to-shower-plane rows
+    shower = positions @ basis.T                  # (n, 3) in (vxB, vxvxB, v)
+
+    vor = spatial.Voronoi(shower[:, :2])
+
+    # ground-plane normal in shower coordinates: project cell vertices back
+    # onto z_ground = 0 through the basis columns (coreas.py:562-588)
+    col3 = basis[:, 2]  # ground-z components of the three shower axes
+    weights = np.zeros(len(positions))
+    n_arms = 8
+    length_shower = np.hypot(shower[:, 0], shower[:, 1])
+    outer = np.argpartition(length_shower, -n_arms)[-n_arms:]
+    for p in range(len(positions)):
+        region = vor.regions[vor.point_region[p]]
+        if -1 in region or len(region) == 0:
+            weights[p] = 0.0
+            continue
+        vert2d = vor.vertices[region]
+        # z in the shower plane s.t. the ground z-component vanishes
+        zv = -(col3[0] * vert2d[:, 0] + col3[1] * vert2d[:, 1]) / col3[2]
+        vert3d = np.column_stack([vert2d, zv])
+        vert_ground = vert3d @ basis              # back to ground CS
+        hull = spatial.ConvexHull(vert_ground[:, :2])
+        weights[p] = hull.volume                  # 2d hull volume == area
+    weights[outer] = 0.0
+    return weights
+
+
+def set_fluence_of_efields(function, sim_station,
+                           quantity=efp.signal_energy_fluence):
+    """Apply `function` to every efield trace of the SimStation and store the
+    result as `quantity` (coreas.set_fluence_of_efields:632-651)."""
+    for ef in sim_station.get_electric_fields():
+        ef[quantity] = function(np.asarray(ef.get_trace()))
 
 
 class coreasInterpolator:
@@ -175,17 +317,47 @@ class coreasInterpolator:
                                                     fill_value=0.0)
         self._nearest = NearestNDInterpolator(self._plane_pos, np.arange(len(pos)))
 
+    @staticmethod
+    def _pad3(position):
+        """2D core-relative positions are placed at the observation level
+        (readCoREASDetector.py:186-189)."""
+        position = np.asarray(position, dtype=float)
+        if position.shape[-1] == 2:
+            position = np.concatenate([position, [0.0]])
+        return position
+
     def get_interp_fluence_value(self, position):
-        p = np.asarray(position) @ self._basis.T
+        p = self._pad3(position) @ self._basis.T
         return float(np.asarray(self._fluence_interp(p[None, :])).ravel()[0])
 
     def get_interp_efield_value(self, position):
         """Efield trace at an arbitrary position: nearest observer pulse shape
         scaled to the locally interpolated fluence."""
-        p = np.asarray(position) @ self._basis.T
+        p = self._pad3(position) @ self._basis.T
         idx = int(np.asarray(self._nearest(p[None, :])).ravel()[0])
         ef = self._efields[idx]
         target = self.get_interp_fluence_value(position)
         src = self._fluence[idx]
         scale = np.sqrt(target / src) if src > 0 else 0.0
         return np.asarray(ef.get_trace()) * scale, ef.get_sampling_rate()
+
+    @property
+    def sampling_rate(self):
+        return self._efields[0].get_sampling_rate()
+
+    def initialize_efield_interpolator(self, interp_lowfreq, interp_highfreq):
+        """Record the interpolation band (coreasInterpolator.py
+        initialize_efield_interpolator capability; the fluence weighting here
+        is full-band — the band is stored for provenance)."""
+        self._interp_band = (interp_lowfreq, interp_highfreq)
+        return self
+
+    def get_interp_efield(self, position):
+        """(trace (3, n), trace_start_time) at an arbitrary position — the
+        return convention of the reference's efield interpolator
+        (coreasInterpolator.get_interp_efield_value)."""
+        p = self._pad3(position) @ self._basis.T
+        idx = int(np.asarray(self._nearest(p[None, :])).ravel()[0])
+        ef = self._efields[idx]
+        trace, _ = self.get_interp_efield_value(position)
+        return trace, ef.get_trace_start_time()

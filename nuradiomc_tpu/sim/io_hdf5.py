@@ -138,3 +138,72 @@ def write_output_hdf5(path: str, inp: EventInput, results: dict, attrs: dict):
             f.attrs[k] = v
         for k, v in attrs.items():
             f.attrs[k] = v
+
+
+def dump_hdf5(filename, max_events=None, out=None):
+    """Human-readable dump of a simulation output HDF5 file
+    (NuRadioMC/utilities/dump_hdf5.py:45-87): per event-group the event-level
+    columns, then for every station/channel/ray the ray-tracing observables
+    and the receive direction in degrees."""
+    import sys
+
+    import h5py
+
+    from nuradiomc_tpu.utils import units as _units
+
+    out = out or sys.stdout
+    keys_event = ["event_group_ids", "azimuths", "energies", "flavors",
+                  "inelasticity", "interaction_type", "multiple_triggers",
+                  "n_interaction", "triggered", "xx", "yy", "zeniths", "zz",
+                  "weights"]
+    station_keys = ["max_amp_shower_and_ray", "ray_tracing_C0",
+                    "ray_tracing_C1", "ray_tracing_solution_type",
+                    "travel_times", "travel_distances"]
+    station_keys_3dim = ["launch_vectors", "polarization", "receive_vectors"]
+
+    with h5py.File(filename, "r") as fin:
+        stations = [k for k in fin if k.startswith("station_")]
+        event_group_ids = np.asarray(fin["event_group_ids"])
+        n = len(event_group_ids) if max_events is None else \
+            min(max_events, len(event_group_ids))
+        for iE in range(n):
+            print("index, " + ", ".join(k for k in keys_event if k in fin),
+                  file=out)
+            print(f"{iE} " + " ".join(str(np.asarray(fin[k][iE]))
+                                      for k in keys_event if k in fin),
+                  file=out)
+            for station in stations:
+                grp = fin[station]
+                if "ray_tracing_C0" not in grp:
+                    print(f"{station} has no entries", file=out)
+                    continue
+                nCh, nR = np.asarray(grp["ray_tracing_C0"][iE]).shape
+                for iCh in range(nCh):
+                    for iR in range(nR):
+                        t = f"\t{station} {iCh} {iR}: "
+                        for key in station_keys:
+                            if key in grp:
+                                t += f"{grp[key][iE][iCh][iR]:.9g} "
+                        for key in station_keys_3dim:
+                            if key in grp:
+                                t += "(" + ",".join(
+                                    f"{grp[key][iE][iCh][iR][iD]:.5g}"
+                                    for iD in range(3)) + ") "
+                        if "receive_vectors" in grp:
+                            rv = np.asarray(grp["receive_vectors"][iE][iCh][iR])
+                            zen = np.arccos(np.clip(
+                                rv[2] / max(np.linalg.norm(rv), 1e-300), -1, 1))
+                            az = np.mod(np.arctan2(rv[1], rv[0]), 2 * np.pi)
+                            t += (f" {zen / _units.deg:.2f}"
+                                  f" {az / _units.deg:.2f}")
+                        print(t, file=out)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Dump a NuRadioMC HDF5 file")
+    parser.add_argument("file")
+    parser.add_argument("--max-events", type=int, default=None)
+    args = parser.parse_args()
+    dump_hdf5(args.file, max_events=args.max_events)
