@@ -211,3 +211,131 @@ class hardwareResponseIncorporator:
 
     def end(self):
         pass
+
+
+# -- RNO-G analog components (detector/RNO_G/analog_components.py:10-108) ----
+
+def _rnog_surface_correction(temp, freqs):
+    """Empirical climate-chamber gain correction, surface chain
+    (analog_components.py:37-38); temp in K, freqs in GHz-equivalent units."""
+    return (1.0377798029 - 0.00135258197 * (temp - 273.15)
+            + (0.4788208019 - 0.01790064797 * (temp - 273.15)) * freqs ** 5)
+
+
+def _rnog_iglu_correction(temp, freqs):
+    """Empirical gain correction, IGLU+DRAB chain (analog_components.py:40-41)."""
+    return (1.1139014286 - 0.00004392995 * ((temp - 273.15) + 28.8331610295) ** 2
+            + (0.6301058083 - 0.0208741539 * (temp - 273.15)) * freqs ** 5)
+
+
+RNOG_AMPLIFIERS = ("iglu", "deep_impulse", "rno_surface",
+                   "rno_surface_impulse", "phased_array", "ULP_216")
+
+
+@functools.lru_cache(maxsize=8)
+def _load_rnog_amp_table(amp_type):
+    d = os.path.join(_DATA, "RNO_G")
+    files = {"rno_surface": "surface_placeholder.csv",
+             "rno_surface_impulse": "surface_impulse_response_placeholder.csv",
+             "iglu": "iglu_drab_placeholder.csv",
+             "deep_impulse": "deep_impulse_response_placeholder.csv"}
+    if amp_type in files:
+        ph = os.path.join(d, files[amp_type])
+        ff = np.loadtxt(ph, delimiter=",", skiprows=1, usecols=0) * units.Hz
+        gain = np.loadtxt(ph, delimiter=",", skiprows=1, usecols=1)
+        phase = np.loadtxt(ph, delimiter=",", skiprows=1, usecols=2)
+    elif amp_type in ("phased_array", "ULP_216"):
+        # Mini-Circuits ULP-216+ S-parameter sheet: S21 in dB / degrees
+        ph = os.path.join(d, "ULP-216+_Plus25DegC.s2p")
+        cols = np.loadtxt(ph, comments=["#", "!"])
+        ff = cols[:, 0] * units.MHz
+        gain = 10 ** (cols[:, 3] / 20.0)
+        phase = np.deg2rad(cols[:, 4])
+    else:
+        raise ValueError(f"Amp type `{amp_type}` not recognized; "
+                         f"possible values: {RNOG_AMPLIFIERS}")
+    return ff, gain, phase
+
+
+def load_rnog_amp_response(amp_type="rno_surface", temp=293.15):
+    """RNO-G signal-chain gain/phase with the empirical temperature
+    correction (analog_components.load_amp_response:10-105)."""
+    ff, gain, phase = _load_rnog_amp_table(amp_type)
+    gain_f = interp1d(ff, gain, bounds_error=False, fill_value=0.0)
+    phase_f = interp1d(ff, np.unwrap(phase), bounds_error=False, fill_value=0.0)
+    correction = {"rno_surface": _rnog_surface_correction,
+                  "iglu": _rnog_iglu_correction}.get(amp_type)
+
+    def get_gain(freqs, temp=temp):
+        g = gain_f(freqs)
+        if correction is not None:
+            g = correction(temp, np.asarray(freqs)) * g
+        return g
+
+    def get_phase(freqs):
+        return np.exp(1j * phase_f(freqs))
+
+    return {"gain": get_gain, "phase": get_phase}
+
+
+class rnogHardwareResponseIncorporator:
+    """RNO-G hardware response module
+    (modules/RNO_G/hardwareResponseIncorporator.py:15-200): amp response from
+    the detector's amp type (or an RNOGDetector's composed signal-chain
+    Response), optional min-gain clamp for deconvolution, phase-only /
+    relative modes."""
+
+    def begin(self, trigger_channels=None):
+        self.trigger_channels = trigger_channels
+
+    def get_filter(self, frequencies, station_id, channel_id, det,
+                   temp=293.15, sim_to_data=False, phase_only=False,
+                   mode=None, mingainlin=None, is_trigger=False):
+        from nuradiomc_tpu.detector.rnog_detector import RNOGDetector
+
+        if isinstance(det, RNOGDetector):
+            resp = det.get_signal_chain_response(station_id, channel_id,
+                                                 is_trigger)
+            amp_response = np.asarray(resp(frequencies), dtype=complex)
+        else:
+            try:
+                amp_type = det.get_channel(station_id, channel_id).get(
+                    "amp_type") or "rno_surface"
+            except (AttributeError, KeyError):
+                amp_type = "rno_surface"
+            amp = load_rnog_amp_response(amp_type, temp=temp)
+            amp_response = amp["gain"](frequencies, temp) * \
+                amp["phase"](frequencies)
+
+        if mingainlin is not None:
+            mingainlin = float(mingainlin)
+            ampmax = np.max(np.abs(amp_response))
+            low = np.abs(amp_response) < mingainlin * ampmax
+            amp_response[low] = (mingainlin * ampmax
+                                 * np.exp(1j * np.angle(amp_response[low])))
+
+        if mode == "phase_only" or phase_only:
+            amp_response = np.exp(1j * np.angle(amp_response))
+        elif mode == "relative":
+            ampmax = np.max(np.abs(amp_response))
+            if ampmax > 0:
+                amp_response = amp_response / ampmax
+
+        if sim_to_data:
+            return amp_response
+        return 1.0 / np.where(amp_response == 0, np.inf, amp_response)
+
+    def run(self, evt, station, det, sim_to_data=False, phase_only=False,
+            mode=None, mingainlin=None, temp=293.15):
+        for channel in station.iter_channels():
+            ff = channel.get_frequencies()
+            filt = self.get_filter(ff, station.get_id(), channel.get_id(),
+                                   det, temp=temp, sim_to_data=sim_to_data,
+                                   phase_only=phase_only, mode=mode,
+                                   mingainlin=mingainlin)
+            channel.set_frequency_spectrum(
+                channel.get_frequency_spectrum() * filt,
+                channel.get_sampling_rate())
+
+    def end(self):
+        pass

@@ -152,9 +152,12 @@ class efieldToVoltageConverter:
                 vt, vp = get_channel_vel(det, station_id, channel_id, ff,
                                          zenith_antenna, azimuth,
                                          self._antenna_replacements)
-                volt_spec = vt * t_theta * efield_fft[1] \
-                    + vp * t_phi * efield_fft[2]
-                volt_spec[ff < 5 * units.MHz] = 0
+                # t_theta/t_phi may be traced jax scalars (firn refraction):
+                # jax outputs are immutable/read-only, so cut the DC band
+                # without in-place assignment
+                volt_spec = np.where(ff < 5 * units.MHz, 0.0,
+                                     np.asarray(vt * t_theta * efield_fft[1]
+                                                + vp * t_phi * efield_fft[2]))
                 channel_spectrum = volt_spec if channel_spectrum is None \
                     else channel_spectrum + volt_spec
 

@@ -138,3 +138,63 @@ def test_trigger_board_response_run():
     # estimate_noise_vrms recovers the gained-up noise level
     est = estimate_noise_vrms(tr)
     assert est > sigma  # gain was applied
+
+
+def test_cr_rnog_template_creator(tmp_path):
+    """crRNOGTemplateCreator writes a Templates-layout pickle with plausible
+    surface-amp-folded traces (modules/RNO_G/crRNOGTemplateCreator.py)."""
+    import pickle
+
+    from nuradiomc_tpu.reco.rnog import crRNOGTemplateCreator
+
+    det = {"channels": {"1": {
+        "adc_n_samples": 2048, "adc_sampling_frequency": 3.2,
+        "ant_orientation_phi": 0.0, "ant_orientation_theta": 0.0,
+        "ant_position_x": 0.0, "ant_position_y": 0.0, "ant_position_z": -2.0,
+        "ant_rotation_phi": 160.0, "ant_rotation_theta": 90.0,
+        "ant_type": "analytic_LPDA", "amp_type": "rno_surface",
+        "cab_time_delay": 0.0, "adc_nbits": None,
+        "channel_id": 0, "station_id": 101}},
+        "stations": {"1": {"station_id": 101, "pos_altitude": 0,
+                           "pos_easting": 0, "pos_northing": 0}}}
+
+    creator = crRNOGTemplateCreator()
+    creator.begin(det, str(tmp_path))
+    creator.set_template_parameter(
+        template_run_id=(0, 0), template_event_id=(0, 1),
+        template_station_id=(101, 101), template_channel_id=(0, 0),
+        efield_width=(5, 2), antenna_rotation=(160, 160),
+        cr_zenith=(55, 55), cr_azimuth=(0, 0))
+    events = creator.run(return_templates=True)
+    assert len(events) == 2
+
+    with open(tmp_path / "templates_cr_station_101.pickle", "rb") as f:
+        data = pickle.load(f)
+    leaf = data[0][np.deg2rad(55)][np.deg2rad(0)]
+    assert set(leaf) == {5, 2}
+    for width, trace in leaf.items():
+        assert trace.shape[0] >= 2048 - 1
+        assert np.max(np.abs(trace)) > 0
+    # the narrower efield is broader in frequency -> different pulse shape
+    assert not np.allclose(leaf[5][:2000], leaf[2][:2000])
+
+
+def test_rnog_amp_response_loader():
+    """RNO-G placeholder chains load, interpolate, and temperature-correct
+    (detector/RNO_G/analog_components.py:10-105)."""
+    from nuradiomc_tpu.detector.hardware_response import load_rnog_amp_response
+    from nuradiomc_tpu.utils import units
+
+    ff = np.linspace(0.05, 0.7, 50) * units.GHz
+    for amp_type, min_gain in (("rno_surface", 1.0), ("iglu", 1.0),
+                               ("phased_array", 0.5)):  # ULP-216 is passive
+        amp = load_rnog_amp_response(amp_type)
+        g = amp["gain"](ff)
+        ph = amp["phase"](ff)
+        assert np.max(g) > min_gain
+        np.testing.assert_allclose(np.abs(ph), 1.0, atol=1e-12)
+    # temperature correction shifts the gain
+    amp = load_rnog_amp_response("rno_surface")
+    g_cold = amp["gain"](ff, temp=243.15)
+    g_warm = amp["gain"](ff, temp=313.15)
+    assert not np.allclose(g_cold, g_warm)
