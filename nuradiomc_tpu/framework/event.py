@@ -68,6 +68,14 @@ class ElectricField(BaseTrace, ParameterStorage):
     def get_channel_ids(self):
         return self._channel_ids
 
+    def get_stokes_parameters(self, window_samples=None):
+        """Stokes parameters in the stored (eTheta, ePhi) components
+        (electric_field.get_stokes_parameters:86-140; shape (4,) for
+        window_samples=None, else a running average over the window)."""
+        from nuradiomc_tpu.utils.trace_stats import get_stokes
+        trace = np.asarray(self.get_trace())
+        return get_stokes(trace[1], trace[2], window_samples=window_samples)
+
     def has_channel_ids(self, ids):
         return all(i in self._channel_ids for i in ids)
 

@@ -677,3 +677,187 @@ class beamformingDirectionFitter:
 
     def end(self):
         pass
+
+
+# ---------------------------------------------------------------------------
+# Pipeline visualizer (pipelineVisualizer_LOFAR.py:51-430)
+# ---------------------------------------------------------------------------
+
+def check_for_good_ant(event, detector):
+    """Per triggered station: channel ids of the dominant polarisation that
+    were not flagged (pipelineVisualizer_LOFAR.check_for_good_ant:19-48)."""
+    good = {}
+    for station in event.get_stations():
+        if not station.get_parameter(stationParameters.triggered):
+            continue
+        sid = station.get_id()
+        good[sid] = []
+        flagged = set(station.get_parameter(stationParameters.flagged_channels)
+                      if station.has_parameter(stationParameters.flagged_channels)
+                      else [])
+        dominant = np.asarray(station.get_parameter(
+            stationParameters.cr_dominant_polarisation))
+        for ch in station.iter_channels():
+            ori = np.asarray(detector.get_antenna_orientation(sid, ch.get_id()))
+            if np.allclose(ori, dominant) and ch.get_id() not in flagged:
+                good[sid].append(ch.get_id())
+    return good
+
+
+class pipelineVisualizer:
+    """Diagnostic figures from a processed LOFAR event
+    (pipelineVisualizer_LOFAR.py:51-430): polarization arrows in the shower
+    plane from rolling Stokes parameters, a polar plot of the per-station
+    reconstructed arrival directions, and the antenna time/fluence map."""
+
+    def begin(self):
+        pass
+
+    @staticmethod
+    def _shower_plane_basis(zenith, azimuth, site="lofar"):
+        from nuradiomc_tpu.reco.advanced import MAGNETIC_FIELD_VECTORS
+        from nuradiomc_tpu.reco.rit import shower_frame
+        return shower_frame(zenith, azimuth, MAGNETIC_FIELD_VECTORS[site])
+
+    def plot_polarization(self, event, detector, window_samples=64,
+                          site="lofar"):
+        """Polarization angle/degree arrows in the (vxB, vxvxB) plane from
+        the peak rolling-window Stokes parameters
+        (pipelineVisualizer_LOFAR.plot_polarization:70-219)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        from nuradiomc_tpu.utils.trace_stats import get_stokes
+
+        fig, ax = plt.subplots(figsize=(8, 7))
+        drew = False
+        for station in event.get_stations():
+            if not station.get_parameter(stationParameters.triggered):
+                continue
+            zenith = station.get_parameter(stationParameters.cr_zenith)
+            azimuth = station.get_parameter(stationParameters.cr_azimuth)
+            e1, e2, v = self._shower_plane_basis(zenith, azimuth, site)
+            # onsky -> ground basis for the efield components
+            st, ct = np.sin(zenith), np.cos(zenith)
+            sp, cp = np.sin(azimuth), np.cos(azimuth)
+            e_theta = np.array([ct * cp, ct * sp, -st])
+            e_phi = np.array([-sp, cp, 0.0])
+            for field in station.get_electric_fields():
+                trace = np.asarray(field.get_trace())
+                ground = np.outer(e_theta, trace[1]) + np.outer(e_phi, trace[2])
+                u, w = e1 @ ground, e2 @ ground
+                stokes = get_stokes(u, w, window_samples=window_samples)
+                k = int(np.argmax(stokes[0]))
+                I, Q, U, V = stokes[:, k]
+                pol_angle = 0.5 * np.arctan2(U, Q)
+                pol_degree = np.sqrt(Q ** 2 + U ** 2 + V ** 2) / I if I > 0 else 0.0
+                pos = np.asarray(field.get_position())
+                pu, pw = float(e1 @ pos), float(e2 @ pos)
+                ax.quiver(pu, pw, pol_degree * np.cos(pol_angle),
+                          pol_degree * np.sin(pol_angle), angles="xy",
+                          scale=8.0, color="tab:blue", width=0.004)
+                drew = True
+        ax.set_xlabel(r"Direction along $v \times B$ [m]")
+        ax.set_ylabel(r"Direction along $v \times (v \times B)$ [m]")
+        ax.set_title("Polarization in the shower plane")
+        ax.set_aspect("equal")
+        if not drew:
+            ax.text(0.5, 0.5, "no triggered stations with efields",
+                    transform=ax.transAxes, ha="center")
+        return fig
+
+    def show_direction_plot(self, event):
+        """Polar scatter of the per-station reconstructed arrival directions
+        (pipelineVisualizer_LOFAR.show_direction_plot:221-285)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        fig, ax = plt.subplots(subplot_kw={"projection": "polar"})
+        zeniths, azimuths = [], []
+        for station in event.get_stations():
+            if not station.get_parameter(stationParameters.triggered):
+                continue
+            if not station.has_parameter(stationParameters.cr_zenith):
+                continue
+            zen = station.get_parameter(stationParameters.cr_zenith)
+            az = station.get_parameter(stationParameters.cr_azimuth)
+            zeniths.append(zen)
+            azimuths.append(az)
+            ax.scatter(az, np.rad2deg(zen), marker="x",
+                       label=f"station {station.get_id()}")
+        if zeniths:
+            ax.scatter(np.mean(azimuths), np.rad2deg(np.mean(zeniths)),
+                       marker="o", color="k", label="combined")
+        ax.set_title("Reconstructed arrival directions")
+        ax.legend(loc="upper right", bbox_to_anchor=(1.3, 1.1), fontsize=7)
+        return fig
+
+    def show_time_fluence_plot(self, event, detector,
+                               min_number_good_antennas=4):
+        """Antenna positions colored by pulse arrival time, sized by signal
+        amplitude (pipelineVisualizer_LOFAR.show_time_fluence_plot:287-396)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        good = check_for_good_ant(event, detector)
+        fig, ax = plt.subplots(dpi=150, figsize=(8, 5))
+        xs, ys, ts, ss = [], [], [], []
+        for sid, channel_ids in good.items():
+            if len(channel_ids) < min_number_good_antennas:
+                continue
+            station = event.get_station(sid)
+            for cid in channel_ids:
+                ch = station.get_channel(cid)
+                if not ch.has_parameter(channelParameters.signal_time):
+                    continue
+                pos = np.asarray(detector.get_relative_position(sid, cid))
+                if hasattr(detector, "get_absolute_position"):
+                    pos = pos + detector.get_absolute_position(sid)
+                xs.append(pos[0])
+                ys.append(pos[1])
+                ts.append(ch.get_parameter(channelParameters.signal_time))
+                amp = ch.get_parameter(
+                    channelParameters.maximum_amplitude_envelope) \
+                    if ch.has_parameter(
+                        channelParameters.maximum_amplitude_envelope) else 1.0
+                ss.append(amp)
+        if xs:
+            ts = np.asarray(ts) - np.min(ts)
+            ss = np.asarray(ss, dtype=float)
+            smax = ss.max() if ss.max() > 0 else 1.0
+            sc = ax.scatter(xs, ys, c=ts, s=10 + 90 * (ss / smax) ** 2,
+                            cmap="viridis")
+            fig.colorbar(sc, label="Relative arrival time [ns]", shrink=0.7)
+        ax.set_xlabel("Meters east [m]")
+        ax.set_ylabel("Meters north [m]")
+        ax.set_title("Antenna positions and arrival time")
+        return fig
+
+    def run(self, event, detector, save_dir=".", polarization=False,
+            direction=False, time_fluence=True):
+        """Produce and save the selected figures as
+        ``<save_dir>/pipeline_plots_<event_id>.png`` pages
+        (pipelineVisualizer_LOFAR.run:398-428)."""
+        import os
+
+        figs = []
+        if polarization:
+            figs.append(("polarization", self.plot_polarization(event, detector)))
+        if direction:
+            figs.append(("direction", self.show_direction_plot(event)))
+        if time_fluence:
+            figs.append(("time_fluence",
+                         self.show_time_fluence_plot(event, detector)))
+        paths = []
+        for name, fig in figs:
+            path = os.path.join(save_dir,
+                                f"pipeline_{name}_{event.get_id()}.png")
+            fig.savefig(path)
+            paths.append(path)
+        return paths
+
+    def end(self):
+        pass

@@ -79,3 +79,29 @@ def get_coherent_sum(trace_set, ref_trace, use_envelope=False):
         corr = scisig.correlate(ref_p, tr_p, mode="full") / n
         out += np.roll(tr, lags[np.argmax(corr)])
     return out
+
+
+def get_stokes(trace_u, trace_v, window_samples=128, squeeze=True):
+    """Stokes parameters I, Q, U, V of two perpendicular efield components
+    from their analytic signals, optionally as a running average over
+    ``window_samples`` (trace_utilities.get_stokes:342-417)."""
+    import numpy as np
+    from scipy import signal as scsig
+
+    trace_u = np.asarray(trace_u)
+    trace_v = np.asarray(trace_v)
+    assert len(trace_u) == len(trace_v)
+    h1 = scsig.hilbert(trace_u)
+    h2 = scsig.hilbert(trace_v)
+    uv = 2 * h1 * np.conjugate(h2)
+    stokes = np.array([np.abs(h1) ** 2 + np.abs(h2) ** 2,
+                       np.abs(h1) ** 2 - np.abs(h2) ** 2,
+                       np.real(uv), np.imag(uv)])
+    if window_samples == 1:
+        return stokes
+    if window_samples is None:
+        window_samples = len(h1)
+    stokes = np.asarray([
+        scsig.convolve(s, np.ones(window_samples), mode="valid")
+        for s in stokes]) / window_samples
+    return np.squeeze(stokes) if squeeze else stokes

@@ -223,3 +223,51 @@ def test_beamforming_direction_fitter(pulsed_event_and_det):
     azi = station.get_parameter(stationParameters.cr_azimuth)
     assert abs(zen - ZEN_TRUE) < np.deg2rad(1.5)
     assert abs((azi - AZI_TRUE + np.pi) % (2 * np.pi) - np.pi) < np.deg2rad(1.5)
+
+
+def test_pipeline_visualizer(pulsed_event_and_det, tmp_path):
+    """pipelineVisualizer saves the direction + time/fluence figures and the
+    polarization plot runs on an event with efields
+    (pipelineVisualizer_LOFAR.py:51-430)."""
+    event, det = pulsed_event_and_det
+    fitter = lofar.planeWaveDirectionFitter()
+    fitter.begin(cr_snr=6.5)
+    fitter.run(event, det)
+
+    # attach a polarized efield so the polarization plot has input
+    from nuradiomc_tpu.framework.event import ElectricField
+    station = list(event.get_stations())[0]
+    n = 512
+    t = np.arange(n)
+    pulse = np.exp(-0.5 * ((t - 200) / 10.0) ** 2)
+    ef = ElectricField([0, 1], position=np.array([30.0, -20.0, 0.0]))
+    ef.set_trace(np.vstack([np.zeros(n), pulse, 0.4 * pulse]), 0.2)
+    station.add_electric_field(ef)
+
+    vis = lofar.pipelineVisualizer()
+    vis.begin()
+    paths = vis.run(event, det, save_dir=str(tmp_path), polarization=True,
+                    direction=True, time_fluence=True)
+    assert len(paths) == 3
+    import os
+    for p in paths:
+        assert os.path.getsize(p) > 1000
+
+    good = lofar.check_for_good_ant(event, det)
+    sid = station.get_id()
+    # dominant polarisation = even channels, none flagged in the fixture
+    assert all(cid % 2 == 0 for cid in good[sid])
+    assert len(good[sid]) == 24
+
+
+def test_get_stokes_linear_polarization():
+    """Stokes parameters of a purely linear 45-degree polarized pulse:
+    Q ~ 0, U ~ I, V ~ 0 (trace_utilities.get_stokes:342-417)."""
+    from nuradiomc_tpu.utils.trace_stats import get_stokes
+    t = np.arange(256)
+    carrier = np.sin(2 * np.pi * t / 16) * np.exp(-0.5 * ((t - 128) / 20) ** 2)
+    stokes = get_stokes(carrier, carrier, window_samples=None)
+    I, Q, U, V = stokes
+    assert abs(Q) < 1e-9 * I
+    np.testing.assert_allclose(U, I, rtol=1e-9)
+    assert abs(V) < 1e-9 * I
