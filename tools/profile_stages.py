@@ -175,11 +175,16 @@ def main(only="all"):
             ROWS * F_INT * 20, "writes [rows, F_int] complex")
 
     # ---- 5. isolated: placement matmuls + phase + reduce ------------------
-    rng = np.random.default_rng(2)
-    volt = (rng.standard_normal((G, S, C, 2, F_INT)).astype(np.float32)
-            + 1j * rng.standard_normal((G, S, C, 2, F_INT)).astype(np.float32)
-            ).astype(np.complex64)
-    offs = rng.uniform(0, 500, (G, S, C, 2)).astype(np.float32)
+    # inputs are synthesized ON DEVICE inside the jit: arg-passing large
+    # arrays through the axon tunnel yields unfetchable outputs, and closing
+    # over them exceeds the remote-compile request size limit (HTTP 413)
+    def _synth(shape, seed):
+        n = int(np.prod(shape))
+        x = (jnp.arange(n, dtype=jnp.float32) * (seed * 0.731 + 0.113)) % 7.1
+        return (x - 3.55).reshape(shape) * 0.3
+
+    def _synth_c(shape, seed):
+        return jax.lax.complex(_synth(shape, seed), _synth(shape, seed + 1))
     # numpy closure constants: EAGER jnp.asarray dtype conversions are
     # UNIMPLEMENTED through the axon tunnel (CLAUDE.md quirks)
     D_r, D_i = pipeline._placement_matrices(N_INT, N_BASE)
@@ -188,8 +193,11 @@ def main(only="all"):
     ff_base = np.asarray(np.fft.rfftfreq(N_BASE, 0.5), np.float32)
 
     def plc_block(k):
-        def block(args):
-            V, off = args
+        # close over the numpy inputs (arg-passing large arrays through the
+        # axon tunnel yields unfetchable outputs, CLAUDE.md quirks)
+        def block(_):
+            V = _synth_c((G, S, C, 2, F_INT), 2)
+            off = 250.0 + 70.0 * _synth((G, S, C, 2), 5)
 
             def body(i, acc):
                 from nuradiomc_tpu.ops import trace as trace_ops
@@ -202,7 +210,7 @@ def main(only="all"):
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return block
 
-    t_plc = _block_time(plc_block, (volt, offs)) if want("placement") else 0.0
+    t_plc = _block_time(plc_block, np.float32(0)) if want("placement") else 0.0
     plc_flops = 2 * ROWS * F_INT * F_BASE * 2 * 2   # two real matmuls, complex out
     plc_bytes = (ROWS * F_INT * c8                  # V read
                  + ROWS * F_BASE * c8 * 3           # Xb write+read, ph product
@@ -212,15 +220,13 @@ def main(only="all"):
             "[rows,F_int]x[F_int,F_base] + phase ramp + (S,2) sum")
 
     # ---- 6. isolated: final irfft matmul ----------------------------------
-    chan = (rng.standard_normal((G, C, F_BASE)).astype(np.float32)
-            + 1j * rng.standard_normal((G, C, F_BASE)).astype(np.float32)
-            ).astype(np.complex64)
     I_r, I_i = pipeline._irfft_matrices(N_BASE)
     I_r32 = np.asarray(I_r, np.float32)
     I_i32 = np.asarray(I_i, np.float32)
 
     def irfft_block(k):
-        def block(cs):
+        def block(_):
+            cs = _synth_c((G, C, F_BASE), 11)
             def body(i, acc):
                 tr = (jnp.einsum("gcf,fn->gcn",
                                  cs.real * (1.0 + 1e-7 * i.astype(jnp.float32)),
@@ -230,7 +236,7 @@ def main(only="all"):
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return block
 
-    t_ir = _block_time(irfft_block, chan) if want("irfft") else 0.0
+    t_ir = _block_time(irfft_block, np.float32(0)) if want("irfft") else 0.0
     ir_flops = 2 * G * C * F_BASE * N_BASE * 2
     ir_bytes = G * C * (F_BASE * c8 + N_BASE * f4)
     if want("irfft"):
@@ -238,10 +244,10 @@ def main(only="all"):
             "[G*C,F_base]x[F_base,n_base] x2")
 
     # ---- 7. isolated: trigger kernels -------------------------------------
-    traces = rng.standard_normal((G, C, N_BASE)).astype(np.float32)
 
     def trig_block(k):
-        def block(tr):
+        def block(_):
+            tr = 1e-5 * _synth((G, C, N_BASE), 17)
             def body(i, acc):
                 tts = triggers.get_high_low_triggers(
                     tr * (1.0 + 1e-7 * i.astype(jnp.float32)),
@@ -251,7 +257,7 @@ def main(only="all"):
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
         return block
 
-    t_tr = _block_time(trig_block, traces) if want("trigger") else 0.0
+    t_tr = _block_time(trig_block, np.float32(0)) if want("trigger") else 0.0
     if want("trigger"):
         add("trigger_highlow_majority", t_tr,
             G * C * N_BASE * (f4 + 4), G * C * N_BASE * 20,
