@@ -220,7 +220,26 @@ def bench_raytrace():
     }
 
 
+def _enable_compilation_cache():
+    """Persistent executable cache for the device backend.
+
+    The shared tunnel has multi-hour wedge windows where every FRESH
+    compile hangs but CACHED programs still run (CLAUDE.md axon lore);
+    with the persistent cache a bench invocation after one prior
+    successful run skips compilation entirely.  Fail-safe: on a backend
+    that cannot serialize executables the cache just stays empty.
+    """
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compilation_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "veff"
     result = {"veff": bench_veff, "pa": bench_pa,
               "raytrace": bench_raytrace,

@@ -51,6 +51,9 @@ def main(only="all"):
     import jax
     import jax.numpy as jnp
 
+    from bench import _enable_compilation_cache
+    _enable_compilation_cache()
+
     from __graft_entry__ import _make_settings_and_inputs
     from nuradiomc_tpu.ops import askaryan, raytrace, triggers
     from nuradiomc_tpu.sim import pipeline
