@@ -55,10 +55,13 @@ def em_fraction(energy):
     return -21.98905 - 2.32492 * eps + 0.019650 * eps ** 2 + 13.76152 * jnp.sqrt(eps)
 
 
-def theta_to_thetaprime(theta, xmax, R):
-    """Viewing angle w.r.t. shower max from angle w.r.t. vertex (ARZ.py:299-315)."""
-    L = xmax / RHO
-    return jnp.arctan2(R * jnp.sin(theta), R * jnp.cos(theta) - L)
+def theta_to_thetaprime(theta, xmax_m, R):
+    """Viewing angle w.r.t. shower max from angle w.r.t. vertex
+    (ARZ.py:299-315). ``xmax_m`` is the distance of shower max along the
+    axis in metres (the library stores its depth grid pre-divided by RHO:
+    column-depth values in internal units are ~1e40 and would overflow a
+    float32 constant on TPU)."""
+    return jnp.arctan2(R * jnp.sin(theta), R * jnp.cos(theta) - xmax_m)
 
 
 def _form_factor(tt, t0_pos, freq_pos, exp_pos, t0_neg, freq_neg, exp_neg):
@@ -92,7 +95,7 @@ def vector_potential(shower_energy, theta, N: int, dt: float,
     ttt = ttt + 0.5 * dt - jnp.mean(ttt)
 
     cher = jnp.arccos(1.0 / n_index)
-    length = profile_depth / RHO                     # (P,)
+    length = profile_depth                           # (P,) metres (see ShowerLibrary)
     X = jnp.stack([distance * jnp.sin(theta), jnp.zeros_like(theta),
                    distance * jnp.cos(theta)])
 
@@ -179,9 +182,14 @@ class ShowerLibrary(NamedTuple):
     Profiles are stored per shower type on a common depth grid, with the
     energy they were simulated at (amplitudes rescale linearly with energy,
     ARZ.get_time_trace:563-570).
+
+    ``depth`` holds the grid as axis distance in METRES (column depth /
+    RHO, converted at load time): raw column-depth values carry units.g
+    (~6e33) and overflow float32 on TPU; the distance representation is
+    what every consumer uses anyway.
     """
 
-    depth: jnp.ndarray        # (P,) common depth grid
+    depth: jnp.ndarray        # (P,) common depth grid, metres (= X/RHO)
     ce_em: jnp.ndarray        # (M_em, P)
     e_em: jnp.ndarray         # (M_em,) simulation energies
     ce_had: jnp.ndarray       # (M_had, P)
@@ -207,7 +215,7 @@ def load_library_pickle(path: str) -> ShowerLibrary:
 
     d_em, ce_em, e_em = pack(lib.get("EM", lib.get("em", {})))
     d_had, ce_had, e_had = pack(lib.get("HAD", lib.get("had", {})))
-    depth = d_em if d_em is not None else d_had
+    depth = (d_em if d_em is not None else d_had) / float(RHO)
     return ShowerLibrary(depth=jnp.asarray(depth),
                          ce_em=jnp.asarray(ce_em), e_em=jnp.asarray(e_em),
                          ce_had=jnp.asarray(ce_had), e_had=jnp.asarray(e_had))
@@ -219,7 +227,7 @@ def build_library_from_t_files(file_electron: str, file_positron: str,
     (charge excess = N_e - N_p; scripts/A01preprocess_shower_library_v1.2.py)."""
     depth_e, N_e = np.loadtxt(file_electron, unpack=True, usecols=(1, 2))
     depth_p, N_p = np.loadtxt(file_positron, unpack=True, usecols=(1, 2))
-    depth = depth_e * units.g / units.cm ** 2 - 1000 * units.g / units.cm ** 2
+    depth = (depth_e - 1000.0) * float(units.g / units.cm ** 2 / RHO)
     ce = (N_e - N_p)[None, :]
     return ShowerLibrary(depth=jnp.asarray(depth),
                          ce_em=jnp.asarray(ce), e_em=jnp.asarray([energy]),

@@ -133,19 +133,26 @@ def spectrum_alvarez2009(energy, theta, N: int, dt: float, is_em, n_index, R, k_
     fpos = jnp.where(ff > 0, ff, 1.0)
 
     E_C = 73.1 * units.MeV
+    # ice density / radiation length / Moliere radius enter ONLY through
+    # ratios; units.g alone is ~5.8e39 in internal units, which overflows
+    # a float32 traced constant (inf -> NaN spectra; caught by the bench
+    # conformance probe) — so combine them in float64 Python BEFORE tracing
     rho = 0.924 * units.g / units.cm ** 3
     X_0 = 36.08 * units.g / units.cm ** 2
     R_M = 10.57 * units.g / units.cm ** 2
+    X0_over_rho = float(X_0 / rho)      # ~0.39 m
+    rho_over_X0 = float(rho / X_0)      # ~2.56 / m
+    rho_over_RM = float(rho / R_M)      # ~8.74 / m
 
     # amplitude A
     k_E_bar_had = (4.13e-16 * units.V / units.cm / units.MHz ** 2
                    * jnp.tanh((jnp.log10(energy / units.eV) - 10.60) / 2.54))
     k_E_bar_em = 4.65e-16 * units.V / units.cm / units.MHz ** 2
     k_E_bar = jnp.where(is_em, k_E_bar_em, k_E_bar_had)
-    A = k_E_bar * energy / E_C * X_0 / rho * jnp.sin(theta) * ff
+    A = k_E_bar * energy / E_C * X0_over_rho * jnp.sin(theta) * ff
 
     # longitudinal form factor d_L
-    nu_L = rho / k_L / X_0
+    nu_L = rho_over_X0 / k_L
     cher_cut = 1e-8
     denom = jnp.maximum(jnp.abs(1 - n_index * jnp.cos(theta)), cher_cut)
     nu_L = nu_L * _C / denom
@@ -155,7 +162,7 @@ def spectrum_alvarez2009(energy, theta, N: int, dt: float, is_em, n_index, R, k_
     # lateral form factor d_R
     k_R_bar_had = 2.73 + jnp.tanh((12.92 - jnp.log10(energy / units.eV)) / 1.72)
     k_R_bar = jnp.where(is_em, 1.54, k_R_bar_had)
-    nu_R = rho / k_R_bar / R_M * _C / jnp.sqrt(n_index ** 2 - 1)
+    nu_R = rho_over_RM / k_R_bar * _C / jnp.sqrt(n_index ** 2 - 1)
     d_R = 1.0 / (1 + (fpos / nu_R) ** 1.27)
 
     spec = A * d_L * d_R * 0.5 / R
