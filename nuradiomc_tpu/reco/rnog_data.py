@@ -127,10 +127,20 @@ class channelBlockOffsets:
 
     def remove_offsets(self, event, station, mode="auto", channel_ids=None):
         for ch in station.iter_channels(channel_ids):
-            offsets, out = fit_block_offsets(
-                np.asarray(ch.get_trace()), self.block_size,
-                ch.get_sampling_rate(), self._max_frequency, mode=mode,
-                return_trace=True)
+            trace = np.asarray(ch.get_trace())
+            if mode == "median":
+                # per-block medians, no spectral fit
+                # (channelBlockOffsetFitter.remove_offsets:175-177)
+                n_whole = self.block_size * (len(trace) // self.block_size)
+                offsets = np.median(
+                    trace[:n_whole].reshape(-1, self.block_size), axis=1)
+                out = trace.copy()
+                out[:n_whole] -= np.repeat(offsets, self.block_size)
+            else:
+                offsets, out = fit_block_offsets(
+                    trace, self.block_size,
+                    ch.get_sampling_rate(), self._max_frequency, mode=mode,
+                    return_trace=True)
             ch.set_parameter(chp.block_offsets, offsets)
             ch.set_trace(out, ch.get_sampling_rate())
 
