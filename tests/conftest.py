@@ -25,3 +25,9 @@ _cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cach
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running campaign tests, env-gated "
+        "(NURADIOMC_TPU_FULLSCALE=1)")
