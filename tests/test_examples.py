@@ -144,3 +144,45 @@ def test_sensitivities_example(tmp_path):
     import re
     n = float(re.search(r"events: ([0-9.]+)", r.stdout).group(1))
     assert 0.01 < n < 100, n
+
+
+def test_webinar_chain(tmp_path):
+    """W01-W05 guided tutorial chain (06_webinar counterpart): create
+    input -> run (2 named triggers + nur) -> inspect -> Veff -> efields."""
+    ex = os.path.join(REPO, "examples", "13_webinar")
+
+    r = _run(os.path.join(ex, "W01_create_input.py"), ["150"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run(os.path.join(ex, "W02_run_simulation.py"),
+             ["--outputfilenameNuRadioReco", "results/NuMC_output.nur"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Veff" in r.stdout
+
+    r = _run(os.path.join(ex, "W03_check_output.py"), cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "fired" in r.stdout
+
+    r = _run(os.path.join(ex, "W04_effective_volumes.py"), cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "km^3 sr" in r.stdout
+    assert os.path.exists(os.path.join(tmp_path, "Veff_webinar.json"))
+
+    r = _run(os.path.join(ex, "W05_electric_fields.py"), cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "electric fields inspected" in r.stdout
+
+
+def test_alias_phased_array_example(tmp_path):
+    """Nyquist-zone aliased PA study (AliasPhasedArray counterpart): the
+    aliased zones must trigger efficiently — the study's physics point."""
+    r = _run(os.path.join(REPO, "examples", "14_alias_phased_array",
+                          "run_alias_snr.py"), ["40"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "alias phased-array study done" in r.stdout
+    import re
+    snr50 = {int(z): float(s) for z, s in re.findall(
+        r"Nyquist zone (\d): .*SNR50=([\d.inf]+)", r.stdout)}
+    assert snr50[2] < 4.5 and snr50[3] < 4.5

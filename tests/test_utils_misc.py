@@ -84,3 +84,20 @@ def test_templates_provider(tmp_path):
 
     with pytest.raises(IOError):
         prov.get_cr_ref_templates(99)
+
+
+def test_proposal_table_manager_cli():
+    """proposal_table_manager parity (EvtGen/proposal_table_manager.py):
+    table-free backend makes 'create' a no-op, 'download' demands the real
+    PROPOSAL package, and the CLI parses the reference's argument shape."""
+    import pytest
+
+    from nuradiomc_tpu.sim import proposal_table_manager as ptm
+
+    assert ptm.get_compiler() in ("gcc", "clang")
+    assert ptm.produce_proposal_tables("SouthPole") is False
+    assert ptm.produce_proposal_tables_tarball("SouthPole") is None
+    with pytest.raises(ImportError):
+        ptm.download_proposal_tables("SouthPole")
+    # CLI: create over 'all' configs is a no-op without PROPOSAL installed
+    ptm.main(["create", "all"])
