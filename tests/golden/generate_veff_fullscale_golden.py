@@ -60,7 +60,10 @@ def input_sha1(path):
     h = hashlib.sha1()
     with h5py.File(path) as f:
         for k in sorted(f.keys()):
-            arr = np.ascontiguousarray(np.asarray(f[k]))
+            arr = np.asarray(f[k])
+            if arr.dtype.kind in "OU":   # vlen/unicode strings: canonical
+                arr = arr.astype("S")    # fixed-width bytes
+            arr = np.ascontiguousarray(arr)
             h.update(k.encode())
             h.update(arr.tobytes())
     return h.hexdigest()
