@@ -139,3 +139,76 @@ def test_fullscale_weight_sum_and_veff(golden, results):
     np.testing.assert_allclose(veff, float(golden["veff"]), rtol=1e-6)
     print(f"\nfull-scale Veff*4pi = {veff / units.km ** 3:.6g} km^3 sr "
           f"({int(sel.sum())} triggered of {int(golden['n_events'])})")
+
+
+# ---------------------------------------------------------------------------
+# PA-noise variant: the 8.23497-anchor methodology (statistical)
+# ---------------------------------------------------------------------------
+
+PA_GOLDEN = os.path.join(HERE, "golden", "veff_fullscale_pa_reference.npz")
+
+
+def _pa_detector():
+    return {"channels": {str(i + 1): {
+        "adc_n_samples": 256, "adc_sampling_frequency": 0.5,
+        "adc_nbits": 8,
+        "ant_orientation_phi": 0.0, "ant_orientation_theta": 0.0,
+        "ant_position_x": 0.0, "ant_position_y": 0.0,
+        "ant_position_z": -197.0 - i,
+        "ant_rotation_phi": 90.0, "ant_rotation_theta": 90.0,
+        "ant_type": "RNOG_vpol_v1_n1.73", "amp_type": "",
+        "cab_time_delay": 1051.0 + 5.0 * i, "channel_id": i, "station_id": 1,
+    } for i in range(4)},
+        "stations": {"1": {"station_id": 1, "pos_altitude": 0,
+                           "pos_easting": 0, "pos_northing": 0}}}
+
+
+def test_fullscale_pa_noise_statistical(tmp_path_factory):
+    """Full-scale noisy phased-array campaign (D05phased_array_deep +
+    config_noise.yaml, 1e4 events): noise RNGs differ between frameworks,
+    so the conformance targets are a Poisson-compatible triggered count and
+    Veff agreement within the combined MC error (the in-container analogue
+    of the 8.23497 km^3 sr anchor methodology)."""
+    golden = np.load(PA_GOLDEN)
+    path = str(tmp_path_factory.mktemp("fullscale_pa") / "1e18_noise.hdf5")
+    evtgen.generate_eventlist_cylinder(
+        path, 1e4, 1e18 * units.eV, 1e18 * units.eV,
+        {"fiducial_rmin": 0, "fiducial_rmax": 3 * units.km,
+         "fiducial_zmin": -2 * units.km, "fiducial_zmax": 0},
+        seed=10, cross_sections_model="ctw")
+    assert _input_sha1(path) == golden["input_sha1"].item().decode()
+
+    sim = Simulation(
+        path, _pa_detector(),
+        config={"sampling_rate": 2.0, "noise": True,
+                "propagation": {"ice_model": "southpole_2015",
+                                "focusing": True},
+                "signal": {"model": "Alvarez2009"},
+                "speedup": {"min_efield_amplitude": 2},
+                "weights": {"weight_mode": "core_mantle_crust",
+                            "cross_section_type": "ctw"}},
+        filter_chain=[
+            FilterStage((96 * units.MHz, 100 * units.GHz), "cheby1",
+                        {"order": 4, "rp": 0.1}),
+            FilterStage((0, 220 * units.MHz), "cheby1",
+                        {"order": 7, "rp": 0.1}),
+        ],
+        trigger=TriggerSpec(trigger_type="phased_array"),
+        antenna_replacements={"RNOG_vpol_v1_n1.73": "analytic_VPol"},
+        chunk_size=1024, dtype=jnp.float64)
+    res = sim.run()
+
+    min_w = 1e-5
+    sel = res["triggered"] & (res["weights"] >= min_w)
+    n_mine = len(set(res["group_ids"][sel]))
+    n_ref = int(golden["n_triggered"])
+    assert abs(n_mine - n_ref) <= 3 * np.sqrt(n_ref), (n_mine, n_ref)
+
+    veff = (float(golden["volume"]) * 4 * np.pi * res["weights"][sel].sum()
+            / int(golden["n_events"]))
+    rel_err = 2.0 / np.sqrt(n_ref)
+    assert abs(veff / float(golden["veff"]) - 1) < 2 * rel_err, \
+        (veff / units.km ** 3, float(golden["veff"]) / units.km ** 3)
+    print(f"\nfull-scale PA Veff*4pi = {veff / units.km ** 3:.5g} km^3 sr "
+          f"(golden {float(golden['veff']) / units.km ** 3:.5g}), "
+          f"{n_mine} vs {n_ref} triggered")
