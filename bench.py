@@ -118,7 +118,7 @@ def _best_block_rate(step_fn, arg, n_items, k_steps, n_blocks=3):
 
 
 def bench_veff(placement_impl="pallas", labelled=False,
-               matmul_dtype="float32"):
+               matmul_dtype="float32", trigger_impl=None):
     import jax
     import jax.numpy as jnp
 
@@ -130,8 +130,12 @@ def bench_veff(placement_impl="pallas", labelled=False,
         n_groups=n_groups, n_showers=2, n_channels=1,
         n_internal=512, n_base=2048)
     import dataclasses
+    if trigger_impl is None:
+        # the fused trigger kernel is part of the pallas bench path
+        trigger_impl = "pallas" if placement_impl == "pallas" else "xla"
     settings = dataclasses.replace(settings, placement_impl=placement_impl,
-                                   matmul_dtype=matmul_dtype)
+                                   matmul_dtype=matmul_dtype,
+                                   trigger_impl=trigger_impl)
 
     k_steps = 25
 
@@ -156,7 +160,8 @@ def bench_veff(placement_impl="pallas", labelled=False,
         # cross-impl conformance ON the device: the xla placement path on
         # the same inputs/hardware must agree EXACTLY with the Mosaic
         # kernel (catches kernel bugs that backend rounding cannot excuse)
-        settings_xla = dataclasses.replace(settings, placement_impl="xla")
+        settings_xla = dataclasses.replace(settings, placement_impl="xla",
+                                           trigger_impl="xla")
 
         @jax.jit
         def probe_xla(b):

@@ -119,6 +119,14 @@ class PipelineSettings:
     # and (shower, ray) reduction in VMEM, no [rows, F_base] HBM
     # intermediates; float32 only, falls back to "xla" at float64)
     placement_impl: str = "xla"
+    # trigger stage implementation: "xla" (irfft matmul + boolean shift-OR
+    # windows over HBM-resident traces) or "pallas"
+    # (ops.trigger_pallas.fused_irfft_trigger — irfft + high/low windows +
+    # majority + max-amplitude on the VMEM-resident trace tile; traces never
+    # hit HBM). float32 only; falls back to "xla" when traces must be kept,
+    # a separate trigger chain is configured, per-trigger channel subsets
+    # are used, or a phased-array trigger is declared.
+    trigger_impl: str = "xla"
     # matmul input precision for the dense DFT matrices (placement + final
     # irfft): "float32" (default) or "bfloat16" — bf16 inputs with f32
     # accumulation ride the MXU at ~4x the f32 rate; the ~4e-3 relative
@@ -1111,6 +1119,59 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
 
         raw_spec = chan_spec
         chan_spec = raw_spec * ch.filter_response[None, :, :]
+
+        # ---- fused Pallas trigger path: irfft + window logic in VMEM ------
+        # (traces and the boolean window intermediates never touch HBM;
+        # ops/trigger_pallas.py. Guarded to the configurations whose
+        # semantics the kernel reproduces bit-identically.)
+        if (s.trigger_impl == "pallas" and real_dtype == jnp.float32
+                and not keep_traces
+                and ch.trigger_filter_response is None
+                and all(t.trigger_type in ("high_low", "simple_threshold")
+                        and not len(t.channels) for t in trig_list)):
+            from nuradiomc_tpu.ops import trigger_pallas
+
+            R = G * C
+            th_hi_cols, th_lo_cols, kspecs = [], [], []
+            for t in trig_list:
+                if t.threshold_high is not None:
+                    hi = jnp.full((R,), t.threshold_high, jnp.float32)
+                else:
+                    hi = jnp.tile(jnp.asarray(ch.threshold_high,
+                                              jnp.float32), G)
+                if t.trigger_type == "high_low":
+                    if t.threshold_low is not None:
+                        lo = jnp.full((R,), t.threshold_low, jnp.float32)
+                    else:
+                        lo = jnp.tile(jnp.asarray(ch.threshold_low,
+                                                  jnp.float32), G)
+                    nb_hl = max(int(round(t.highlow_coincidence / s.dt)), 1)
+                else:
+                    lo = jnp.zeros((R,), jnp.float32)
+                    nb_hl = 1
+                th_hi_cols.append(hi)
+                th_lo_cols.append(lo)
+                kspecs.append(trigger_pallas.TriggerSpecStatic(
+                    kind=t.trigger_type, n_bins_hl=nb_hl,
+                    n_bins_maj=min(max(int(round(
+                        t.channel_coincidence / s.dt)), 1), s.n_base),
+                    n_coinc=t.number_of_coincidences))
+            I_r, I_i = _irfft_matrices(s.n_base)
+            mm_dtype = (jnp.bfloat16 if s.matmul_dtype == "bfloat16"
+                        else jnp.float32)
+            fired, first, amp_w = trigger_pallas.fused_irfft_trigger(
+                chan_spec.real.astype(jnp.float32).reshape(R, -1),
+                chan_spec.imag.astype(jnp.float32).reshape(R, -1),
+                jnp.stack(th_hi_cols, axis=-1),
+                jnp.stack(th_lo_cols, axis=-1),
+                I_r, I_i, scale=s.sampling_rate / np.sqrt(2.0),
+                triggers=tuple(kspecs), C=C, matmul_dtype=mm_dtype)
+            cols = [fired[:, i] & any_valid & candidate
+                    for i in range(len(trig_list))]
+            times = [t0_w + first[:, i] * s.dt
+                     for i in range(len(trig_list))]
+            return cols, times, None, amp_w
+
         channel_traces = to_time(chan_spec)
         if ch.trigger_filter_response is not None:
             # distinct trigger-channel response: same pre-amp voltage +
@@ -1133,7 +1194,8 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                                            t0_w, s, ch, real_dtype)
             cols.append(trig_t & any_valid & candidate)
             times.append(time_t)
-        return cols, times, channel_traces
+        return cols, times, channel_traces, jnp.max(jnp.abs(channel_traces),
+                                                    axis=-1)
 
     # ---- 7b. sub-event window loop (n_windows=1: single global window) ----
     remaining = valid
@@ -1150,13 +1212,12 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         key_w = (None if noise_key is None
                  else (noise_key if s.n_windows == 1
                        else jax.random.fold_in(noise_key, w)))
-        cols, times, traces_w = _assemble_and_trigger(in_w, offset, t0_w,
-                                                      key_w)
+        cols, times, traces_w, amp_w = _assemble_and_trigger(in_w, offset,
+                                                             t0_w, key_w)
         # a window with no pulses must not trigger (noise-only windows do
         # not exist in the reference: no sub-event is created without rays)
         cols = [c & any_rem for c in cols]
         per_window.append((cols, times))
-        amp_w = jnp.max(jnp.abs(traces_w), axis=-1)
         if w == 0:
             base_t0, traces0, max_amp_tr = t0_w, traces_w, amp_w
         else:

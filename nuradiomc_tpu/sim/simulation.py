@@ -270,6 +270,8 @@ class Simulation:
                if cfg.get("perf", {}).get("placement_impl") else {}),
             **({"matmul_dtype": str(cfg["perf"]["matmul_dtype"])}
                if cfg.get("perf", {}).get("matmul_dtype") else {}),
+            **({"trigger_impl": str(cfg["perf"]["trigger_impl"])}
+               if cfg.get("perf", {}).get("trigger_impl") else {}),
             apply_focusing=bool(cfg["propagation"]["focusing"]),
             focusing_limit=float(cfg["propagation"]["focusing_limit"]),
             # "implicit" (default): exact dz->0 derivative at the solved

@@ -201,3 +201,21 @@ def test_benchmark_settings_reproduce_golden(golden):
                                     & (res_b["weights"] >= min_w)])
     assert ref_groups <= mine_b, sorted(ref_groups - mine_b)
     assert (mine_b - ref_groups) <= {1272}, sorted(mine_b - ref_groups)
+
+    # fused Pallas trigger kernel (ops/trigger_pallas.py: irfft + high/low
+    # windows + majority in VMEM) must hold the same golden set; its
+    # decisions AND trigger times must equal the XLA trigger path bit-exact
+    # on the same placement path (both compute the identical f32 trace)
+    sim.settings = dataclasses.replace(sim.settings, placement_impl="pallas",
+                                       matmul_dtype="float32",
+                                       trigger_impl="pallas")
+    sim._jit_step_by_station = {}
+    res_t = sim.run()
+    mine_t = set(res_t["group_ids"][(res_t["triggered"])
+                                    & (res_t["weights"] >= min_w)])
+    assert ref_groups <= mine_t, sorted(ref_groups - mine_t)
+    assert (mine_t - ref_groups) <= {1272}, sorted(mine_t - ref_groups)
+    np.testing.assert_array_equal(res_t["triggered"], res_p["triggered"])
+    np.testing.assert_allclose(
+        res_t["trigger_times"][res_t["triggered"]],
+        res_p["trigger_times"][res_p["triggered"]], rtol=0, atol=1e-9)
