@@ -65,12 +65,34 @@ def _kernel(vr_ref, vi_ref, off_ref, drr_ref, dri_ref, dir_ref, dii_ref,
     if variant == "matmul_only":
         # no phase, reduction via reshape-sum (measures MXU floor + store)
         y_re, y_im = xb_re, xb_im
+    elif variant.startswith("sliced"):
+        # phase multiply per static 128-wide lane slice: no [r,9,128] 3D
+        # intermediates, no sublane->lane reshape — only 2D [r,128] ops
+        theta = jnp.asarray(-2.0 * np.pi * DF, jnp.float32) * off_ref[:, 0]
+        b = jax.lax.broadcasted_iota(jnp.int32, (r_t, _BLOCK), 1).astype(jnp.float32)
+        tb = theta[:, None] * b
+        wb_re, wb_im = jnp.cos(tb), jnp.sin(tb)
+        n_hi = -(-f_base // _BLOCK)
+        parts_re, parts_im = [], []
+        for a in range(n_hi):
+            ta = theta * jnp.float32(a * _BLOCK)
+            wa_re, wa_im = jnp.cos(ta)[:, None], jnp.sin(ta)[:, None]
+            pr = wa_re * wb_re - wa_im * wb_im
+            pi = wa_re * wb_im + wa_im * wb_re
+            lo = a * _BLOCK
+            w = min(_BLOCK, f - lo)
+            xr = xb_re[:, lo:lo + w]
+            xi = xb_im[:, lo:lo + w]
+            parts_re.append(xr * pr[:, :w] - xi * pi[:, :w])
+            parts_im.append(xr * pi[:, :w] + xi * pr[:, :w])
+        y_re = jnp.concatenate(parts_re, axis=-1)
+        y_im = jnp.concatenate(parts_im, axis=-1)
     else:
         ph_re, ph_im = _phase(off_ref[:], r_t, f_base)
         y_re = xb_re * ph_re - xb_im * ph_im
         y_im = xb_re * ph_im + xb_im * ph_re
 
-    if variant == "mxu_reduce":
+    if variant.endswith("mxu_reduce"):
         # s2 reduction as a static 0/1 matmul (avoids the reshape-sum
         # sublane relayout): out = red @ y, red [r_t//s2, r_t]
         out_re_ref[:] = jnp.dot(red_ref[:], y_re,
@@ -127,8 +149,18 @@ def main():
         ("matmul_only rt=256 (no phase: MXU+reduce floor)", "matmul_only", 256),
         ("mxu_reduce rt=256 (reduction on MXU)", "mxu_reduce", 256),
         ("mxu_reduce rt=128", "mxu_reduce", 128),
+        ("sliced_phase rt=256 (2D lane-slice phase)", "sliced", 256),
+        ("sliced_phase + mxu_reduce rt=256", "sliced_mxu_reduce", 256),
     ]
     for name, variant, row_tile in variants:
+        try:
+            _run_variant(name, variant, row_tile, dr, di)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": repr(e)[:200]}),
+                  flush=True)
+
+
+def _run_variant(name, variant, row_tile, dr, di):
         call = build(variant, row_tile)
 
         def make(k):
