@@ -24,7 +24,8 @@ from nuradiomc_tpu.utils import fft
 
 def bandlimited_noise_spectrum(key, n_samples: int, sampling_rate: float,
                                amplitude, min_freq, max_freq,
-                               type: str = "rayleigh", dtype=jnp.float32):
+                               type: str = "rayleigh", dtype=jnp.float32,
+                               sampler: str = "phase"):
     """One realization of the noise rFFT spectrum (NuRadioMC normalization).
 
     Returns a complex array of shape (n_samples // 2 + 1,) to be added to a
@@ -33,6 +34,17 @@ def bandlimited_noise_spectrum(key, n_samples: int, sampling_rate: float,
     that freq2time yields the time-domain noise directly).
 
     vmap over keys for a batch of channels/events.
+
+    ``sampler`` selects the draw for type="rayleigh" — both produce the
+    SAME distribution (Rayleigh amplitude x uniform phase == circular
+    complex gaussian), different realizations per key:
+
+    * "phase": the literal reference construction (one log + sqrt + two
+      sincos per bin);
+    * "gaussian": two normal draws per bin (erfinv is a polynomial on the
+      TPU VPU — ~2-3x cheaper; the throughput choice for noisy
+      production). Bins whose phase is pinned real (DC/Nyquist,
+      add_random_phases:15-32) take the Rayleigh modulus |z1 + i z2|.
     """
     n_freqs = n_samples // 2 + 1
     frequencies = jnp.fft.rfftfreq(n_samples, 1.0 / sampling_rate).astype(dtype)
@@ -48,6 +60,17 @@ def bandlimited_noise_spectrum(key, n_samples: int, sampling_rate: float,
     sigscale = n_samples / jnp.sqrt(nbins).astype(dtype)
 
     key_amp, key_phase = jax.random.split(key)
+    if type == "rayleigh" and sampler == "gaussian":
+        fsigma = amplitude * sigscale / jnp.sqrt(2.0).astype(dtype)
+        z = jax.random.normal(key_amp, (2, n_freqs), dtype=dtype)
+        Np = (n_samples - 1) // 2
+        bin_idx = jnp.arange(n_freqs)
+        phase_mask = (bin_idx >= 1) & (bin_idx <= Np)
+        cdtype = jnp.result_type(dtype, jnp.complex64)
+        val = jnp.where(phase_mask,
+                        (z[0] + 1j * z[1]).astype(cdtype),
+                        jnp.sqrt(z[0] ** 2 + z[1] ** 2).astype(cdtype))
+        return jnp.where(selection, fsigma * val, 0.0) / sampling_rate
     if type == "perfect_white":
         ampl = jnp.where(selection, amplitude * sigscale, 0.0)
     elif type == "rayleigh":

@@ -127,6 +127,13 @@ class PipelineSettings:
     # a separate trigger chain is configured, per-trigger channel subsets
     # are used, or a phased-array trigger is declared.
     trigger_impl: str = "xla"
+    # PROFILING ONLY — cumulative stop-after ladder: truncate simulate_batch
+    # after the named stage and return a dummy output whose `triggered`
+    # keeps everything computed so far live (so fori-differenced timings of
+    # successive anchors attribute the REAL full step, with XLA's DCE
+    # behaving exactly as in the bench block). "" = full step (production).
+    # Anchors: ray | spec | attquad | scalars | placement | filter
+    stop_after: str = ""
     # matmul input precision for the dense DFT matrices (placement + final
     # irfft): "float32" (default) or "bfloat16" — bf16 inputs with f32
     # accumulation ride the MXU at ~4x the f32 rate; the ~4e-3 relative
@@ -143,6 +150,12 @@ class PipelineSettings:
     # noise block
     add_noise: bool = False
     noise_type: str = "rayleigh"
+    # "phase" = the reference's literal Rayleigh-amplitude x uniform-phase
+    # construction; "gaussian" = circular complex gaussian — SAME
+    # distribution, ~2-3x fewer VPU transcendentals per bin
+    # (ops/noise.py docstring). Different realizations per key, so flip
+    # only with statistical (not bit-pinned) conformance targets.
+    noise_sampler: str = "phase"
     # multi-trigger block: tuple of TriggerSettings evaluated in ONE fused
     # pass (the reference registers N named triggers per station in one run,
     # e.g. T02RunPhasedRNO.py:76-109; HDF5 multiple_triggers matrix,
@@ -573,6 +586,29 @@ def _eval_trigger(t: TriggerSettings, channel_traces, chan_spec, base_t0,
     raise NotImplementedError(t.trigger_type)
 
 
+def _stop_output(live, G, S, C, n_rays, real_dtype):
+    """Dummy PipelineOutput for the stop-after profiling ladder: reduces
+    every live array into `triggered` so nothing computed so far is DCE'd,
+    everything downstream is."""
+    acc = jnp.zeros((G,), real_dtype)
+    for a in live:
+        if a is None:
+            continue
+        a = a.astype(real_dtype) if a.dtype != real_dtype else a
+        acc = acc + (a if a.ndim == 1 else jnp.sum(a.reshape(G, -1), axis=-1))
+    trig = acc != 0
+    z4 = jnp.zeros((G, S, C, n_rays), real_dtype)
+    z43 = jnp.zeros((G, S, C, n_rays, 3), real_dtype)
+    return PipelineOutput(
+        triggered=trig, candidate=trig, max_efield=acc, trigger_time=acc,
+        max_amplitude=jnp.zeros((G, C), real_dtype), traces=None,
+        base_t0=acc, sol_mask=z4 > 0, c0=z4, c1=z4,
+        sol_type=jnp.zeros((G, S, C, n_rays), jnp.int32),
+        travel_time=z4, path_length=z4, launch_vector=z43,
+        receive_vector=z43, polarization=z43, viewing_angle=z4,
+        max_amp_per_solution=z4, focusing=z4)
+
+
 def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                    noise_key: Optional[jnp.ndarray] = None,
                    keep_traces: bool = False,
@@ -613,6 +649,11 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     n_rays = sols.c0.shape[-1]                      # 2 + 4*n_reflections
 
     launch, receive = raytrace.launch_receive_vectors(geom, sols)  # [G,S,C,R,3]
+
+    if s.stop_after == "ray":
+        return _stop_output(
+            (sols.c0, sols.c1, sols.travel_time, sols.path_length,
+             sols.mask, launch, receive), G, S, C, n_rays, real_dtype)
 
     # ---- 2. viewing angle + delta_C cut ------------------------------------
     n_vertex = s.ice.index_of_refraction(batch.vertices[..., 2])   # [G,S]
@@ -712,6 +753,10 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                 flat(jnp.broadcast_to(batch.k_L[:, :, None, None], bshape)),
             ).reshape(*bshape, -1)                                 # [G,S,C,2,F]
 
+        if s.stop_after == "spec":
+            return _stop_output((spec.real, spec.imag), G, S, C, n_rays,
+                                real_dtype)
+
         # ---- 4. polarization (on-sky at the vertex, simulation.py:798-829) -
         axis = batch.prop_dir[:, :, None, None, :]
         pol = jnp.cross(launch, jnp.cross(axis, launch))
@@ -790,6 +835,9 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
     att_vals = att_W = None
     if s.attenuate_ice:
         att_vals, att_W = _attenuation_sparse_values(sols, geom, s)
+        if s.stop_after == "attquad":
+            return _stop_output((spec.real, spec.imag, att_vals),
+                                G, S, C, n_rays, real_dtype)
         full = jnp.einsum(
             "ps,sf->pf", att_vals.reshape(-1, att_vals.shape[-1]),
             jnp.asarray(att_W, att_vals.dtype))
@@ -978,6 +1026,10 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         amp_t_c = (pol_onsky[..., 1] * foc).astype(a_p.dtype) * a_p
         amp_p_c = (pol_onsky[..., 2] * foc).astype(a_s.dtype) * a_s
         combined = mix_t.astype(a_p.dtype) * amp_t_c             + mix_p.astype(a_s.dtype) * amp_p_c       # [G,S,C,2] complex
+        if s.stop_after == "scalars":
+            return _stop_output(
+                (spec.real, spec.imag, att_vals, combined.real,
+                 combined.imag, candidate), G, S, C, n_rays, real_dtype)
         volt_spec = T * combined[..., None] * spec_att
     else:
         volt_spec = vel_t * e_theta + vel_p * e_phi                # [G,S,C,2,F]
@@ -1085,6 +1137,9 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
             ph = trace_ops.time_shift_phase_uniform(F_base, df_base, offset)
             chan_spec = jnp.sum(Xb * ph.astype(ctype), axis=(1, 3))  # [G,C,Fb]
 
+        if s.stop_after == "placement":
+            return ("STOP", (chan_spec.real, chan_spec.imag))
+
         # ---- 8. filter chain (+ optional noise) ----------------------------
         if s.add_noise:
             if key_w is None:
@@ -1097,7 +1152,8 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
             def noise_one(key, amp):
                 return noise_ops.bandlimited_noise_spectrum(
                     key, s.n_base, s.sampling_rate, amp, None, nyquist,
-                    type=s.noise_type, dtype=real_dtype)
+                    type=s.noise_type, dtype=real_dtype,
+                    sampler=s.noise_sampler)
             nspec = jax.vmap(jax.vmap(noise_one))(
                 keys, jnp.broadcast_to(ch.noise_amplitude[None, :], (G, C)))
             chan_spec = chan_spec + nspec
@@ -1119,6 +1175,9 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
 
         raw_spec = chan_spec
         chan_spec = raw_spec * ch.filter_response[None, :, :]
+
+        if s.stop_after == "filter":
+            return ("STOP", (chan_spec.real, chan_spec.imag))
 
         # ---- fused Pallas trigger path: irfft + window logic in VMEM ------
         # (traces and the boolean window intermediates never touch HBM;
@@ -1212,8 +1271,10 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         key_w = (None if noise_key is None
                  else (noise_key if s.n_windows == 1
                        else jax.random.fold_in(noise_key, w)))
-        cols, times, traces_w, amp_w = _assemble_and_trigger(in_w, offset,
-                                                             t0_w, key_w)
+        res_w = _assemble_and_trigger(in_w, offset, t0_w, key_w)
+        if isinstance(res_w[0], str):   # stop-after profiling ladder
+            return _stop_output(res_w[1], G, S, C, n_rays, real_dtype)
+        cols, times, traces_w, amp_w = res_w
         # a window with no pulses must not trigger (noise-only windows do
         # not exist in the reference: no sub-event is created without rays)
         cols = [c & any_rem for c in cols]

@@ -272,6 +272,8 @@ class Simulation:
                if cfg.get("perf", {}).get("matmul_dtype") else {}),
             **({"trigger_impl": str(cfg["perf"]["trigger_impl"])}
                if cfg.get("perf", {}).get("trigger_impl") else {}),
+            **({"noise_sampler": str(cfg["perf"]["noise_sampler"])}
+               if cfg.get("perf", {}).get("noise_sampler") else {}),
             apply_focusing=bool(cfg["propagation"]["focusing"]),
             focusing_limit=float(cfg["propagation"]["focusing_limit"]),
             # "implicit" (default): exact dz->0 derivative at the solved

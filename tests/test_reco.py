@@ -144,3 +144,45 @@ def test_noise_adder_rms():
     tr = rng_mod.bandlimited_noise(None, None, N, fs, amp, type="rayleigh")
     # RMS approximately the requested amplitude
     assert abs(np.std(tr) / amp - 1) < 0.1
+
+
+def test_noise_gaussian_sampler_distribution():
+    """The "gaussian" sampler must reproduce the "phase" sampler's
+    DISTRIBUTION exactly (Rayleigh amplitude x uniform phase == circular
+    complex gaussian): same post-filter RMS, same per-bin amplitude
+    distribution (KS-style quantile compare), real DC/Nyquist bins."""
+    import jax
+    import jax.numpy as jnp
+
+    from nuradiomc_tpu.ops import noise as noise_ops
+
+    fs, N, amp = 2.0, 2048, 0.01
+    keys = jax.random.split(jax.random.PRNGKey(7), 256)
+
+    def draw(sampler):
+        return jax.vmap(lambda k: noise_ops.bandlimited_noise_spectrum(
+            k, N, fs, amp, None, fs / 2, type="rayleigh",
+            sampler=sampler))(keys)
+
+    sp = np.asarray(draw("phase"))
+    sg = np.asarray(draw("gaussian"))
+    # identical support: zero outside the band, DC zero, Nyquist real
+    assert np.all(sp[:, 0] == 0) and np.all(sg[:, 0] == 0)
+    np.testing.assert_allclose(np.imag(sg[:, -1]), 0, atol=1e-12)
+    np.testing.assert_allclose(np.imag(sp[:, -1]), 0, atol=1e-12)
+    # time-domain RMS equal to the requested amplitude for both
+    from nuradiomc_tpu.utils import fft as fft_utils
+    for s in (sp, sg):
+        tr = np.asarray(fft_utils.freq2time(jnp.asarray(s), fs, n=N))
+        assert abs(np.std(tr) / amp - 1) < 0.05
+    # per-bin amplitude quantiles agree (same Rayleigh distribution)
+    a_p = np.sort(np.abs(sp[:, 1:-1]).ravel())
+    a_g = np.sort(np.abs(sg[:, 1:-1]).ravel())
+    q = np.linspace(0.01, 0.99, 50)
+    qp = np.quantile(a_p, q)
+    qg = np.quantile(a_g, q)
+    np.testing.assert_allclose(qg, qp, rtol=0.02)
+    # phases uniform: mean resultant of unit phasors ~ 0
+    ph = sg[:, 1:-1].ravel()
+    ph = ph[np.abs(ph) > 0] / np.abs(ph[np.abs(ph) > 0])
+    assert np.abs(ph.mean()) < 0.01
