@@ -1179,6 +1179,48 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         if s.stop_after == "filter":
             return ("STOP", (chan_spec.real, chan_spec.imag))
 
+        # ---- fused Pallas phased-array path: the whole ADC + beamform +
+        # power chain in VMEM (ops/pa_pallas.py); the decimated/quantized/
+        # upsampled traces and the [G, B, n_up] beam sums never touch HBM.
+        if (s.trigger_impl == "pallas" and real_dtype == jnp.float32
+                and not keep_traces
+                and ch.trigger_filter_response is None
+                and all(t.trigger_type == "phased_array" and t.pa_digitize
+                        and not len(t.channels) for t in trig_list)):
+            from nuradiomc_tpu.ops import pa_pallas
+
+            R = G * C
+            fs_hi = 5.0
+            n_hi = int(round(s.n_base * fs_hi / s.sampling_rate))
+            I_r, I_i = _irfft_matrices(s.n_base)
+            mm_dtype = (jnp.bfloat16 if s.matmul_dtype == "bfloat16"
+                        else jnp.float32)
+            sre = chan_spec.real.astype(jnp.float32).reshape(R, -1)
+            sim_ = chan_spec.imag.astype(jnp.float32).reshape(R, -1)
+            cols_t, times_t, amp_w = [], [], None
+            for t in trig_list:
+                decim = int(round(fs_hi / t.pa_adc_fs))
+                Dd_r, Dd_i = _decimating_irfft_matrices(s.n_base, n_hi,
+                                                        decim)
+                U = _fft_upsample_matrix(Dd_r.shape[1],
+                                         int(t.pa_upsampling))
+                fs_pa = t.pa_adc_fs * t.pa_upsampling
+                lsb = t.pa_adc_range / (2 ** t.pa_adc_nbits - 1)
+                fired, frame, amp_k = pa_pallas.fused_pa_trigger(
+                    sre, sim_, I_r, I_i, Dd_r, Dd_i, U,
+                    scale_full=s.sampling_rate / np.sqrt(2.0),
+                    scale_dec=fs_hi / np.sqrt(2.0),
+                    rolls=np.asarray(t.pa_rolls, int),
+                    threshold=t.pa_threshold, window=t.pa_window,
+                    step=t.pa_step, v_min=-t.pa_adc_range / 2, lsb=lsb,
+                    n_counts=2 ** t.pa_adc_nbits, C=C,
+                    matmul_dtype=mm_dtype)
+                cols_t.append(fired & any_valid & candidate)
+                times_t.append(t0_w + frame * (t.pa_step / fs_pa))
+                amp_w = amp_k if amp_w is None else jnp.maximum(amp_w,
+                                                                amp_k)
+            return cols_t, times_t, None, amp_w
+
         # ---- fused Pallas trigger path: irfft + window logic in VMEM ------
         # (traces and the boolean window intermediates never touch HBM;
         # ops/trigger_pallas.py. Guarded to the configurations whose

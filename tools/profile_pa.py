@@ -71,6 +71,13 @@ def main():
         ("trigger=high_low pallas (fused irfft+trigger)",
          {"trigger_type": "high_low", "trigger_impl": "pallas"}, True),
         ("placement=pallas + no noise", {"placement_impl": "pallas"}, False),
+        ("pa-trigger=pallas (fused ADC+beam+power kernel)",
+         {"trigger_impl": "pallas"}, True),
+        ("all pallas (placement + pa-trigger kernels)",
+         {"placement_impl": "pallas", "trigger_impl": "pallas"}, True),
+        ("all pallas + gaussian noise",
+         {"placement_impl": "pallas", "trigger_impl": "pallas",
+          "noise_sampler": "gaussian"}, True),
     ]
     for name, kw, noisy in variants:
         s = dataclasses.replace(settings, **kw)
