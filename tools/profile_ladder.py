@@ -7,9 +7,13 @@ the REAL bench program (PipelineSettings.stop_after), each keeping
 everything up to its anchor live and everything later dead. Successive
 differences = the marginal cost of each stage IN CONTEXT.
 
-Anchors: ray -> spec -> attquad -> scalars -> placement -> filter -> full.
+Measurement: all 14 programs (7 anchors x k in {1, 5}) are compiled/
+loaded up front (they hit the persistent executable cache), then timed
+in ROUND-ROBIN interLEAVED blocks so shared-chip drift hits every anchor
+equally; per-program minima are differenced. Anchors:
+ray -> spec -> attquad -> scalars -> placement -> filter -> full.
 
-    python -u tools/profile_ladder.py            # headline shape
+    python -u tools/profile_ladder.py [n_blocks]
 """
 import dataclasses
 import json
@@ -30,48 +34,55 @@ import jax.numpy as jnp
 from __graft_entry__ import _make_settings_and_inputs
 from nuradiomc_tpu.sim.pipeline import simulate_batch
 
-K_HI, K_LO, N_BLOCKS = 5, 1, 3
+K_HI, K_LO = 5, 1
 ANCHORS = ["ray", "spec", "attquad", "scalars", "placement", "filter", ""]
 
 
-def block_time(settings, batch, ch):
-    def make(k):
-        def block(b):
-            def body(i, acc):
-                bb = b._replace(energies=b.energies *
-                                (1.0 + 1e-7 * i.astype(b.energies.dtype)))
-                out = simulate_batch(bb, ch, settings)
-                return acc + jnp.sum(out.triggered.astype(jnp.int32))
-            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-        return block
-
-    times = {}
-    for k in (K_LO, K_HI):
-        fn = jax.jit(make(k))
-        int(fn(batch))
-        best = np.inf
-        for _ in range(N_BLOCKS):
-            t0 = time.perf_counter()
-            int(fn(batch))
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    return (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
-
-
 def main():
+    n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     settings, ch, batch = _make_settings_and_inputs(
         n_groups=65536, n_showers=2, n_channels=1,
         n_internal=512, n_base=2048)
     settings = dataclasses.replace(settings, placement_impl="pallas",
                                    trigger_impl="pallas")
 
-    prev = 0.0
+    def make(s, k):
+        def block(b):
+            def body(i, acc):
+                bb = b._replace(energies=b.energies *
+                                (1.0 + 1e-7 * i.astype(b.energies.dtype)))
+                out = simulate_batch(bb, ch, s)
+                return acc + jnp.sum(out.triggered.astype(jnp.int32))
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+        return block
+
+    fns = {}
     for anchor in ANCHORS:
         s = dataclasses.replace(settings, stop_after=anchor)
-        t = block_time(s, batch, ch) * 1e3
+        for k in (K_LO, K_HI):
+            fn = jax.jit(make(s, k))
+            t0 = time.perf_counter()
+            int(fn(batch))           # compile/load + warm
+            print(json.dumps({"warm": anchor or "full", "k": k,
+                              "sec": round(time.perf_counter() - t0, 1)}),
+                  flush=True)
+            fns[(anchor, k)] = fn
+
+    best = {key: np.inf for key in fns}
+    for blk in range(n_blocks):
+        for key, fn in fns.items():
+            t0 = time.perf_counter()
+            int(fn(batch))
+            best[key] = min(best[key], time.perf_counter() - t0)
+        print(json.dumps({"block": blk}), flush=True)
+
+    prev = 0.0
+    for anchor in ANCHORS:
+        t = (best[(anchor, K_HI)] - best[(anchor, K_LO)]) / (K_HI - K_LO)
         print(json.dumps({"through": anchor or "full",
-                          "cumulative_ms": round(t, 2),
-                          "marginal_ms": round(t - prev, 2)}), flush=True)
+                          "cumulative_ms": round(t * 1e3, 2),
+                          "marginal_ms": round((t - prev) * 1e3, 2)}),
+              flush=True)
         prev = t
 
 
