@@ -1108,6 +1108,19 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                 tpl_table = (jnp.asarray(ch.templates)
                              .reshape(C * 3, -1).astype(jnp.complex64)
                              * dcmask[None, :])
+                if s.stop_after == "placeprep":
+                    # ladder anchor: everything the kernel consumes, with
+                    # the kernel itself skipped — splits the placement
+                    # marginal into XLA prep vs kernel-in-context
+                    return ("STOP", (
+                        ch_major(spec.real.astype(jnp.float32)),
+                        ch_major(spec.imag.astype(jnp.float32)),
+                        ch_major(att_vals.astype(jnp.float32)),
+                        ch_major(combined.real.astype(jnp.float32)
+                                 ).reshape(G, -1),
+                        ch_major(place_valid.astype(jnp.float32)
+                                 ).reshape(G, -1),
+                        offs.reshape(G, -1)))
                 out_re, out_im = placement_pallas.chain_placement_reduce(
                     ch_major(spec.real.astype(jnp.float32)),
                     ch_major(spec.imag.astype(jnp.float32)),

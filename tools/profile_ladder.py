@@ -35,7 +35,8 @@ from __graft_entry__ import _make_settings_and_inputs
 from nuradiomc_tpu.sim.pipeline import simulate_batch
 
 K_HI, K_LO = 5, 1
-ANCHORS = ["ray", "spec", "attquad", "scalars", "placement", "filter", ""]
+ANCHORS = ["ray", "spec", "attquad", "scalars", "placeprep", "placement",
+           "filter", ""]
 
 
 def main():
