@@ -7,6 +7,7 @@ arguments — the driver contract. Additional configurations:
     python bench.py xla         # headline with the XLA placement path
     python bench.py pallas      # same as headline, labelled metric
     python bench.py pa          # 4-channel phased array + noise + ADC
+    python bench.py pa_pallas   # same through the fused Pallas PA kernel
     python bench.py raytrace    # ray-trace solutions/sec
 
 Every published configuration is tied to a conformance test:
@@ -74,6 +75,7 @@ EXPECTED_COUNTS = {
     "veff_pallas_bf16": (9767, 32),
     "raytrace": (257079, 32),
     "pa": (178, None),         # band: +-40% (noise-statistics dependent)
+    "pa_pallas": (178, None),  # same workload through the fused kernel
 }
 
 
@@ -249,7 +251,12 @@ def _pa_setup(n_groups=16384):
     return sim.settings, sim.channel_params, batch, base_key
 
 
-def bench_pa():
+def bench_pa(fused=False):
+    """Phased-array workload; fused=True runs the Pallas placement +
+    PA-trigger kernels (ops/pa_pallas.py) validated by
+    tests/test_pa_pallas.py::test_fused_pa_e2e_golden_decisions."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -257,6 +264,9 @@ def bench_pa():
 
     n_groups = 16384
     settings, ch, batch, base_key = _pa_setup(n_groups)
+    if fused:
+        settings = dataclasses.replace(settings, placement_impl="pallas",
+                                       trigger_impl="pallas")
     k_steps = 25
 
     def block(b):
@@ -274,10 +284,36 @@ def bench_pa():
                              noise_key=jax.random.fold_in(base_key, 0))
         return jnp.sum(out.triggered.astype(jnp.int32))
 
-    count, expected = _conformance_check("pa", probe, batch)
+    mode = "pa_pallas" if fused else "pa"
+    count, expected = _conformance_check(mode, probe, batch)
+
+    if fused:
+        # cross-impl ON the device with IDENTICAL noise draws: only
+        # razor-thin power margins may flip between the Mosaic kernel's
+        # doubling-tree power sums and the XLA cumsum (the tolerance the
+        # validated pipeline test allows, scaled to the tiled batch)
+        settings_xla = dataclasses.replace(settings, placement_impl="xla",
+                                           trigger_impl="xla")
+
+        @jax.jit
+        def probe_xla(b):
+            out = simulate_batch(b, ch, settings_xla,
+                                 noise_key=jax.random.fold_in(base_key, 0))
+            return jnp.sum(out.triggered.astype(jnp.int32))
+
+        count_xla = int(probe_xla(batch))
+        if abs(count_xla - count) > 8 and not os.environ.get(
+                "BENCH_SKIP_CONFORMANCE"):
+            print(json.dumps({"metric": "conformance_pa_cross_impl",
+                              "value": count, "xla": count_xla,
+                              "conformance": "FAIL"}))
+            raise AssertionError(
+                f"fused PA ({count}) vs xla ({count_xla}) triggered counts "
+                f"differ beyond margin tolerance ON the same device")
     rate = _best_block_rate(jax.jit(block), batch, n_groups, k_steps)
     return {
-        "metric": "pa_noise_adc_pipeline_events_per_sec_per_chip",
+        "metric": "pa_noise_adc_pipeline_events_per_sec_per_chip"
+                  + ("_pallas" if fused else ""),
         "value": round(rate, 1),
         "unit": "events/s/chip",
         "vs_baseline": round(rate / REFERENCE_PA_EVENTS_PER_SEC_PER_CORE, 1),
@@ -358,6 +394,7 @@ def main():
     _enable_compilation_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "veff"
     result = {"veff": bench_veff, "pa": bench_pa,
+              "pa_pallas": lambda: bench_pa(fused=True),
               "raytrace": bench_raytrace,
               "pallas": lambda: bench_veff("pallas", labelled=True),
               "xla": lambda: bench_veff("xla", labelled=True),

@@ -1082,7 +1082,8 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         """Place the in-window pulses, apply filters (+noise), run every
         declared trigger: ONE sub-event readout window."""
         V = jnp.where(place_valid[..., None], volt_spec, 0.0)  # [G,S,C,R,F]
-        if s.placement_impl == "pallas" and real_dtype == jnp.float32:
+        if (s.placement_impl in ("pallas", "pallas_v1")
+                and real_dtype == jnp.float32):
             # fused kernel: placement DFT + phase + (S,R) reduction in VMEM
             from nuradiomc_tpu.ops import placement_pallas
 
@@ -1098,7 +1099,14 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
             def ch_major(x):
                 return jnp.moveaxis(x, 2, 1).reshape(R, *x.shape[4:])
 
-            if factored and att_vals is not None:
+            # "pallas_v1" forces the materialize-volt + v1 kernel hybrid even
+            # on the factored chain: XLA builds volt_spec (full-rate fused
+            # elementwise), the kernel does only DFT-placement + phase +
+            # reduction. Measured isolated: v2 chain in-context 41 ms vs this
+            # hybrid 20 ms (tools/profile_kernel_context.py variant D) — the
+            # chain kernel's in-kernel epilogue starves the MXU.
+            if (factored and att_vals is not None
+                    and s.placement_impl == "pallas"):
                 # v2: the whole factored chain (spec x att-interp x template
                 # x scalars) fused in-kernel — spec_att / volt_spec / Xb /
                 # phase never hit HBM on this path

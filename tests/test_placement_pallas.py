@@ -48,9 +48,12 @@ def test_kernel_matches_xla_path():
     np.testing.assert_allclose(got, ref, atol=5e-4 * scale, rtol=0)
 
 
-def test_pipeline_flag_equivalence():
-    """simulate_batch(placement_impl='pallas') == 'xla' at float32 on a
-    small batch (interpreter mode)."""
+@pytest.mark.parametrize("impl", ["pallas", "pallas_v1"])
+def test_pipeline_flag_equivalence(impl):
+    """simulate_batch(placement_impl='pallas'|'pallas_v1') == 'xla' at
+    float32 on a small batch (interpreter mode). 'pallas_v1' is the
+    materialize-volt + v1-kernel hybrid (XLA builds volt_spec, the kernel
+    does only DFT placement + phase + reduction)."""
     import dataclasses
 
     import sys
@@ -60,7 +63,7 @@ def test_pipeline_flag_equivalence():
 
     settings, ch, batch = _make_settings_and_inputs(
         n_groups=8, n_showers=2, n_channels=2, n_internal=128, n_base=256)
-    s_pl = dataclasses.replace(settings, placement_impl="pallas")
+    s_pl = dataclasses.replace(settings, placement_impl=impl)
 
     out_x = jax.jit(lambda b: simulate_batch(b, ch, settings,
                                              keep_traces=True))(batch)

@@ -1,10 +1,14 @@
-"""Same-session full-step A/B: placement_impl xla vs pallas (headline shape).
+"""Same-session full-step A/B: placement_impl xla vs pallas vs pallas_v1.
 
 The fused placement kernel runs at 19.9 TFLOP/s (13% of the demonstrated
 MXU rate) because its VPU epilogue starves the MXU; XLA's unfused path
 pays ~4.3 GB of HBM intermediates instead but runs the matmul at full
-rate and pipelines the elementwise chain. This measures which wins on the
-REAL full step, interleaved in one tunnel session.
+rate and pipelines the elementwise chain. "pallas_v1" is the hybrid:
+XLA materializes volt_spec (fused elementwise at full rate), the kernel
+does only DFT placement + phase + reduce — isolated it measured 20 ms vs
+the chain kernel's 41 ms in-context (tools/profile_kernel_context.py).
+This measures which wins on the REAL full step, interleaved in one
+tunnel session.
 
     python -u tools/profile_placement_ab.py
 """
@@ -60,7 +64,7 @@ def main():
         n_internal=512, n_base=2048)
 
     for rep in range(2):
-        for impl in ("xla", "pallas"):
+        for impl in ("xla", "pallas", "pallas_v1"):
             s = dataclasses.replace(settings, placement_impl=impl,
                                     trigger_impl="pallas")
             t = block_time(s, batch, ch)
