@@ -204,7 +204,8 @@ class Particle(ParameterStorage):
 
 class BaseStation(ParameterStorage):
     def __init__(self, station_id: int):
-        super().__init__((par.stationParameters, par.stationParametersRNOG))
+        super().__init__((par.stationParameters, par.stationParametersRNOG,
+                          par.ARIANNAParameters))
         self._station_id = station_id
         self._station_time = None
         self._triggers = collections.OrderedDict()
@@ -247,6 +248,16 @@ class BaseStation(ParameterStorage):
         if trigger_name is not None:
             return self._triggers[trigger_name].has_triggered()
         return any(t.has_triggered() for t in self._triggers.values())
+
+    def set_triggered(self, triggered=True):
+        """Convenience setter for a single 'default' trigger
+        (base_station.py:194-203); set_trigger() is the full interface."""
+        if len(self._triggers) > 1:
+            raise ValueError("more than one trigger was set. "
+                             "Request is ambiguous")
+        trigger = Trigger("default")
+        trigger.set_triggered(triggered)
+        self.set_trigger(trigger)
 
     def get_electric_fields(self):
         return self._electric_fields

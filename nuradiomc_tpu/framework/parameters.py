@@ -137,6 +137,22 @@ class emitterParameters(Enum):
     time = auto()
 
 
+class ARIANNAParameters(Enum):
+    """ARIANNA data-taking parameters (parameters.py:118-126). The reference
+    now stores these in the station's generic ``_parameters`` dict (its
+    separate set/get_ARIANNA_parameter API is deprecated, base_station.py:
+    309-357) — we do the same."""
+
+    seq_start_time = auto()
+    seq_stop_time = auto()
+    seq_num = auto()
+    comm_period = auto()
+    comm_duration = auto()
+    trigger_thresholds = auto()
+    l1_supression_value = auto()
+    internal_clock_time = auto()
+
+
 class particleParameters(Enum):
     parent_id = auto()
     zenith = auto()
