@@ -80,6 +80,86 @@ def get_frequency_spectrum(amplitude, N: int, dt: float, model: str, **kwargs):
     return fft.time2freq(trace, 1.0 / dt)
 
 
+def _center_component(v: np.ndarray, N: int) -> np.ndarray:
+    """Center a measured component on the grid the reference's way
+    (emitter.py:205-237): longer traces are peak-rolled to the middle then
+    truncated around it; shorter ones zero-padded symmetrically (+1 left
+    for odd parity); finally the peak is rolled exactly to N//2."""
+    if len(v) > N:
+        peak = int(np.flatnonzero(np.abs(v) == np.max(np.abs(v)))[0])
+        v = np.roll(v, len(v) // 2 - peak)
+        lo = int(len(v) / 2 - N / 2)
+        out = v[lo:lo + N]
+    else:
+        pad = int((N - len(v)) / 2)
+        adj = 1 if (N + len(v)) % 2 != 0 else 0
+        out = np.pad(v, (pad + adj, pad))
+    peak = int(np.flatnonzero(np.abs(out) == np.max(np.abs(out)))[0])
+    return np.roll(out, N // 2 - peak)
+
+
+def load_spice_archive(path: str) -> dict:
+    """Load the SPICE pulse archive (SPice_pulses.xz: lzma-compressed pickle
+    with 'efields' {launch_angle_deg: [pulse (2, n), ...]} and
+    'sampling_rate'; emitter.py:159-170). The published archive ships with
+    the reference under SignalProp/examples/birefringence_examples/
+    extra_files/ — drop it into nuradiomc_tpu/data/ or pass an explicit
+    path."""
+    import lzma
+    import os
+    import pickle
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"SPICE pulse archive not found at {path}. Download "
+            "SPice_pulses.xz (reference: SignalProp/examples/"
+            "birefringence_examples/extra_files/SPice_pulses.xz) and drop "
+            "it there, or pass spice_pulses_path=.")
+    with lzma.open(path, "r") as f:
+        return pickle.load(f)
+
+
+def spice_unit_specs(archive: dict, N: int, dt: float, iN=0, rng=None):
+    """Per-launch-angle unit-amplitude (eTheta, ePhi) spectra of the SPICE
+    pulser (emitter.py:159-250, model 'efield_idl1_spice').
+
+    The reference picks ONE measured pulse per efield call (kwargs iN, or a
+    random draw), Fourier-resamples it to the target rate, centers each
+    component's peak at N//2 and scales by the event amplitude. Amplitude
+    is linear, so everything per-angle is precomputed here once:
+    returns (angles_rad [A] ascending, unit_specs [A, 2, F] complex) with
+    the NuRadioMC rfft normalization (time2freq). ``iN`` selects the pulse
+    (int, or per-angle via ``rng.integers`` when a numpy Generator is
+    given — one draw per angle per batch instead of the reference's one
+    draw per efield; document in run provenance when it matters).
+    """
+    from scipy.signal import resample as _fft_resample
+
+    from nuradiomc_tpu.utils import units as u
+
+    sr = float(archive["sampling_rate"])
+    keys = sorted(archive["efields"].keys(), key=float)
+    angles, specs = [], []
+    for key in keys:
+        pulses = archive["efields"][key]
+        i = int(rng.integers(0, len(pulses))) if rng is not None else int(iN)
+        if i >= len(pulses):
+            raise ValueError(f"the selected pulse iN {i} is out of range. "
+                             f"Only {len(pulses)} pulses at angle {key}")
+        th = np.asarray(pulses[i][0], float)
+        ph = np.asarray(pulses[i][1], float)
+        # ElectricField.resample: FFT resampling to 1/dt, even length
+        n_out = int(round(len(th) * (1.0 / dt) / sr))
+        if n_out % 2 != 0:
+            n_out += 1
+        th = _fft_resample(th, n_out)
+        ph = _fft_resample(ph, n_out)
+        comp = np.stack([_center_component(th, N), _center_component(ph, N)])
+        angles.append(float(key) * u.deg)
+        specs.append(np.fft.rfft(comp, axis=-1) * dt * np.sqrt(2.0))
+    return np.asarray(angles), np.asarray(specs)
+
+
 def load_measured_waveform(path: str, amplitude: float, N: int, dt: float) -> np.ndarray:
     """Host-side loader for measured pulser waveforms (idl1/hvsp1/ARA02/rno_*
     HDF5 files with 'time'/'voltage'): cubic interpolation to the target rate,

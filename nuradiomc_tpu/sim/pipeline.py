@@ -127,6 +127,15 @@ class PipelineSettings:
     # a separate trigger chain is configured, per-trigger channel subsets
     # are used, or a phased-array trigger is declared.
     trigger_impl: str = "xla"
+    # band-limited compute: > 0 slices the placement-DFT and trigger-irfft
+    # matmuls (the step's dominant FLOPs) to the filter chain's numerical
+    # support — frequency rows whose |response| <= eps * max|response| for
+    # EVERY channel are dropped before the matmul. The e2e filter chains
+    # (order-10 low-pass) suppress the dropped band to <= eps, so traces
+    # perturb by O(eps) relative vs the measured >= 2% closest trigger
+    # margin (BASELINE.md f32 audit). 0 disables (exact). Host-side static:
+    # ignored when the channel responses are traced (mesh argument form).
+    band_limit_eps: float = 0.0
     # PROFILING ONLY — cumulative stop-after ladder: truncate simulate_batch
     # after the named stage and return a dummy output whose `triggered`
     # keeps everything computed so far live (so fori-differenced timings of
@@ -350,6 +359,31 @@ def _fft_upsample_matrix(n_in: int, factor: int):
                          n=n_in * factor, axis=1) * factor
 
 
+def _band_support(responses, eps, full):
+    """Highest frequency index (exclusive) whose |response| exceeds
+    ``eps * max|response|`` on ANY channel in any of the given response
+    arrays, rounded up to a multiple of 8 (sublane alignment; Mosaic and
+    the MXU pad the lane dim themselves, so finer-grained truncation
+    keeps more of the saving). Returns ``full`` when nothing can be
+    dropped — including when a response is a traced value (mesh argument
+    form: the support must be static, so band limiting is silently
+    disabled there)."""
+    k = 0
+    for resp in responses:
+        if resp is None:
+            continue
+        if not isinstance(resp, np.ndarray):
+            return full
+        mag = np.max(np.abs(np.asarray(resp)), axis=0)
+        keep = mag > eps * mag.max()
+        if not keep.any():
+            continue
+        k = max(k, int(np.flatnonzero(keep).max()) + 1)
+    if k == 0 or k >= full:
+        return full
+    return int(min(full, -(-k // 8) * 8))
+
+
 @functools.lru_cache(maxsize=8)
 def _placement_matrices(n_int: int, n_base: int):
     """Dense real-linear maps from a short rFFT spectrum to the spectrum of
@@ -488,6 +522,12 @@ class EmitterParams(NamedTuple):
     # normalized so amplitude scales it linearly, emitter.py:121-152);
     # numpy, [F_int] complex. None for analytic models.
     unit_spec: Optional[np.ndarray] = None
+    # efield_idl1_spice (emitter.py:159-250): measured per-launch-angle
+    # (eTheta, ePhi) unit spectra — the device gathers the nearest angle
+    # row per (shower, channel, ray) launch direction. numpy:
+    # angles [A] radians ascending, specs [A, 2, F_int] complex.
+    spice_angles: Optional[np.ndarray] = None
+    spice_specs: Optional[np.ndarray] = None
 
 
 def _eval_trigger(t: TriggerSettings, channel_traces, chan_spec, base_t0,
@@ -783,7 +823,19 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
 
         valid = sols.mask & batch.shower_mask[:, :, None, None]
 
-        if emitter.model.startswith("efield_"):
+        if emitter.model == "efield_idl1_spice":
+            # measured SPICE pulser efields keyed by launch zenith
+            # (emitter.py:159-250): gather the nearest-angle unit spectrum
+            # per (shower, channel, ray) and scale by the event amplitude;
+            # only the 1/R spreading applies (efield model — no antenna)
+            zen_sp, _ = geometry.cartesian_to_spherical(launch)  # [G,S,C,2]
+            ang = jnp.asarray(emitter.spice_angles)              # [A]
+            idx = jnp.argmin(jnp.abs(zen_sp[..., None] - ang), axis=-1)
+            sp = jnp.asarray(emitter.spice_specs)[idx]    # [G,S,C,2,2,F]
+            amp_b = batch.energies[:, :, None, None, None]
+            e_theta = amp_b * sp[..., 0, :] / R_safe[..., None]
+            e_phi = amp_b * sp[..., 1, :] / R_safe[..., None]
+        elif emitter.model.startswith("efield_"):
             # efield emitter models produce (eR, eTheta, ePhi) directly —
             # no emitting antenna, no -i f n/c factor; only the 1/R
             # spreading is applied here (simulation.py:388-400, 421-423)
@@ -1058,11 +1110,38 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
 
     ctype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
     D_r, D_i = _placement_matrices(s.n_internal, s.n_base)
+    # band-limited compute (band_limit_eps doc): the assembled spectrum is
+    # only ever consumed through the channel filter chain, so efield-grid
+    # rows beyond the chain's numerical support contribute O(eps); slice
+    # them out of the placement DFT (its matmul K dim and the kernel's
+    # operand reads halve at the e2e chains). Support is the union over
+    # the readout and (if separate) trigger chains.
+    F_int_full = s.n_internal // 2 + 1
+    K_int = F_int_full
+    if s.band_limit_eps > 0 and ch.trigger_filter_response is None:
+        # (a separate trigger chain has no efield-grid response to take
+        # the support union with — band limiting stays off there)
+        K_int = _band_support((ch.filter_response_int,),
+                              s.band_limit_eps, F_int_full)
+        D_r = D_r[:K_int]
+        D_i = D_i[:K_int]
     D_r = jnp.asarray(D_r, ctype)
     D_i = jnp.asarray(D_i, ctype)
     ff_base = s.freqs_base.astype(real_dtype)
     df_base = float(s.sampling_rate / s.n_base)
     F_base = s.n_base // 2 + 1
+    # base-grid analogue of K_int: the trigger/trace irfft matmuls only see
+    # the spectrum AFTER the filter multiply, so rows beyond the chain's
+    # support are O(eps) there too. Kept full when traces are a requested
+    # output (user-visible waveforms stay exact).
+    K_base = F_base
+    K_trig = F_base
+    if s.band_limit_eps > 0 and not keep_traces:
+        K_base = _band_support((ch.filter_response,), s.band_limit_eps,
+                               F_base)
+        K_trig = (_band_support((ch.trigger_filter_response,),
+                                s.band_limit_eps, F_base)
+                  if ch.trigger_filter_response is not None else K_base)
 
     if s.triggers:
         trig_list = s.triggers
@@ -1130,18 +1209,18 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                                  ).reshape(G, -1),
                         offs.reshape(G, -1)))
                 out_re, out_im = placement_pallas.chain_placement_reduce(
-                    ch_major(spec.real.astype(jnp.float32)),
-                    ch_major(spec.imag.astype(jnp.float32)),
+                    ch_major(spec.real.astype(jnp.float32))[:, :K_int],
+                    ch_major(spec.imag.astype(jnp.float32))[:, :K_int],
                     ch_major(att_vals.astype(jnp.float32)),
                     ch_major(combined.real.astype(jnp.float32)),
                     ch_major(combined.imag.astype(jnp.float32)),
                     ch_major(place_valid.astype(jnp.float32)),
                     ch_major(tpl_idx), offs,
-                    att_W, tpl_table, D_r, D_i,
+                    att_W[:, :K_int], tpl_table[:, :K_int], D_r, D_i,
                     s2=s2, df=df_base, n_templates=C * 3,
                     row_tile=out_tile * s2, matmul_dtype=mm_dtype)
             else:
-                Vt = jnp.moveaxis(V, 2, 1)              # [G,C,S,R,F_int]
+                Vt = jnp.moveaxis(V[..., :K_int], 2, 1)  # [G,C,S,R,K_int]
                 out_re, out_im = placement_pallas.placement_reduce(
                     Vt.real.astype(jnp.float32).reshape(R, -1),
                     Vt.imag.astype(jnp.float32).reshape(R, -1),
@@ -1149,8 +1228,10 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                     row_tile=out_tile * s2, matmul_dtype=mm_dtype)
             chan_spec = jax.lax.complex(out_re, out_im).reshape(G, C, F_base)
         else:
-            Xb = (jnp.einsum("gscrf,fk->gscrk", V.real.astype(real_dtype), D_r)
-                  + jnp.einsum("gscrf,fk->gscrk", V.imag.astype(real_dtype),
+            Vb = V[..., :K_int]
+            Xb = (jnp.einsum("gscrf,fk->gscrk", Vb.real.astype(real_dtype),
+                             D_r)
+                  + jnp.einsum("gscrf,fk->gscrk", Vb.imag.astype(real_dtype),
                                D_i))
             # factored phase ramp: the rFFT grid is uniform, so the per-bin
             # sincos chain (the VPU-transcendental hot spot of this stage)
@@ -1179,9 +1260,12 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                 keys, jnp.broadcast_to(ch.noise_amplitude[None, :], (G, C)))
             chan_spec = chan_spec + nspec
 
-        def to_time(spec_):
+        def to_time(spec_, k=F_base):
             if s.trigger_irfft == "matmul":
                 I_r, I_i = _irfft_matrices(s.n_base)
+                if k < F_base:          # band-limited compute (K_base doc)
+                    spec_ = spec_[..., :k]
+                    I_r, I_i = I_r[:k], I_i[:k]
                 mm_dtype = (jnp.bfloat16 if s.matmul_dtype == "bfloat16"
                             and real_dtype == jnp.float32 else real_dtype)
                 scale = s.sampling_rate / np.sqrt(2.0)
@@ -1214,15 +1298,19 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
             fs_hi = 5.0
             n_hi = int(round(s.n_base * fs_hi / s.sampling_rate))
             I_r, I_i = _irfft_matrices(s.n_base)
+            I_r, I_i = I_r[:K_base], I_i[:K_base]   # band-limited (K_base)
             mm_dtype = (jnp.bfloat16 if s.matmul_dtype == "bfloat16"
                         else jnp.float32)
-            sre = chan_spec.real.astype(jnp.float32).reshape(R, -1)
-            sim_ = chan_spec.imag.astype(jnp.float32).reshape(R, -1)
+            sre = (chan_spec.real.astype(jnp.float32)
+                   .reshape(R, -1)[:, :K_base])
+            sim_ = (chan_spec.imag.astype(jnp.float32)
+                    .reshape(R, -1)[:, :K_base])
             cols_t, times_t, amp_w = [], [], None
             for t in trig_list:
                 decim = int(round(fs_hi / t.pa_adc_fs))
                 Dd_r, Dd_i = _decimating_irfft_matrices(s.n_base, n_hi,
                                                         decim)
+                Dd_r, Dd_i = Dd_r[:K_base], Dd_i[:K_base]
                 U = _fft_upsample_matrix(Dd_r.shape[1],
                                          int(t.pa_upsampling))
                 fs_pa = t.pa_adc_fs * t.pa_upsampling
@@ -1279,11 +1367,14 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                         t.channel_coincidence / s.dt)), 1), s.n_base),
                     n_coinc=t.number_of_coincidences))
             I_r, I_i = _irfft_matrices(s.n_base)
+            I_r, I_i = I_r[:K_base], I_i[:K_base]   # band-limited (K_base)
             mm_dtype = (jnp.bfloat16 if s.matmul_dtype == "bfloat16"
                         else jnp.float32)
             fired, first, amp_w = trigger_pallas.fused_irfft_trigger(
-                chan_spec.real.astype(jnp.float32).reshape(R, -1),
-                chan_spec.imag.astype(jnp.float32).reshape(R, -1),
+                chan_spec.real.astype(jnp.float32)
+                .reshape(R, -1)[:, :K_base],
+                chan_spec.imag.astype(jnp.float32)
+                .reshape(R, -1)[:, :K_base],
                 jnp.stack(th_hi_cols, axis=-1),
                 jnp.stack(th_lo_cols, axis=-1),
                 I_r, I_i, scale=s.sampling_rate / np.sqrt(2.0),
@@ -1294,14 +1385,14 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                      for i in range(len(trig_list))]
             return cols, times, None, amp_w
 
-        channel_traces = to_time(chan_spec)
+        channel_traces = to_time(chan_spec, K_base)
         if ch.trigger_filter_response is not None:
             # distinct trigger-channel response: same pre-amp voltage +
             # noise, different signal chain (hardwareResponseIncorporator
             # trigger_channels semantics, RNO_G/hardwareResponseIncorporator
             # .py:191-229); trigger kernels read these traces only
             trig_spec = raw_spec * ch.trigger_filter_response[None, :, :]
-            trigger_traces = to_time(trig_spec)
+            trigger_traces = to_time(trig_spec, K_trig)
         else:
             trig_spec = chan_spec
             trigger_traces = channel_traces

@@ -108,6 +108,8 @@ class Simulation:
                  dtype=jnp.float64,
                  arz_library_path: Optional[str] = None,
                  nur_outputfilename: Optional[str] = None,
+                 spice_pulses_path: Optional[str] = None,
+                 spice_pulse_index: int = 0,
                  mesh=None):
         self.config = config_util.get_config(config)
         self.det = detector if isinstance(detector, Detector) else Detector(detector)
@@ -130,6 +132,11 @@ class Simulation:
         self.outputfilename = outputfilename
         self.nur_outputfilename = nur_outputfilename
         self.antenna_replacements = antenna_replacements or {}
+        # SPICE pulser archive (emitter model 'efield_idl1_spice'):
+        # override path + which measured pulse to use (emitter.py kwargs
+        # iN; the reference default is a random draw per efield)
+        self.spice_pulses_path = spice_pulses_path
+        self.spice_pulse_index = int(spice_pulse_index)
         # directory holding <model>/<model>.pkl reference-format antenna
         # pickles (the reference's path_to_antennamodels convention);
         # models found here are used as tabulated patterns
@@ -274,6 +281,8 @@ class Simulation:
                if cfg.get("perf", {}).get("trigger_impl") else {}),
             **({"noise_sampler": str(cfg["perf"]["noise_sampler"])}
                if cfg.get("perf", {}).get("noise_sampler") else {}),
+            **({"band_limit_eps": float(cfg["perf"]["band_limit_eps"])}
+               if cfg.get("perf", {}).get("band_limit_eps") else {}),
             apply_focusing=bool(cfg["propagation"]["focusing"]),
             focusing_limit=float(cfg["propagation"]["focusing_limit"]),
             # "implicit" (default): exact dz->0 derivative at the solved
@@ -422,9 +431,26 @@ class Simulation:
             # tunnel, CLAUDE.md)
             unit_spec = np.asarray(
                 np.fft.rfft(trace) / self.internal_rate * np.sqrt(2.0), dtc)
+        spice_angles = spice_specs = None
+        if model == "efield_idl1_spice":
+            # measured SPICE pulser archive -> per-launch-angle unit
+            # spectra (ops.emitter.spice_unit_specs); the pipeline gathers
+            # the nearest angle per ray on device
+            import os as _os
+            path = self.spice_pulses_path or _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "data", "SPice_pulses.xz")
+            archive = emitter_ops.load_spice_archive(path)
+            spice_angles, specs = emitter_ops.spice_unit_specs(
+                archive, self.n_internal, 1.0 / self.internal_rate,
+                iN=self.spice_pulse_index)
+            spice_angles = np.asarray(spice_angles, dtr)
+            spice_specs = np.asarray(specs, dtc)
         return EmitterParams(model=model, templates=np.asarray(tpl, dtc),
                              rot=np.asarray(rot, dtr), kind=int(kind),
-                             half_width=half_width, unit_spec=unit_spec)
+                             half_width=half_width, unit_spec=unit_spec,
+                             spice_angles=spice_angles,
+                             spice_specs=spice_specs)
 
     def _chain_response_for(self, freqs, channel_id, chain):
         """Combined response of the stages applying to ``channel_id``."""

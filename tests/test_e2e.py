@@ -202,6 +202,22 @@ def test_benchmark_settings_reproduce_golden(golden):
     assert ref_groups <= mine_b, sorted(ref_groups - mine_b)
     assert (mine_b - ref_groups) <= {1272}, sorted(mine_b - ref_groups)
 
+    # band-limited compute (PipelineSettings.band_limit_eps=1e-2): dropping
+    # efield-grid rows the order-10 chain suppresses below 1e-2 (K_int
+    # 208/257, K_base 816/1025) must hold the SAME golden set + borderline
+    # budget — this licenses bench.py enabling it on the headline
+    sim.settings = dataclasses.replace(sim.settings, placement_impl="pallas",
+                                       matmul_dtype="float32",
+                                       trigger_impl="xla",
+                                       band_limit_eps=1e-2)
+    sim._jit_step_by_station = {}
+    res_bl = sim.run()
+    mine_bl = set(res_bl["group_ids"][(res_bl["triggered"])
+                                      & (res_bl["weights"] >= min_w)])
+    assert ref_groups <= mine_bl, sorted(ref_groups - mine_bl)
+    assert (mine_bl - ref_groups) <= {1272}, sorted(mine_bl - ref_groups)
+    sim.settings = dataclasses.replace(sim.settings, band_limit_eps=0.0)
+
     # fused Pallas trigger kernel (ops/trigger_pallas.py: irfft + high/low
     # windows + majority in VMEM) must hold the same golden set; its
     # decisions AND trigger times must equal the XLA trigger path bit-exact

@@ -98,6 +98,26 @@ def test_noiseless_pa_exact_triggered_set():
     on identical waveforms lives in tests/test_trigger_anchor.py."""
     golden = np.load(os.path.join(HERE, "golden",
                                   "e2e_pa_noiseless_reference.npz"))
+    res = _run_noiseless_pa({})
+    sel = res["triggered"] & (res["weights"] >= 1e-5)
+    mine = set(int(g) for g in res["group_ids"][sel])
+    gid = golden["group_ids"]
+    ref = set(int(g) for g in np.unique(gid[golden["triggered"]]))
+    assert (mine - ref) <= set(), sorted(mine - ref)   # no extras at all
+    assert (ref - mine) <= {1628}, sorted(ref - mine)  # documented borderline
+    assert len(mine & ref) >= len(ref) - 1
+
+    # band-limited compute (PipelineSettings.band_limit_eps): dropping
+    # frequency rows the cheby chain suppresses below 1e-3 must hold the
+    # SAME noiseless triggered set — this licenses bench.py enabling it on
+    # the PA configurations (K_int 256/513, K_base 512/1025 there)
+    res_bl = _run_noiseless_pa({"perf": {"band_limit_eps": 1e-3}})
+    sel_bl = res_bl["triggered"] & (res_bl["weights"] >= 1e-5)
+    mine_bl = set(int(g) for g in res_bl["group_ids"][sel_bl])
+    assert mine_bl == mine, sorted(mine_bl ^ mine)
+
+
+def _run_noiseless_pa(extra_config):
     sim = Simulation(
         os.path.join(HERE, "golden", "pa_noiseless_input.hdf5"),
         {"channels": {str(i + 1): {
@@ -116,7 +136,8 @@ def test_noiseless_pa_exact_triggered_set():
                 "propagation": {"ice_model": "southpole_2015", "focusing": True},
                 "signal": {"model": "Alvarez2009"},
                 "weights": {"weight_mode": "core_mantle_crust_simple",
-                            "cross_section_type": "ctw"}},
+                            "cross_section_type": "ctw"},
+                **extra_config},
         filter_chain=[
             FilterStage((96 * units.MHz, 100 * units.GHz), "cheby1",
                         {"order": 4, "rp": 0.1}),
@@ -127,11 +148,4 @@ def test_noiseless_pa_exact_triggered_set():
         chunk_size=512,
         dtype=jnp.float64,
     )
-    res = sim.run()
-    sel = res["triggered"] & (res["weights"] >= 1e-5)
-    mine = set(int(g) for g in res["group_ids"][sel])
-    gid = golden["group_ids"]
-    ref = set(int(g) for g in np.unique(gid[golden["triggered"]]))
-    assert (mine - ref) <= set(), sorted(mine - ref)   # no extras at all
-    assert (ref - mine) <= {1628}, sorted(ref - mine)  # documented borderline
-    assert len(mine & ref) >= len(ref) - 1
+    return sim.run()

@@ -117,3 +117,113 @@ def test_emitter_chain_matches_reference(tmp_path, variant):
         np.testing.assert_allclose(mine[both], ref[both], atol=0.02 * scale)
         n_cmp += int(both.sum())
     assert n_cmp > 20, n_cmp
+
+
+def _make_spice_archive(path, scale=1.0, n=64, sr=2.5):
+    """Synthetic SPice_pulses.xz: 2 launch angles x 2 pulses of (2, n)
+    (eTheta, ePhi) samples at ``sr`` GHz — the published archive's exact
+    pickle layout (reference emitter.py:159-190)."""
+    import lzma
+    import pickle
+
+    rng = np.random.RandomState(5)
+
+    def pulse(amp_t, amp_p):
+        t = np.arange(n)
+        env = np.exp(-0.5 * ((t - n / 3) / 4.0) ** 2)
+        return np.stack([amp_t * env * np.sin(0.8 * t),
+                         amp_p * env * np.cos(0.8 * t)])
+
+    archive = {"sampling_rate": sr,
+               "efields": {120.0: [pulse(scale, 0.4 * scale),
+                                   pulse(0.7 * scale, 0.2 * scale)],
+                           160.0: [pulse(2.0 * scale, scale),
+                                   pulse(1.5 * scale, 0.5 * scale)]}}
+    with lzma.open(path, "wb") as f:
+        pickle.dump(archive, f)
+    return archive
+
+
+def test_spice_unit_specs_semantics(tmp_path):
+    """ops.emitter.spice_unit_specs: angle keys in radians ascending, pulse
+    selection by iN, FFT resampling to the target rate, and each
+    component's peak centered at N//2 (emitter.py:159-250)."""
+    from nuradiomc_tpu.ops import emitter as emitter_ops
+    from nuradiomc_tpu.utils import fft
+
+    path = str(tmp_path / "SPice_pulses.xz")
+    archive = _make_spice_archive(path)
+    loaded = emitter_ops.load_spice_archive(path)
+    assert sorted(loaded["efields"].keys()) == [120.0, 160.0]
+
+    N, dt = 256, 0.2
+    ang, specs = emitter_ops.spice_unit_specs(loaded, N, dt, iN=1)
+    np.testing.assert_allclose(ang, np.deg2rad([120.0, 160.0]))
+    assert specs.shape == (2, 2, N // 2 + 1)
+
+    # round-trip: the time-domain component peak sits at N//2
+    for a in range(2):
+        for c in range(2):
+            tr = fft.freq2time(specs[a, c], 1.0 / dt, n=N)
+            assert int(np.argmax(np.abs(np.asarray(tr)))) == N // 2
+
+    # iN selects a different measured pulse
+    _, specs0 = emitter_ops.spice_unit_specs(loaded, N, dt, iN=0)
+    assert not np.allclose(specs0, specs)
+    with pytest.raises(ValueError, match="out of range"):
+        emitter_ops.spice_unit_specs(loaded, N, dt, iN=7)
+
+    # missing archive: gated with instructions
+    with pytest.raises(FileNotFoundError, match="SPice_pulses"):
+        emitter_ops.load_spice_archive(str(tmp_path / "nope.xz"))
+
+
+@pytest.mark.skipif(not os.path.exists(DETECTOR_JSON),
+                    reason="reference detector missing")
+def test_spice_emitter_e2e(tmp_path):
+    """efield_idl1_spice through the emitter orchestrator on a synthetic
+    archive: the per-ray nearest-launch-angle gather + amplitude scaling
+    drive the full chain (triggers fire with a strong archive; the same
+    run with the archive scaled by 1e-9 fires nothing)."""
+    import shutil
+
+    if not os.path.exists(INPUTS["efield"]):
+        pytest.skip("emitter input missing")
+    infile = str(tmp_path / "spice_events.hdf5")
+    shutil.copy(INPUTS["efield"], infile)
+    with h5py.File(infile, "r+") as f:
+        n = len(f["emitter_model"])
+        del f["emitter_model"]
+        f["emitter_model"] = np.array([b"efield_idl1_spice"] * n)
+
+    def run(scale):
+        arch = str(tmp_path / f"SPice_{scale}.xz")
+        _make_spice_archive(arch, scale=scale)
+        sim = Simulation(
+            infile,
+            Detector(DETECTOR_JSON, default_station=101),
+            config={"sampling_rate": 5.0, "noise": False,
+                    "speedup": {"minimum_weight_cut": 1e-5,
+                                "min_efield_amplitude": 2},
+                    "propagation": {"ice_model": "ARAsim_southpole",
+                                    "focusing": True},
+                    "signal": {"model": "Alvarez2000"},
+                    "trigger": {"noise_temperature": 300}},
+            filter_chain=[
+                FilterStage((80 * units.MHz, 1000 * units.GHz), "butter",
+                            {"order": 2}),
+                FilterStage((0, 500 * units.MHz), "butter", {"order": 10}),
+            ],
+            triggers=TRIGGERS,
+            antenna_replacements=ANTENNAS,
+            spice_pulses_path=arch,
+            spice_pulse_index=1,
+            chunk_size=24,
+            dtype=jnp.float64,
+        )
+        return sim.run()
+
+    res = run(1e6)
+    assert np.asarray(res["triggered"]).any()
+    res_tiny = run(1e-3)
+    assert not np.asarray(res_tiny["triggered"]).any()
