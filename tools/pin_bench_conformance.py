@@ -28,18 +28,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def count_veff(placement_impl, matmul_dtype):
-    import dataclasses
-
     import jax.numpy as jnp
 
-    from __graft_entry__ import _make_settings_and_inputs
+    from bench import _veff_settings_and_inputs
     from nuradiomc_tpu.sim.pipeline import simulate_batch
 
-    settings, ch, batch = _make_settings_and_inputs(
-        n_groups=65536, n_showers=2, n_channels=1,
-        n_internal=512, n_base=2048)
-    settings = dataclasses.replace(settings, placement_impl=placement_impl,
-                                   matmul_dtype=matmul_dtype)
+    # the EXACT bench configuration (incl. trigger_impl + band_limit_eps)
+    settings, ch, batch = _veff_settings_and_inputs(placement_impl,
+                                                    matmul_dtype)
 
     @jax.jit
     def step(b):
