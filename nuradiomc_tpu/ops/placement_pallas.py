@@ -37,7 +37,11 @@ def _kernel(vr_ref, vi_ref, off_ref, drr_ref, dri_ref, dir_ref, dii_ref,
 
     vr = vr_ref[:].astype(mm_dtype)   # [R_t, F_int]
     vi = vi_ref[:].astype(mm_dtype)
-    # 1. placement DFT on the MXU (D = D_r + i D_i per input plane)
+    # 1. placement DFT on the MXU (D = D_r + i D_i per input plane).
+    # D arrives column-padded to f_base = n_hi * _BLOCK (lane-aligned):
+    # every epilogue op below runs at a 128-multiple width, so Mosaic never
+    # masks or relayouts (the unpadded 1025-wide epilogue was the dominant
+    # kernel cost); the padded columns are exact zeros end to end.
     xb_re = (jnp.dot(vr, drr_ref[:], preferred_element_type=jnp.float32)
              + jnp.dot(vi, dir_ref[:], preferred_element_type=jnp.float32))
     xb_im = (jnp.dot(vr, dri_ref[:], preferred_element_type=jnp.float32)
@@ -46,7 +50,7 @@ def _kernel(vr_ref, vi_ref, off_ref, drr_ref, dri_ref, dir_ref, dii_ref,
     # 2. factored phase ramp exp(-2 pi i k df t): tables w^b and (w^B)^a
     r_t = vr.shape[0]
     theta = jnp.asarray(-2.0 * np.pi * df, jnp.float32) * off_ref[:, 0]
-    n_hi = -(-f_base // _BLOCK)
+    n_hi = f_base // _BLOCK
     # iota must be integer on TPU (tpu.iota verification)
     b = jax.lax.broadcasted_iota(jnp.int32, (r_t, _BLOCK), 1).astype(jnp.float32)
     a = (jax.lax.broadcasted_iota(jnp.int32, (r_t, n_hi), 1)
@@ -55,22 +59,23 @@ def _kernel(vr_ref, vi_ref, off_ref, drr_ref, dri_ref, dir_ref, dii_ref,
     ta = theta[:, None] * a
     wb_re, wb_im = jnp.cos(tb), jnp.sin(tb)
     wa_re, wa_im = jnp.cos(ta), jnp.sin(ta)
-    ph_re = (wa_re[:, :, None] * wb_re[:, None, :]
-             - wa_im[:, :, None] * wb_im[:, None, :]).reshape(r_t, n_hi * _BLOCK)
-    ph_im = (wa_re[:, :, None] * wb_im[:, None, :]
-             + wa_im[:, :, None] * wb_re[:, None, :]).reshape(r_t, n_hi * _BLOCK)
-    ph_re = ph_re[:, :f_base]
-    ph_im = ph_im[:, :f_base]
-
-    y_re = xb_re * ph_re - xb_im * ph_im
-    y_im = xb_re * ph_im + xb_im * ph_re
+    # apply the factored phase directly in the [r, n_hi, _BLOCK] view
+    # (one broadcast complex multiply per factor; the [r, f_base] phase
+    # product is never materialized)
+    xr = xb_re.reshape(r_t, n_hi, _BLOCK)
+    xi = xb_im.reshape(r_t, n_hi, _BLOCK)
+    t_re = xr * wb_re[:, None, :] - xi * wb_im[:, None, :]
+    t_im = xr * wb_im[:, None, :] + xi * wb_re[:, None, :]
+    y_re = (t_re * wa_re[:, :, None]
+            - t_im * wa_im[:, :, None]).reshape(r_t, f_base)
+    y_im = (t_re * wa_im[:, :, None]
+            + t_im * wa_re[:, :, None]).reshape(r_t, f_base)
 
     # 3. (shower, ray) reduction: rows are channel-major consecutive groups
     # (shower, ray) reduction as a reshape-sum (strided slices lower to
     # unsupported gathers in Mosaic)
-    f = y_re.shape[-1]
-    out_re_ref[:] = jnp.sum(y_re.reshape(r_t // s2, s2, f), axis=1)
-    out_im_ref[:] = jnp.sum(y_im.reshape(r_t // s2, s2, f), axis=1)
+    out_re_ref[:] = jnp.sum(y_re.reshape(r_t // s2, s2, f_base), axis=1)
+    out_im_ref[:] = jnp.sum(y_im.reshape(r_t // s2, s2, f_base), axis=1)
 
 
 def _chain_kernel(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
@@ -110,7 +115,7 @@ def _chain_kernel(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
 
     r_t = vr.shape[0]
     theta = jnp.asarray(-2.0 * np.pi * df, jnp.float32) * off_ref[:, 0]
-    n_hi = -(-f_base // _BLOCK)
+    n_hi = f_base // _BLOCK   # f_base arrives lane-aligned (see _kernel)
     # iota must be integer on TPU (tpu.iota verification)
     b = jax.lax.broadcasted_iota(jnp.int32, (r_t, _BLOCK), 1).astype(jnp.float32)
     a = (jax.lax.broadcasted_iota(jnp.int32, (r_t, n_hi), 1)
@@ -119,21 +124,19 @@ def _chain_kernel(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
     ta = theta[:, None] * a
     wb_re, wb_im = jnp.cos(tb), jnp.sin(tb)
     wa_re, wa_im = jnp.cos(ta), jnp.sin(ta)
-    ph_re = (wa_re[:, :, None] * wb_re[:, None, :]
-             - wa_im[:, :, None] * wb_im[:, None, :]).reshape(r_t, n_hi * _BLOCK)
-    ph_im = (wa_re[:, :, None] * wb_im[:, None, :]
-             + wa_im[:, :, None] * wb_re[:, None, :]).reshape(r_t, n_hi * _BLOCK)
-    ph_re = ph_re[:, :f_base]
-    ph_im = ph_im[:, :f_base]
-
-    y_re = xb_re * ph_re - xb_im * ph_im
-    y_im = xb_re * ph_im + xb_im * ph_re
+    xr = xb_re.reshape(r_t, n_hi, _BLOCK)
+    xi = xb_im.reshape(r_t, n_hi, _BLOCK)
+    t_re = xr * wb_re[:, None, :] - xi * wb_im[:, None, :]
+    t_im = xr * wb_im[:, None, :] + xi * wb_re[:, None, :]
+    y_re = (t_re * wa_re[:, :, None]
+            - t_im * wa_im[:, :, None]).reshape(r_t, f_base)
+    y_im = (t_re * wa_im[:, :, None]
+            + t_im * wa_re[:, :, None]).reshape(r_t, f_base)
 
     # (shower, ray) reduction as a reshape-sum (strided slices lower to
     # unsupported gathers in Mosaic)
-    f = y_re.shape[-1]
-    out_re_ref[:] = jnp.sum(y_re.reshape(r_t // s2, s2, f), axis=1)
-    out_im_ref[:] = jnp.sum(y_im.reshape(r_t // s2, s2, f), axis=1)
+    out_re_ref[:] = jnp.sum(y_re.reshape(r_t // s2, s2, f_base), axis=1)
+    out_im_ref[:] = jnp.sum(y_im.reshape(r_t // s2, s2, f_base), axis=1)
 
 
 def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
@@ -151,26 +154,44 @@ def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
     SELECT, so non-finite garbage in their spectra cannot poison the
     output); tpl_idx : [R] int32 row into
     ``templates`` [n_templates, F_int] complex (DC mask premultiplied);
-    W : [n_sparse, F_int] f32. Returns [R // s2, F_base] (re, im).
+    W : [n_sparse, F_int] f32. Returns [R // s2, F_pad] (re, im) where
+    F_pad = F_base rounded up to a 128 multiple — the caller slices
+    ``[:, :F_base]`` (the padded columns are exact zeros); keeping the
+    whole kernel lane-aligned is worth the 1-extra-tile store.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     R, F_int = spec_re.shape
     F_base = D_r.shape[1]
+    F_pad = -(-F_base // _BLOCK) * _BLOCK
     n_sparse = att_sparse.shape[1]
     comb_re = comb_re.reshape(R, 1)
     comb_im = comb_im.reshape(R, 1)
     mask = mask.reshape(R, 1)
     offsets = offsets.reshape(R, 1)
     assert R % row_tile == 0 and row_tile % s2 == 0
+
+    def _pad(m):
+        return jnp.pad(m, ((0, 0), (0, F_pad - F_base)))
+
+    drr = _pad(jnp.real(D_r).astype(matmul_dtype))
+    dri = _pad(jnp.imag(D_r).astype(matmul_dtype))
+    dir_ = _pad(jnp.real(D_i).astype(matmul_dtype))
+    dii = _pad(jnp.imag(D_i).astype(matmul_dtype))
+    # shrink the tile until the working set fits scoped VMEM (~16 MB):
+    # row inputs + 4 DFT matrices + ~8 row_tile x F_pad f32 temporaries
+    def _vmem(rt):
+        return 4 * (2 * rt * F_int + rt * (n_sparse + n_templates + 4)
+                    + 4 * F_int * F_pad + 2 * n_templates * F_int
+                    + n_sparse * F_int
+                    + 8 * rt * F_pad + 2 * (rt // s2) * F_pad)
+    while row_tile > s2 and _vmem(row_tile) > 14 * 2 ** 20 \
+            and row_tile % 2 == 0 and (row_tile // 2) % s2 == 0 \
+            and R % (row_tile // 2) == 0:
+        row_tile //= 2
     grid = (R // row_tile,)
     out_tile = row_tile // s2
-
-    drr = jnp.real(D_r).astype(matmul_dtype)
-    dri = jnp.imag(D_r).astype(matmul_dtype)
-    dir_ = jnp.real(D_i).astype(matmul_dtype)
-    dii = jnp.imag(D_i).astype(matmul_dtype)
     tr = jnp.real(templates).astype(jnp.float32)
     ti = jnp.imag(templates).astype(jnp.float32)
     w32 = jnp.asarray(W, jnp.float32)
@@ -180,7 +201,7 @@ def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
               == jnp.arange(n_templates)[None, :]).astype(jnp.float32)
 
     kernel = functools.partial(_chain_kernel, s2=s2, df=float(df),
-                               f_base=int(F_base), mm_dtype=matmul_dtype)
+                               f_base=int(F_pad), mm_dtype=matmul_dtype)
     row_spec = pl.BlockSpec((row_tile, F_int), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -205,18 +226,18 @@ def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
                          memory_space=pltpu.VMEM),
             full((n_sparse, F_int)),
             full((n_templates, F_int)), full((n_templates, F_int)),
-            full((F_int, F_base)), full((F_int, F_base)),
-            full((F_int, F_base)), full((F_int, F_base)),
+            full((F_int, F_pad)), full((F_int, F_pad)),
+            full((F_int, F_pad)), full((F_int, F_pad)),
         ],
         out_specs=(
-            pl.BlockSpec((out_tile, F_base), lambda i: (i, 0),
+            pl.BlockSpec((out_tile, F_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_tile, F_base), lambda i: (i, 0),
+            pl.BlockSpec((out_tile, F_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((R // s2, F_base), jnp.float32),
-            jax.ShapeDtypeStruct((R // s2, F_base), jnp.float32),
+            jax.ShapeDtypeStruct((R // s2, F_pad), jnp.float32),
+            jax.ShapeDtypeStruct((R // s2, F_pad), jnp.float32),
         ),
     )(spec_re, spec_im, att_sparse, comb_re, comb_im, mask, onehot, offsets,
       w32, tr, ti, drr, dri, dir_, dii)
@@ -232,23 +253,26 @@ def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
         (out_row, s2) with the s2 axis fastest)
     offsets : [R] f32
     D_r, D_i : [F_int, F_base] complex (host numpy)
-    Returns (out_re, out_im) with shape [R // s2, F_base].
+    Returns (out_re, out_im) with shape [R // s2, F_pad] where F_pad is
+    F_base rounded up to a 128 multiple (caller slices; padded columns are
+    exact zeros — see chain_placement_reduce).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     R, F_int = volt_re.shape
     F_base = D_r.shape[1]
+    F_pad = -(-F_base // _BLOCK) * _BLOCK
     offsets = offsets.reshape(R, 1)
     assert R % row_tile == 0 and row_tile % s2 == 0
     # shrink the tile until the kernel's working set fits scoped VMEM
-    # (~16 MB): row inputs + 4 DFT matrices + ~4 row_tile x F_base f32
+    # (~16 MB): row inputs + 4 DFT matrices + ~4 row_tile x F_pad f32
     # temporaries (Xb products / phase) + the output tile
     def _vmem(rt):
-        # ~10 row_tile x F_base temporaries measured from the Mosaic scoped
+        # ~10 row_tile x F_pad temporaries measured from the Mosaic scoped
         # allocation report (16.66M at rt=256, F_int=257, F_base=1025)
-        return 4 * (2 * rt * F_int + 4 * F_int * F_base
-                    + 10 * rt * F_base + 2 * (rt // s2) * F_base)
+        return 4 * (2 * rt * F_int + 4 * F_int * F_pad
+                    + 10 * rt * F_pad + 2 * (rt // s2) * F_pad)
     while row_tile > s2 and _vmem(row_tile) > 14 * 2 ** 20 \
             and row_tile % 2 == 0 and (row_tile // 2) % s2 == 0 \
             and R % (row_tile // 2) == 0:
@@ -256,13 +280,16 @@ def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
     grid = (R // row_tile,)
     out_tile = row_tile // s2
 
-    drr = jnp.real(D_r).astype(matmul_dtype)
-    dri = jnp.imag(D_r).astype(matmul_dtype)
-    dir_ = jnp.real(D_i).astype(matmul_dtype)
-    dii = jnp.imag(D_i).astype(matmul_dtype)
+    def _pad(m):
+        return jnp.pad(m, ((0, 0), (0, F_pad - F_base)))
+
+    drr = _pad(jnp.real(D_r).astype(matmul_dtype))
+    dri = _pad(jnp.imag(D_r).astype(matmul_dtype))
+    dir_ = _pad(jnp.real(D_i).astype(matmul_dtype))
+    dii = _pad(jnp.imag(D_i).astype(matmul_dtype))
 
     kernel = functools.partial(_kernel, s2=s2, df=float(df),
-                               f_base=int(F_base), mm_dtype=matmul_dtype)
+                               f_base=int(F_pad), mm_dtype=matmul_dtype)
     return pl.pallas_call(
         kernel,
         # interpreter mode off-TPU so the kernel is testable on the CPU host
@@ -275,23 +302,23 @@ def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((row_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F_int, F_base), lambda i: (0, 0),
+            pl.BlockSpec((F_int, F_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F_int, F_base), lambda i: (0, 0),
+            pl.BlockSpec((F_int, F_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F_int, F_base), lambda i: (0, 0),
+            pl.BlockSpec((F_int, F_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F_int, F_base), lambda i: (0, 0),
+            pl.BlockSpec((F_int, F_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((out_tile, F_base), lambda i: (i, 0),
+            pl.BlockSpec((out_tile, F_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_tile, F_base), lambda i: (i, 0),
+            pl.BlockSpec((out_tile, F_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((R // s2, F_base), jnp.float32),
-            jax.ShapeDtypeStruct((R // s2, F_base), jnp.float32),
+            jax.ShapeDtypeStruct((R // s2, F_pad), jnp.float32),
+            jax.ShapeDtypeStruct((R // s2, F_pad), jnp.float32),
         ),
     )(volt_re, volt_im, offsets, drr, dri, dir_, dii)

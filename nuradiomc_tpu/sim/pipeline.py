@@ -1142,6 +1142,12 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         K_trig = (_band_support((ch.trigger_filter_response,),
                                 s.band_limit_eps, F_base)
                   if ch.trigger_filter_response is not None else K_base)
+    # base-grid support for the PLACEMENT output: everything downstream is
+    # consumed through one of the two filter chains, so the fused kernel
+    # only needs the union of their supports (its epilogue cost is linear
+    # in this width). Full when traces are kept / band limiting is off.
+    K_place = max(K_base, K_trig) if s.band_limit_eps > 0 and not keep_traces \
+        else F_base
 
     if s.triggers:
         trig_list = s.triggers
@@ -1216,7 +1222,8 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                     ch_major(combined.imag.astype(jnp.float32)),
                     ch_major(place_valid.astype(jnp.float32)),
                     ch_major(tpl_idx), offs,
-                    att_W[:, :K_int], tpl_table[:, :K_int], D_r, D_i,
+                    att_W[:, :K_int], tpl_table[:, :K_int],
+                    D_r[:, :K_place], D_i[:, :K_place],
                     s2=s2, df=df_base, n_templates=C * 3,
                     row_tile=out_tile * s2, matmul_dtype=mm_dtype)
             else:
@@ -1224,9 +1231,19 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                 out_re, out_im = placement_pallas.placement_reduce(
                     Vt.real.astype(jnp.float32).reshape(R, -1),
                     Vt.imag.astype(jnp.float32).reshape(R, -1),
-                    offs, D_r, D_i, s2=s2, df=df_base,
+                    offs, D_r[:, :K_place], D_i[:, :K_place],
+                    s2=s2, df=df_base,
                     row_tile=out_tile * s2, matmul_dtype=mm_dtype)
-            chan_spec = jax.lax.complex(out_re, out_im).reshape(G, C, F_base)
+            # kernel output is lane-padded to a 128 multiple of K_place;
+            # restore the F_base width (the pad/beyond-K_place columns are
+            # exact zeros, and every downstream consumer reads only
+            # [..., :K_base] / [..., :K_trig] which K_place covers)
+            cs = jax.lax.complex(out_re, out_im)
+            if cs.shape[-1] >= F_base:
+                cs = cs[:, :F_base]
+            else:
+                cs = jnp.pad(cs, ((0, 0), (0, F_base - cs.shape[-1])))
+            chan_spec = cs.reshape(G, C, F_base)
         else:
             Vb = V[..., :K_int]
             Xb = (jnp.einsum("gscrf,fk->gscrk", Vb.real.astype(real_dtype),

@@ -40,7 +40,10 @@ def test_kernel_matches_xla_path():
     out_re, out_im = placement_pallas.placement_reduce(
         jnp.asarray(Vt.real), jnp.asarray(Vt.imag), jnp.asarray(offs),
         D_r, D_i, s2=s2, df=float(df), row_tile=2 * s2)
-    got = (np.asarray(out_re) + 1j * np.asarray(out_im)).reshape(G, C, F_BASE)
+    # output is lane-padded to a 128 multiple; padded columns must be zero
+    np.testing.assert_array_equal(np.asarray(out_re)[:, F_BASE:], 0.0)
+    got = (np.asarray(out_re)[:, :F_BASE]
+           + 1j * np.asarray(out_im)[:, :F_BASE]).reshape(G, C, F_BASE)
 
     scale = np.abs(ref).max()
     # the kernel's 128-wide phase tables round differently from the

@@ -13,7 +13,10 @@ in ROUND-ROBIN interLEAVED blocks so shared-chip drift hits every anchor
 equally; per-program minima are differenced. Anchors:
 ray -> spec -> attquad -> scalars -> placement -> filter -> full.
 
-    python -u tools/profile_ladder.py [n_blocks]
+    python -u tools/profile_ladder.py [n_blocks] [band_limit_eps]
+
+(pass band_limit_eps=1e-2 to profile the published band-limited headline
+configuration; default 0 = the exact full-width step)
 """
 import dataclasses
 import json
@@ -44,8 +47,10 @@ def main():
     settings, ch, batch = _make_settings_and_inputs(
         n_groups=65536, n_showers=2, n_channels=1,
         n_internal=512, n_base=2048)
+    eps = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
     settings = dataclasses.replace(settings, placement_impl="pallas",
-                                   trigger_impl="pallas")
+                                   trigger_impl="pallas",
+                                   band_limit_eps=eps)
 
     def make(s, k):
         def block(b):
