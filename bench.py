@@ -346,6 +346,143 @@ def bench_pa(fused=False):
     }
 
 
+def _gen2_setup(n_groups=8192):
+    """Gen2 composed workload (driver benchmark config #5, the
+    tests/test_gen2_array.py physics): 3-station radio array x stochastic
+    tau secondaries (multi-shower groups) x birefringence-enabled
+    propagation, float32. The tau input is generated once (seed-pinned)
+    into .bench_cache and tiled up to ``n_groups`` event groups."""
+    import jax
+    import jax.numpy as jnp
+
+    from nuradiomc_tpu.sim import evtgen
+    from nuradiomc_tpu.sim.simulation import (FilterStage, Simulation,
+                                              TriggerSpec)
+    from nuradiomc_tpu.utils import units
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(here, ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "gen2_taus_2048_seed21.hdf5")
+    if not os.path.exists(path):
+        evtgen.generate_eventlist_cylinder(
+            path, 2048, 1e19, 1e19,
+            {"fiducial_rmin": 0, "fiducial_rmax": 3 * units.km,
+             "fiducial_zmin": -2.7 * units.km, "fiducial_zmax": 0},
+            seed=21, flavor=(16, -16), interaction_type="cc",
+            secondaries="stochastic")
+
+    def _channel(cid, sid, z):
+        return {"adc_n_samples": 256, "adc_sampling_frequency": 1.0,
+                "ant_orientation_phi": 0.0, "ant_orientation_theta": 0.0,
+                "ant_position_x": 0.0, "ant_position_y": 0.0,
+                "ant_position_z": z,
+                "ant_rotation_phi": 90.0, "ant_rotation_theta": 90.0,
+                "ant_type": "analytic_VPol", "amp_type": "",
+                "cab_time_delay": 10.0, "adc_nbits": None,
+                "channel_id": cid, "station_id": sid}
+
+    det = {
+        "channels": {
+            "1": _channel(0, 101, -100.0), "2": _channel(1, 101, -150.0),
+            "3": _channel(0, 102, -100.0), "4": _channel(1, 102, -150.0),
+            "5": _channel(0, 103, -100.0), "6": _channel(1, 103, -150.0),
+        },
+        "stations": {
+            "1": {"station_id": 101, "pos_easting": 0.0,
+                  "pos_northing": 0.0, "pos_altitude": 0},
+            "2": {"station_id": 102, "pos_easting": 1700.0,
+                  "pos_northing": 0.0, "pos_altitude": 0},
+            "3": {"station_id": 103, "pos_easting": 850.0,
+                  "pos_northing": 1470.0, "pos_altitude": 0},
+        },
+    }
+    sim = Simulation(
+        path, det,
+        config={"sampling_rate": 2.0,
+                "propagation": {"ice_model": "southpole_2015",
+                                "birefringence": True,
+                                "birefringence_model": "southpole_A",
+                                "n_freq": 16, "attenuation_steps": 8,
+                                "n_bisect": 28},
+                "signal": {"model": "Alvarez2000"},
+                "weights": {"weight_mode": "core_mantle_crust_simple",
+                            "cross_section_type": "ctw"}},
+        filter_chain=[
+            FilterStage((80 * units.MHz, 1000 * units.GHz), "butter",
+                        {"order": 2}),
+            FilterStage((0, 500 * units.MHz), "butter", {"order": 10}),
+        ],
+        trigger=TriggerSpec(threshold_high_sigma=2.0,
+                            threshold_low_sigma=-2.0),
+        dtype=jnp.float32)
+    _, _, _, _, batch0 = sim._build_batches()
+    g0 = batch0.energies.shape[0]
+    reps = -(-n_groups // g0)
+
+    def tile(a):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        return np.tile(a, (reps,) + (1,) * (a.ndim - 1))[:n_groups]
+
+    batch = jax.tree.map(tile, batch0)
+    chps = [sim.channel_params_per_station[sid]
+            for sid in sim.det.get_station_ids()]
+    return sim.settings, chps, batch
+
+
+def bench_gen2():
+    """Gen2 composed workload: 3 stations x multi-shower tau groups x
+    birefringence, events/s = event groups per second with ALL stations
+    evaluated (the per-event cost is ~3x a single-station step)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nuradiomc_tpu.sim.pipeline import simulate_batch
+
+    n_groups = 8192
+    settings, chps, batch = _gen2_setup(n_groups)
+    # birefringence rides the legacy (non-factored) chain: the fused v2
+    # chain kernel does not apply, but the v1 placement kernel and the
+    # fused trigger kernel do
+    settings = dataclasses.replace(settings, placement_impl="pallas",
+                                   trigger_impl="pallas")
+    k_steps = 10
+
+    def block(b):
+        def body(i, acc):
+            bb = b._replace(energies=b.energies
+                            * (1.0 + 1e-7 * i.astype(b.energies.dtype)))
+            for chp in chps:
+                out = simulate_batch(bb, chp, settings)
+                acc = acc + jnp.sum(out.triggered.astype(jnp.int32))
+            return acc
+        return jax.lax.fori_loop(0, k_steps, body, jnp.int32(0))
+
+    @jax.jit
+    def probe(b):
+        acc = jnp.int32(0)
+        for chp in chps:
+            out = simulate_batch(b, chp, settings)
+            acc = acc + jnp.sum(out.triggered.astype(jnp.int32))
+        return acc
+
+    count, expected = _conformance_check("gen2", probe, batch)
+    rate = _best_block_rate(jax.jit(block), batch, n_groups, k_steps)
+    return {
+        "metric": "gen2_composed_events_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "events/s/chip",
+        "vs_baseline": round(rate / REFERENCE_EVENTS_PER_SEC_PER_CORE, 1),
+        "note": "3 stations x stochastic tau secondaries x birefringence",
+        "triggered_count": count,
+        "conformance": "ok" if expected else "unpinned",
+    }
+
+
 def bench_raytrace():
     """find_solutions (source, receiver) pairs per second, float32."""
     import jax
@@ -419,7 +556,9 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "veff"
     result = {"veff": bench_veff, "pa": bench_pa,
               "pa_pallas": lambda: bench_pa(fused=True),
-              "raytrace": bench_raytrace,
+              "raytrace": bench_raytrace, "gen2": bench_gen2,
+              "v3": lambda: bench_veff("pallas_v3", labelled=True,
+                                       trigger_impl="pallas"),
               "pallas": lambda: bench_veff("pallas", labelled=True),
               "xla": lambda: bench_veff("xla", labelled=True),
               "bf16": lambda: dict(bench_veff("pallas", matmul_dtype="bfloat16"),

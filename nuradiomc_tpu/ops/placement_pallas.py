@@ -243,6 +243,171 @@ def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
       w32, tr, ti, drr, dri, dir_, dii)
 
 
+def _chain_kernel_v3(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
+                     oh_ref, off_ref,
+                     w_ref, tr_ref, ti_ref,
+                     drr_ref, dri_ref, dir_ref, dii_ref,
+                     out_re_ref, out_im_ref, *, df: float, f_base: int,
+                     mm_dtype=jnp.float32):
+    """v3: the v2 factored chain with a LANE-ALIGNED FLAT epilogue.
+
+    v2's epilogue views ``[r, f]`` as ``[r, n_hi, 128]`` — in Mosaic that
+    reshape is a relayout (flat rows keep k along lanes/vregs; the 3D view
+    remaps n_hi onto sublanes) and n_hi is sublane-ragged, so every phase
+    multiply and the reshape-sum run masked/shuffled. Measured: the
+    epilogue was ~24 of the kernel's 27.8 ms at ~5% of VPU peak.
+
+    v3 never reshapes: the phase factorization k = 128a + b is applied as
+    a python loop over static 128-aligned lane blocks —
+    ``y_a = (X_a * wb) * wa_a`` with wb the [T,128] b-table and wa_a a
+    per-row scalar lane-splat (bit-identical op order to v2) — and the
+    (shower, ray) reduction moves from an in-kernel reshape-sum to grid
+    revisiting: grid = (GC/T, s2) with j fastest, rows j-major, the out
+    block accumulated across the s2 consecutive j steps.
+    """
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    att = jnp.dot(att_ref[:], w_ref[:],
+                  preferred_element_type=jnp.float32)          # [T, F_int]
+    tpl_re = jnp.dot(oh_ref[:], tr_ref[:],
+                     preferred_element_type=jnp.float32)       # [T, F_int]
+    tpl_im = jnp.dot(oh_ref[:], ti_ref[:],
+                     preferred_element_type=jnp.float32)
+    sa_re = sr_ref[:] * att
+    sa_im = si_ref[:] * att
+    cr = cr_ref[:]                    # [T, 1]
+    ci = ci_ref[:]
+    cs_re = cr * sa_re - ci * sa_im
+    cs_im = cr * sa_im + ci * sa_re
+    vr = tpl_re * cs_re - tpl_im * cs_im
+    vi = tpl_re * cs_im + tpl_im * cs_re
+    # select (not multiply): invalid slots may carry non-finite spectra
+    m = mask_ref[:] > 0.5             # [T, 1]
+    vr = jnp.where(m, vr, 0.0).astype(mm_dtype)
+    vi = jnp.where(m, vi, 0.0).astype(mm_dtype)
+
+    xb_re = (jnp.dot(vr, drr_ref[:], preferred_element_type=jnp.float32)
+             + jnp.dot(vi, dir_ref[:], preferred_element_type=jnp.float32))
+    xb_im = (jnp.dot(vr, dri_ref[:], preferred_element_type=jnp.float32)
+             + jnp.dot(vi, dii_ref[:], preferred_element_type=jnp.float32))
+
+    theta = jnp.asarray(-2.0 * np.pi * df, jnp.float32) * off_ref[:]  # [T,1]
+    t_r = xb_re.shape[0]
+    b = jax.lax.broadcasted_iota(jnp.int32, (t_r, _BLOCK), 1).astype(
+        jnp.float32)
+    tb = theta * b
+    wb_re, wb_im = jnp.cos(tb), jnp.sin(tb)                    # [T, 128]
+
+    @pl.when(j == 0)
+    def _init():
+        out_re_ref[:] = jnp.zeros((t_r, f_base), jnp.float32)
+        out_im_ref[:] = jnp.zeros((t_r, f_base), jnp.float32)
+
+    for a in range(f_base // _BLOCK):
+        sl = slice(a * _BLOCK, (a + 1) * _BLOCK)
+        xr = xb_re[:, sl]
+        xi = xb_im[:, sl]
+        t_re = xr * wb_re - xi * wb_im
+        t_im = xr * wb_im + xi * wb_re
+        if a == 0:
+            y_re, y_im = t_re, t_im            # e^{-i*0} == 1 exactly
+        else:
+            ta = theta * jnp.float32(_BLOCK * a)               # [T, 1]
+            wa_re, wa_im = jnp.cos(ta), jnp.sin(ta)
+            y_re = t_re * wa_re - t_im * wa_im
+            y_im = t_re * wa_im + t_im * wa_re
+        out_re_ref[:, sl] += y_re
+        out_im_ref[:, sl] += y_im
+
+
+def chain_placement_reduce_v3(spec_re, spec_im, att_sparse, comb_re, comb_im,
+                              mask, tpl_idx, offsets, W, templates, D_r, D_i,
+                              *, s2: int, df: float, n_templates: int,
+                              out_tile: int = 256,
+                              matmul_dtype=jnp.float32):
+    """Same contract as :func:`chain_placement_reduce` (channel-major rows,
+    (shower, ray) fastest) — reorders to j-major internally (XLA fuses the
+    transpose into the producers) and runs the flat-epilogue v3 kernel.
+    Returns [R // s2, F_pad] (re, im); caller slices ``[:, :F_base]``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, F_int = spec_re.shape
+    F_base = D_r.shape[1]
+    F_pad = -(-F_base // _BLOCK) * _BLOCK
+    n_sparse = att_sparse.shape[1]
+    G_out = R // s2
+    assert G_out % out_tile == 0 or out_tile > G_out
+
+    def _jmajor(x):
+        # rows (g, j) with j fastest -> (j, g): one transpose XLA fuses
+        return (x.reshape(G_out, s2, *x.shape[1:])
+                .swapaxes(0, 1).reshape(R, *x.shape[1:]))
+
+    def _pad(m):
+        return jnp.pad(m, ((0, 0), (0, F_pad - F_base)))
+
+    drr = _pad(jnp.real(D_r).astype(matmul_dtype))
+    dri = _pad(jnp.imag(D_r).astype(matmul_dtype))
+    dir_ = _pad(jnp.real(D_i).astype(matmul_dtype))
+    dii = _pad(jnp.imag(D_i).astype(matmul_dtype))
+
+    # VMEM working set: row inputs + 4 DFT matrices + xb/t/y temporaries
+    # + the revisited out block
+    def _vmem(t):
+        return 4 * (2 * t * F_int + t * (n_sparse + n_templates + 4)
+                    + 4 * F_int * F_pad + 2 * n_templates * F_int
+                    + n_sparse * F_int + 4 * t * F_pad + 2 * t * F_pad)
+    while out_tile > 1 and (_vmem(out_tile) > 14 * 2 ** 20
+                            or G_out % out_tile):
+        out_tile //= 2
+    n_i = G_out // out_tile
+    grid = (n_i, s2)
+
+    tr = jnp.real(templates).astype(jnp.float32)
+    ti = jnp.imag(templates).astype(jnp.float32)
+    w32 = jnp.asarray(W, jnp.float32)
+    onehot = (tpl_idx[:, None]
+              == jnp.arange(n_templates)[None, :]).astype(jnp.float32)
+
+    kernel = functools.partial(_chain_kernel_v3, df=float(df),
+                               f_base=int(F_pad), mm_dtype=matmul_dtype)
+    row = lambda w: pl.BlockSpec((out_tile, w),
+                                 lambda i, j: (j * n_i + i, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((out_tile, F_pad), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    args = [_jmajor(spec_re), _jmajor(spec_im), _jmajor(att_sparse),
+            _jmajor(comb_re.reshape(R, 1)), _jmajor(comb_im.reshape(R, 1)),
+            _jmajor(mask.reshape(R, 1)), _jmajor(onehot),
+            _jmajor(offsets.reshape(R, 1)),
+            w32, tr, ti, drr, dri, dir_, dii]
+    return pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=grid,
+        in_specs=[
+            row(F_int), row(F_int), row(n_sparse),
+            row(1), row(1), row(1), row(n_templates), row(1),
+            full((n_sparse, F_int)),
+            full((n_templates, F_int)), full((n_templates, F_int)),
+            full((F_int, F_pad)), full((F_int, F_pad)),
+            full((F_int, F_pad)), full((F_int, F_pad)),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((G_out, F_pad), jnp.float32),
+            jax.ShapeDtypeStruct((G_out, F_pad), jnp.float32),
+        ),
+    )(*args)
+
+
 def placement_reduce(volt_re, volt_im, offsets, D_r, D_i, *, s2: int,
                      df: float, row_tile: int = 256,
                      matmul_dtype=jnp.float32):

@@ -1167,7 +1167,7 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         """Place the in-window pulses, apply filters (+noise), run every
         declared trigger: ONE sub-event readout window."""
         V = jnp.where(place_valid[..., None], volt_spec, 0.0)  # [G,S,C,R,F]
-        if (s.placement_impl in ("pallas", "pallas_v1")
+        if (s.placement_impl in ("pallas", "pallas_v1", "pallas_v3")
                 and real_dtype == jnp.float32):
             # fused kernel: placement DFT + phase + (S,R) reduction in VMEM
             from nuradiomc_tpu.ops import placement_pallas
@@ -1191,7 +1191,7 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
             # hybrid 20 ms (tools/profile_kernel_context.py variant D) — the
             # chain kernel's in-kernel epilogue starves the MXU.
             if (factored and att_vals is not None
-                    and s.placement_impl == "pallas"):
+                    and s.placement_impl in ("pallas", "pallas_v3")):
                 # v2: the whole factored chain (spec x att-interp x template
                 # x scalars) fused in-kernel — spec_att / volt_spec / Xb /
                 # phase never hit HBM on this path
@@ -1214,18 +1214,34 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                         ch_major(place_valid.astype(jnp.float32)
                                  ).reshape(G, -1),
                         offs.reshape(G, -1)))
-                out_re, out_im = placement_pallas.chain_placement_reduce(
-                    ch_major(spec.real.astype(jnp.float32))[:, :K_int],
-                    ch_major(spec.imag.astype(jnp.float32))[:, :K_int],
-                    ch_major(att_vals.astype(jnp.float32)),
-                    ch_major(combined.real.astype(jnp.float32)),
-                    ch_major(combined.imag.astype(jnp.float32)),
-                    ch_major(place_valid.astype(jnp.float32)),
-                    ch_major(tpl_idx), offs,
-                    att_W[:, :K_int], tpl_table[:, :K_int],
-                    D_r[:, :K_place], D_i[:, :K_place],
-                    s2=s2, df=df_base, n_templates=C * 3,
-                    row_tile=out_tile * s2, matmul_dtype=mm_dtype)
+                chain_fn = (placement_pallas.chain_placement_reduce_v3
+                            if s.placement_impl == "pallas_v3" else None)
+                if chain_fn is not None:
+                    out_re, out_im = chain_fn(
+                        ch_major(spec.real.astype(jnp.float32))[:, :K_int],
+                        ch_major(spec.imag.astype(jnp.float32))[:, :K_int],
+                        ch_major(att_vals.astype(jnp.float32)),
+                        ch_major(combined.real.astype(jnp.float32)),
+                        ch_major(combined.imag.astype(jnp.float32)),
+                        ch_major(place_valid.astype(jnp.float32)),
+                        ch_major(tpl_idx), offs,
+                        att_W[:, :K_int], tpl_table[:, :K_int],
+                        D_r[:, :K_place], D_i[:, :K_place],
+                        s2=s2, df=df_base, n_templates=C * 3,
+                        matmul_dtype=mm_dtype)
+                else:
+                    out_re, out_im = placement_pallas.chain_placement_reduce(
+                        ch_major(spec.real.astype(jnp.float32))[:, :K_int],
+                        ch_major(spec.imag.astype(jnp.float32))[:, :K_int],
+                        ch_major(att_vals.astype(jnp.float32)),
+                        ch_major(combined.real.astype(jnp.float32)),
+                        ch_major(combined.imag.astype(jnp.float32)),
+                        ch_major(place_valid.astype(jnp.float32)),
+                        ch_major(tpl_idx), offs,
+                        att_W[:, :K_int], tpl_table[:, :K_int],
+                        D_r[:, :K_place], D_i[:, :K_place],
+                        s2=s2, df=df_base, n_templates=C * 3,
+                        row_tile=out_tile * s2, matmul_dtype=mm_dtype)
             else:
                 Vt = jnp.moveaxis(V[..., :K_int], 2, 1)  # [G,C,S,R,K_int]
                 out_re, out_im = placement_pallas.placement_reduce(

@@ -51,7 +51,47 @@ def test_kernel_matches_xla_path():
     np.testing.assert_allclose(got, ref, atol=5e-4 * scale, rtol=0)
 
 
-@pytest.mark.parametrize("impl", ["pallas", "pallas_v1"])
+def test_chain_v3_matches_v2():
+    """v3 (flat epilogue, grid-accumulated reduction) == v2 bitwise-ish on
+    random factored-chain inputs (interpreter mode)."""
+    G, C, S = 16, 2, 2
+    s2 = S * 2
+    R = G * C * s2
+    F_INT, F_BASE = 33, 129
+    N_SPARSE, N_TPL = 8, C * 3
+    rng = np.random.default_rng(7)
+    f32 = lambda *sh: rng.standard_normal(sh).astype(np.float32)
+    spec_re, spec_im = f32(R, F_INT), f32(R, F_INT)
+    att_sparse = f32(R, N_SPARSE)
+    comb_re, comb_im = f32(R), f32(R)
+    mask = (rng.uniform(size=R) > 0.2).astype(np.float32)
+    tpl_idx = rng.integers(0, N_TPL, R).astype(np.int32)
+    offsets = rng.uniform(0, 300, R).astype(np.float32)
+    W = f32(N_SPARSE, F_INT)
+    templates = (f32(N_TPL, F_INT) + 1j * f32(N_TPL, F_INT)
+                 ).astype(np.complex64)
+    D_r = (f32(F_INT, F_BASE) + 1j * f32(F_INT, F_BASE)).astype(np.complex64)
+    D_i = (f32(F_INT, F_BASE) + 1j * f32(F_INT, F_BASE)).astype(np.complex64)
+    df = 2.0 / 256
+
+    kw = dict(s2=s2, df=df, n_templates=N_TPL)
+    a2 = placement_pallas.chain_placement_reduce(
+        *map(jnp.asarray, (spec_re, spec_im, att_sparse, comb_re, comb_im,
+                           mask, tpl_idx, offsets, W, templates, D_r, D_i)),
+        row_tile=4 * s2, **kw)
+    a3 = placement_pallas.chain_placement_reduce_v3(
+        *map(jnp.asarray, (spec_re, spec_im, att_sparse, comb_re, comb_im,
+                           mask, tpl_idx, offsets, W, templates, D_r, D_i)),
+        out_tile=8, **kw)
+    scale = float(np.abs(np.asarray(a2[0])).max())
+    for v2_out, v3_out in zip(a2, a3):
+        # identical per-element op order; only the s2-sum association differs
+        np.testing.assert_allclose(np.asarray(v3_out), np.asarray(v2_out),
+                                   atol=1e-6 * scale, rtol=0)
+    np.testing.assert_array_equal(np.asarray(a3[0])[:, F_BASE:], 0.0)
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas_v1", "pallas_v3"])
 def test_pipeline_flag_equivalence(impl):
     """simulate_batch(placement_impl='pallas'|'pallas_v1') == 'xla' at
     float32 on a small batch (interpreter mode). 'pallas_v1' is the

@@ -1,0 +1,135 @@
+"""Microbenchmark THIS chip's actual peaks: dense matmul TFLOP/s (f32 and
+bf16), HBM stream GB/s, VPU elementwise and transcendental rates.
+
+VERDICT r4 weak #4: tools/profile_stages.py pinned PEAK_F32_TFLOPS = 49
+("TPU v5e datasheet") while the trigger-irfft matmul measured 156 TFLOP/s
+— every MFU and speed-of-light estimate stood on a self-contradicting
+constant. This file measures the peaks once, with documented dims/dtypes
+so the FLOP accounting is checkable, and the roofline constants elsewhere
+cite it.
+
+Method (CLAUDE.md measurement lore): k iterations chained inside ONE
+jitted fori_loop per readback (each iteration consumes the previous
+result, so XLA cannot hoist or DCE), k=K_HI vs k=K_LO differenced to
+cancel the dispatch floor, best of N blocks.
+
+    python -u tools/microbench_chip.py
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from bench import _enable_compilation_cache
+
+_enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+K_HI, K_LO, N_BLOCKS = 16, 2, 3
+
+
+def _diff_time(make_block, arg):
+    times = {}
+    for k in (K_LO, K_HI):
+        fn = jax.jit(make_block(k))
+        int(fn(arg))                      # compile + warm
+        best = np.inf
+        for _ in range(N_BLOCKS):
+            t0 = time.perf_counter()
+            int(fn(arg))
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    return (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
+
+
+def bench_matmul(n=4096, dtype=jnp.float32):
+    """Chained square matmul: acc <- (acc @ b) / n. 2*n^3 FLOP/iter."""
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    b = (rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n))
+
+    def make(k):
+        def block(args):
+            x, y = args
+            x = x.astype(dtype)
+            y = y.astype(dtype)
+
+            def body(i, acc):
+                return jnp.dot(acc, y,
+                               preferred_element_type=dtype)
+            out = jax.lax.fori_loop(0, k, body, x)
+            return jnp.sum(out.astype(jnp.float32)).astype(jnp.int32)
+        return block
+
+    t = _diff_time(make, (a, b))
+    tflops = 2.0 * n ** 3 / t / 1e12
+    return {"metric": f"matmul_{jnp.dtype(dtype).name}_tflops",
+            "value": round(tflops, 1), "dims": f"{n}x{n}x{n}",
+            "sec_per_iter": t}
+
+
+def bench_hbm(mb=512):
+    """Stream: x <- x * c + d. One HBM read + one write of the array per
+    iteration -> bytes/iter = 2 * size."""
+    n = mb * 2 ** 20 // 4
+    x = np.ones(n, np.float32)
+
+    def make(k):
+        def block(x):
+            def body(i, acc):
+                return acc * jnp.float32(0.999999) + jnp.float32(1e-9)
+            out = jax.lax.fori_loop(0, k, body, x)
+            return out[0].astype(jnp.int32)
+        return block
+
+    t = _diff_time(make, x)
+    gbs = 2.0 * n * 4 / t / 1e9
+    return {"metric": "hbm_stream_gbps", "value": round(gbs, 1),
+            "array_mb": mb, "sec_per_iter": t}
+
+
+def bench_vpu(mb=64, op="mul_add"):
+    """VPU rate on a VMEM/HBM-streamed elementwise chain.
+
+    op='mul_add': x*c+d        (2 flop/elem/iter, fused -> 1 VPU op)
+    op='sincos' : sin(x)       (1 transcendental/elem/iter)
+    """
+    n = mb * 2 ** 20 // 4
+    x = np.full(n, 0.5, np.float32)
+
+    def make(k):
+        def block(x):
+            def body(i, acc):
+                if op == "sincos":
+                    return jnp.sin(acc)
+                return acc * jnp.float32(0.9999) + jnp.float32(1e-6)
+            out = jax.lax.fori_loop(0, k, body, x)
+            return out[0].astype(jnp.int32)
+        return block
+
+    t = _diff_time(make, x)
+    geps = n / t / 1e9
+    return {"metric": f"vpu_{op}_gelem_per_s", "value": round(geps, 1),
+            "array_mb": mb, "sec_per_iter": t}
+
+
+def main():
+    for fn in (lambda: bench_matmul(4096, jnp.float32),
+               lambda: bench_matmul(4096, jnp.bfloat16),
+               lambda: bench_matmul(2048, jnp.float32),
+               bench_hbm,
+               lambda: bench_vpu(64, "mul_add"),
+               lambda: bench_vpu(64, "sincos")):
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as e:  # keep going if one shape fails to compile
+            print(json.dumps({"error": repr(e)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

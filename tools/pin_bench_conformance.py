@@ -87,12 +87,34 @@ def count_pa():
     return int(probe(batch))
 
 
+def count_gen2():
+    import jax.numpy as jnp
+
+    from bench import _gen2_setup
+    from nuradiomc_tpu.sim.pipeline import simulate_batch
+
+    settings, chps, batch = _gen2_setup(8192)
+
+    @jax.jit
+    def probe(b):
+        acc = jnp.int32(0)
+        for chp in chps:
+            out = simulate_batch(b, chp, settings)
+            acc = acc + jnp.sum(out.triggered.astype(jnp.int32))
+        return acc
+
+    return int(probe(batch))
+
+
 def main():
-    modes = sys.argv[1:] or ["veff", "xla", "bf16", "raytrace", "pa"]
+    modes = sys.argv[1:] or ["veff", "xla", "bf16", "raytrace", "pa",
+                             "gen2"]
     out = {}
     for m in modes:
         if m == "veff":
             out["veff"] = count_veff("pallas", "float32")
+        elif m == "v3":
+            out["v3"] = count_veff("pallas_v3", "float32")
         elif m == "xla":
             out["xla"] = count_veff("xla", "float32")
         elif m == "bf16":
@@ -101,6 +123,8 @@ def main():
             out["raytrace"] = count_raytrace()
         elif m == "pa":
             out["pa"] = count_pa()
+        elif m == "gen2":
+            out["gen2"] = count_gen2()
         print(json.dumps(out), flush=True)
 
 

@@ -34,44 +34,48 @@ from nuradiomc_tpu.sim.pipeline import simulate_batch
 K_HI, K_LO, N_BLOCKS = 5, 1, 3
 
 
-def block_time(settings, batch, ch):
-    def make(k):
-        def block(b):
-            def body(i, acc):
-                bb = b._replace(energies=b.energies *
-                                (1.0 + 1e-7 * i.astype(b.energies.dtype)))
-                out = simulate_batch(bb, ch, settings)
-                return acc + jnp.sum(out.triggered.astype(jnp.int32))
-            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-        return block
-
-    times = {}
-    for k in (K_LO, K_HI):
-        fn = jax.jit(make(k))
-        int(fn(batch))
-        best = np.inf
-        for _ in range(N_BLOCKS):
-            t0 = time.perf_counter()
-            int(fn(batch))
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    return (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
+def make_block(settings, ch, k):
+    def block(b):
+        def body(i, acc):
+            bb = b._replace(energies=b.energies *
+                            (1.0 + 1e-7 * i.astype(b.energies.dtype)))
+            out = simulate_batch(bb, ch, settings)
+            return acc + jnp.sum(out.triggered.astype(jnp.int32))
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+    return block
 
 
 def main():
-    settings, ch, batch = _make_settings_and_inputs(
-        n_groups=65536, n_showers=2, n_channels=1,
-        n_internal=512, n_base=2048)
+    impls = (sys.argv[1].split(",") if len(sys.argv) > 1
+             else ("xla", "pallas", "pallas_v3"))
+    n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    # the EXACT headline configuration (incl. band_limit_eps=1e-2)
+    from bench import _veff_settings_and_inputs
+    settings, ch, batch = _veff_settings_and_inputs("pallas", "float32")
 
-    for rep in range(2):
-        for impl in ("xla", "pallas", "pallas_v1"):
-            s = dataclasses.replace(settings, placement_impl=impl,
-                                    trigger_impl="pallas")
-            t = block_time(s, batch, ch)
-            print(json.dumps({"placement_impl": impl, "rep": rep,
-                              "ms_per_step": round(t * 1e3, 2),
-                              "events_per_s": round(65536 / t, 0)}),
-                  flush=True)
+    # drift-fair: precompile EVERY (impl, k) program, then round-robin one
+    # timed call each per round (the shared chip drifts ~2x between
+    # multi-minute windows — back-to-back interleaving is the only fair A/B)
+    fns = {}
+    for impl in impls:
+        s = dataclasses.replace(settings, placement_impl=impl,
+                                trigger_impl="pallas")
+        for k in (K_LO, K_HI):
+            fn = jax.jit(make_block(s, ch, k))
+            int(fn(batch))                    # compile + warm
+            fns[(impl, k)] = fn
+    best = {key: np.inf for key in fns}
+    for _ in range(n_rounds):
+        for key, fn in fns.items():
+            t0 = time.perf_counter()
+            int(fn(batch))
+            best[key] = min(best[key], time.perf_counter() - t0)
+    for impl in impls:
+        t = (best[(impl, K_HI)] - best[(impl, K_LO)]) / (K_HI - K_LO)
+        print(json.dumps({"placement_impl": impl,
+                          "ms_per_step": round(t * 1e3, 2),
+                          "events_per_s": round(65536 / t, 0)}),
+              flush=True)
 
 
 if __name__ == "__main__":
