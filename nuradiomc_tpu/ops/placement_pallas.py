@@ -243,12 +243,48 @@ def chain_placement_reduce(spec_re, spec_im, att_sparse, comb_re, comb_im,
       w32, tr, ti, drr, dri, dir_, dii)
 
 
+def _phase_b_table(theta, t_r, phase_mode: str):
+    """The k = 128a + b factorization's b-table ``e^{i theta b}`` [T, 128].
+
+    phase_mode:
+      'table'   — direct cos/sin on [T, 128]: 2 transcendentals/element,
+                  ~134M sincos per kernel invocation at the bench shape —
+                  the VPU special-function path is the scarce resource.
+      'bitprod' — 2 transcendentals per ROW (e^{i theta}) + a 7-step
+                  bit-product: w_b = prod_p (bit_p(b) ? e^{i theta 2^p} : 1)
+                  — ~56 cheap VPU ops on [T, 128] instead; values differ
+                  from 'table' by a few ulps (7 chained complex multiplies).
+      'const'   — returns (1, 0): WRONG numerics, timing floor only.
+    """
+    if phase_mode == "const":
+        one = jnp.ones((t_r, _BLOCK), jnp.float32)
+        return one, one * 0.0
+    b = jax.lax.broadcasted_iota(jnp.int32, (t_r, _BLOCK), 1)
+    if phase_mode == "table":
+        tb = theta * b.astype(jnp.float32)
+        return jnp.cos(tb), jnp.sin(tb)
+    assert phase_mode == "bitprod"
+    er = jnp.cos(theta)                   # [T, 1] e^{i theta}
+    ei = jnp.sin(theta)
+    w_re = jnp.ones((t_r, _BLOCK), jnp.float32)
+    w_im = jnp.zeros((t_r, _BLOCK), jnp.float32)
+    for p in range(7):                    # 2^7 == _BLOCK
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(b, jnp.int32(p)), jnp.int32(1)) == 1
+        mr = jnp.where(bit, er, 1.0)
+        mi = jnp.where(bit, ei, 0.0)
+        w_re, w_im = w_re * mr - w_im * mi, w_re * mi + w_im * mr
+        if p < 6:
+            er, ei = er * er - ei * ei, 2.0 * er * ei
+    return w_re, w_im
+
+
 def _chain_kernel_v3(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
                      oh_ref, off_ref,
                      w_ref, tr_ref, ti_ref,
                      drr_ref, dri_ref, dir_ref, dii_ref,
-                     out_re_ref, out_im_ref, *, df: float, f_base: int,
-                     mm_dtype=jnp.float32):
+                     *rest, df: float, f_base: int,
+                     mm_dtype=jnp.float32, phase_mode: str = "table"):
     """v3: the v2 factored chain with a LANE-ALIGNED FLAT epilogue.
 
     v2's epilogue views ``[r, f]`` as ``[r, n_hi, 128]`` — in Mosaic that
@@ -267,6 +303,10 @@ def _chain_kernel_v3(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
     """
     from jax.experimental import pallas as pl
 
+    if phase_mode == "input":
+        wbr_ref, wbi_ref, out_re_ref, out_im_ref = rest
+    else:
+        out_re_ref, out_im_ref = rest
     j = pl.program_id(1)
 
     att = jnp.dot(att_ref[:], w_ref[:],
@@ -295,10 +335,10 @@ def _chain_kernel_v3(sr_ref, si_ref, att_ref, cr_ref, ci_ref, mask_ref,
 
     theta = jnp.asarray(-2.0 * np.pi * df, jnp.float32) * off_ref[:]  # [T,1]
     t_r = xb_re.shape[0]
-    b = jax.lax.broadcasted_iota(jnp.int32, (t_r, _BLOCK), 1).astype(
-        jnp.float32)
-    tb = theta * b
-    wb_re, wb_im = jnp.cos(tb), jnp.sin(tb)                    # [T, 128]
+    if phase_mode == "input":
+        wb_re, wb_im = wbr_ref[:], wbi_ref[:]                  # [T, 128]
+    else:
+        wb_re, wb_im = _phase_b_table(theta, t_r, phase_mode)
 
     @pl.when(j == 0)
     def _init():
@@ -326,11 +366,17 @@ def chain_placement_reduce_v3(spec_re, spec_im, att_sparse, comb_re, comb_im,
                               mask, tpl_idx, offsets, W, templates, D_r, D_i,
                               *, s2: int, df: float, n_templates: int,
                               out_tile: int = 256,
-                              matmul_dtype=jnp.float32):
+                              matmul_dtype=jnp.float32,
+                              phase_mode: str = "table"):
     """Same contract as :func:`chain_placement_reduce` (channel-major rows,
     (shower, ray) fastest) — reorders to j-major internally (XLA fuses the
     transpose into the producers) and runs the flat-epilogue v3 kernel.
     Returns [R // s2, F_pad] (re, im); caller slices ``[:, :F_base]``.
+
+    phase_mode selects how the 128-wide phase b-table is produced (see
+    :func:`_phase_b_table`); 'input' computes it XLA-side and streams it
+    in ([R, 128] x2 extra HBM reads, but the sincos can overlap other
+    stages under XLA's scheduler).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -374,7 +420,8 @@ def chain_placement_reduce_v3(spec_re, spec_im, att_sparse, comb_re, comb_im,
               == jnp.arange(n_templates)[None, :]).astype(jnp.float32)
 
     kernel = functools.partial(_chain_kernel_v3, df=float(df),
-                               f_base=int(F_pad), mm_dtype=matmul_dtype)
+                               f_base=int(F_pad), mm_dtype=matmul_dtype,
+                               phase_mode=phase_mode)
     row = lambda w: pl.BlockSpec((out_tile, w),
                                  lambda i, j: (j * n_i + i, 0),
                                  memory_space=pltpu.VMEM)
@@ -388,18 +435,25 @@ def chain_placement_reduce_v3(spec_re, spec_im, att_sparse, comb_re, comb_im,
             _jmajor(mask.reshape(R, 1)), _jmajor(onehot),
             _jmajor(offsets.reshape(R, 1)),
             w32, tr, ti, drr, dri, dir_, dii]
+    in_specs = [
+        row(F_int), row(F_int), row(n_sparse),
+        row(1), row(1), row(1), row(n_templates), row(1),
+        full((n_sparse, F_int)),
+        full((n_templates, F_int)), full((n_templates, F_int)),
+        full((F_int, F_pad)), full((F_int, F_pad)),
+        full((F_int, F_pad)), full((F_int, F_pad)),
+    ]
+    if phase_mode == "input":
+        theta = (jnp.float32(-2.0 * np.pi * df)
+                 * offsets.reshape(R, 1).astype(jnp.float32))
+        tb = theta * jnp.arange(_BLOCK, dtype=jnp.float32)[None, :]
+        args += [_jmajor(jnp.cos(tb)), _jmajor(jnp.sin(tb))]
+        in_specs += [row(_BLOCK), row(_BLOCK)]
     return pl.pallas_call(
         kernel,
         interpret=jax.default_backend() != "tpu",
         grid=grid,
-        in_specs=[
-            row(F_int), row(F_int), row(n_sparse),
-            row(1), row(1), row(1), row(n_templates), row(1),
-            full((n_sparse, F_int)),
-            full((n_templates, F_int)), full((n_templates, F_int)),
-            full((F_int, F_pad)), full((F_int, F_pad)),
-            full((F_int, F_pad)), full((F_int, F_pad)),
-        ],
+        in_specs=in_specs,
         out_specs=(out_spec, out_spec),
         out_shape=(
             jax.ShapeDtypeStruct((G_out, F_pad), jnp.float32),

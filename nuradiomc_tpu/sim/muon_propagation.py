@@ -130,6 +130,27 @@ TAU_B_PAIR = 1.0e-7
 TAU_B_PHOTONUCL = 1.8e-7
 TAU_B_TOTAL = TAU_B_BREMS + TAU_B_PAIR + TAU_B_PHOTONUCL
 
+# PROPOSAL-calibrated energy dependence of the tau radiative-loss
+# coefficient b(E) [cm^2/g]: median -dlnE/dX extracted from the
+# reference's committed PROPOSAL decay library
+# (EvtGen/decay_library.hdf5 -> tests/golden/; extraction in
+# tools/proposal_delta.py). b rises ~linearly in log10 E — photonuclear
+# losses dominate at EeV energies — so the constant TAU_B_TOTAL
+# (2.86e-7, the ~1e16 eV value) let EeV taus fly 1.5-2x too far
+# (measured quantile deltas in docs/physics.md). Interpolated per step
+# in :func:`propagate_taus`.
+TAU_B_LOG10E = np.arange(15.0, 20.01, 0.5)
+TAU_B_TABLE = np.array([1.362e-7, 1.852e-7, 2.716e-7, 3.582e-7, 4.524e-7,
+                        5.446e-7, 6.334e-7, 7.224e-7, 8.105e-7, 8.869e-7,
+                        9.483e-7])
+
+
+def tau_b_total(E):
+    """PROPOSAL-library-calibrated total radiative b for taus at energy E
+    [eV] (clipped to the table ends)."""
+    return np.interp(np.log10(np.maximum(E, 1.0)),
+                     TAU_B_LOG10E, TAU_B_TABLE)
+
 _CTAU_TAU = constants.tau_rest_lifetime * constants.speed_of_light  # m (87 um)
 
 
@@ -217,20 +238,20 @@ def propagate_taus(energies, max_length, rng=None, v_cut=1e-3,
         with the decay product appended ('em'/'had' shower, or 'mu' marking
         a daughter muon to be handed to :func:`propagate_muons` with the
         given energy from the decay point).
-    decay_info : list over taus of (decay_distance [m] or None, final kind)
+    decay_info : list over taus of (decay_distance [m] or None, final kind,
+        tau energy at decay [eV] — 0.0 when the tau never decayed)
     """
     rng = rng or np.random.default_rng()
     energies = np.asarray(energies, dtype=float)
     N = len(energies)
     max_length = np.broadcast_to(np.asarray(max_length, dtype=float), (N,))
 
-    rate = TAU_B_TOTAL * np.log(1.0 / v_cut)
+    ln_vcut = np.log(1.0 / v_cut)
     p_had = TAU_B_PHOTONUCL / TAU_B_TOTAL
-    bc = TAU_B_TOTAL * v_cut
     m_tau = constants.tau_mass
 
     losses = [[] for _ in range(N)]
-    decay_info = [(None, "none")] * N
+    decay_info = [(None, "none", 0.0)] * N
 
     for i in range(N):
         E = energies[i]
@@ -238,7 +259,11 @@ def propagate_taus(energies, max_length, rng=None, v_cut=1e-3,
         if E <= e_tau_min:
             continue
         for _ in range(max_steps):
-            # competing exponentials: catastrophic loss (column depth) vs decay
+            # competing exponentials: catastrophic loss (column depth) vs
+            # decay, with the PROPOSAL-calibrated b(E) at step-start energy
+            b_tot = tau_b_total(E)
+            rate = b_tot * ln_vcut
+            bc = b_tot * v_cut
             d_int = rng.exponential(1.0 / rate) / M_TO_GCM2
             d_dec = rng.exponential((E / m_tau) * _CTAU_TAU / units.m)
             d_end = max_length[i] - x
@@ -252,7 +277,7 @@ def propagate_taus(energies, max_length, rng=None, v_cut=1e-3,
                 kind, e_prod = sample_tau_decay(E, rng)
                 if kind == "mu" or e_prod >= shower_energy_threshold:
                     losses[i].append((x, e_prod, kind))
-                decay_info[i] = (x, kind)
+                decay_info[i] = (x, kind, E)
                 break
             # catastrophic loss
             u = rng.random()

@@ -137,7 +137,7 @@ class ProposalFunctions:
             losses, decay_info = mp.propagate_taus(
                 [float(E)], float(propagation_length_nu), rng=self._rng,
                 shower_energy_threshold=np.inf, e_tau_min=float(low_nu))
-            dist, kind = decay_info[0]
+            dist, kind = decay_info[0][0], decay_info[0][1]
             if dist is None:
                 out.append((None, None))
             else:

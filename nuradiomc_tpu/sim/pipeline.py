@@ -119,6 +119,11 @@ class PipelineSettings:
     # and (shower, ray) reduction in VMEM, no [rows, F_base] HBM
     # intermediates; float32 only, falls back to "xla" at float64)
     placement_impl: str = "xla"
+    # v3 kernel phase-table construction: "table" (in-kernel cos/sin),
+    # "bitprod" (bit-product from one sincos/row — ~20x fewer VPU
+    # transcendentals, few-ulp different), "input" (XLA-side tables
+    # streamed in). Only consulted when placement_impl == "pallas_v3".
+    placement_phase: str = "table"
     # trigger stage implementation: "xla" (irfft matmul + boolean shift-OR
     # windows over HBM-resident traces) or "pallas"
     # (ops.trigger_pallas.fused_irfft_trigger — irfft + high/low windows +
@@ -1228,7 +1233,8 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                         att_W[:, :K_int], tpl_table[:, :K_int],
                         D_r[:, :K_place], D_i[:, :K_place],
                         s2=s2, df=df_base, n_templates=C * 3,
-                        matmul_dtype=mm_dtype)
+                        matmul_dtype=mm_dtype,
+                        phase_mode=s.placement_phase)
                 else:
                     out_re, out_im = placement_pallas.chain_placement_reduce(
                         ch_major(spec.real.astype(jnp.float32))[:, :K_int],

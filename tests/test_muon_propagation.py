@@ -150,12 +150,15 @@ def test_tau_decay_length_statistics():
     N = 800
     _, decay_info = mp.propagate_taus(np.full(N, E), 1e9, rng=rng,
                                       shower_energy_threshold=1e30)
-    dists = np.array([d for d, _ in decay_info if d is not None])
+    dists = np.array([d[0] for d in decay_info if d[0] is not None])
     assert len(dists) > N * 0.95
     expected = (E / constants.tau_mass) * constants.tau_rest_lifetime \
         * constants.speed_of_light
-    # losses shift the mean down slightly; 15% window
-    assert abs(np.mean(dists) / expected - 1) < 0.15
+    # the PROPOSAL-calibrated b(1e17 eV) = 4.5e-7 cm^2/g shifts the mean
+    # ~16% below the loss-free gamma*c*tau (stronger than the old constant
+    # b = 2.86e-7); the mean must sit BELOW but within 25%
+    ratio = np.mean(dists) / expected
+    assert 0.75 < ratio < 1.0
 
 
 def test_tau_secondaries_in_eventlist():
@@ -268,3 +271,29 @@ def test_time_gap_event_splitting(tmp_path):
     assert list(res["group_ids"]).count(1) == 2
     # weight of group 1 enters the Veff sum at most once
     assert res["n_triggered"] <= 2
+
+
+def test_tau_decay_quantiles_vs_proposal_library():
+    """The tau loss model is calibrated to the reference's committed
+    PROPOSAL decay library (EvtGen/decay_library.hdf5 -> tests/golden/):
+    our AVERAGE-loss trajectory must reproduce the library's
+    (decay distance, decay energy) quantiles to <= 10% at every energy
+    (tools/proposal_delta.py measured <= 5%); the stochastic ensemble's
+    median decay distance sits below the average-loss curve by the
+    documented pi^2/6 log-energy effect but within [0.55, 1.15]."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "proposal_delta",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "proposal_delta.py"))
+    pd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pd)
+
+    rows = pd.compare(n=3000, e_indices=(40, 80), seed=7)
+    for r in rows:
+        for q in (10, 50, 90):
+            assert abs(r[f"avg_dist_q{q}"] - 1) < 0.10, r
+            assert abs(r[f"avg_edec_q{q}"] - 1) < 0.10, r
+        assert 0.55 < r["sto_dist_q50"] < 1.15, r

@@ -51,6 +51,27 @@ def test_kernel_matches_xla_path():
     np.testing.assert_allclose(got, ref, atol=5e-4 * scale, rtol=0)
 
 
+def test_v3_phase_modes_match_table():
+    """'bitprod' and 'input' phase-table constructions == 'table' to a few
+    ulps (the b-table values differ only by chained-multiply rounding)."""
+    rng = np.random.default_rng(3)
+    T = 16
+    theta = jnp.asarray(rng.uniform(-3, 3, (T, 1)).astype(np.float32))
+    ref_re, ref_im = placement_pallas._phase_b_table(theta, T, "table")
+    got_re, got_im = placement_pallas._phase_b_table(theta, T, "bitprod")
+    # |w| == 1; the dominant delta is the TABLE side: f32 cos(theta*b) at
+    # |arg| up to ~400 rad carries ~|arg|*ulp argument-reduction error
+    # (~2e-5), while bitprod multiplies small-angle values. Unit-modulus
+    # check pins bitprod's own drift to ~1e-6.
+    np.testing.assert_allclose(np.asarray(got_re), np.asarray(ref_re),
+                               atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(got_im), np.asarray(ref_im),
+                               atol=1e-4, rtol=0)
+    # repeated squaring compounds: ~2^6 ulps after the 6 squarings
+    mod = np.asarray(got_re) ** 2 + np.asarray(got_im) ** 2
+    np.testing.assert_allclose(mod, 1.0, atol=3e-5, rtol=0)
+
+
 def test_chain_v3_matches_v2():
     """v3 (flat epilogue, grid-accumulated reduction) == v2 bitwise-ish on
     random factored-chain inputs (interpreter mode)."""
@@ -89,6 +110,18 @@ def test_chain_v3_matches_v2():
         np.testing.assert_allclose(np.asarray(v3_out), np.asarray(v2_out),
                                    atol=1e-6 * scale, rtol=0)
     np.testing.assert_array_equal(np.asarray(a3[0])[:, F_BASE:], 0.0)
+
+    # alternative phase-table constructions: few-ulp table deltas only
+    for mode in ("bitprod", "input"):
+        am = placement_pallas.chain_placement_reduce_v3(
+            *map(jnp.asarray, (spec_re, spec_im, att_sparse, comb_re,
+                               comb_im, mask, tpl_idx, offsets, W,
+                               templates, D_r, D_i)),
+            out_tile=8, phase_mode=mode, **kw)
+        for v2_out, vm_out in zip(a2, am):
+            np.testing.assert_allclose(np.asarray(vm_out),
+                                       np.asarray(v2_out),
+                                       atol=2e-4 * scale, rtol=0)
 
 
 @pytest.mark.parametrize("impl", ["pallas", "pallas_v1", "pallas_v3"])

@@ -58,7 +58,9 @@ def main():
     # multi-minute windows — back-to-back interleaving is the only fair A/B)
     fns = {}
     for impl in impls:
-        s = dataclasses.replace(settings, placement_impl=impl,
+        impl_name, _, phase = impl.partition(":")
+        s = dataclasses.replace(settings, placement_impl=impl_name,
+                                placement_phase=phase or "table",
                                 trigger_impl="pallas")
         for k in (K_LO, K_HI):
             fn = jax.jit(make_block(s, ch, k))
