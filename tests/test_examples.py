@@ -186,3 +186,20 @@ def test_alias_phased_array_example(tmp_path):
     snr50 = {int(z): float(s) for z, s in re.findall(
         r"Nyquist zone (\d): .*SNR50=([\d.inf]+)", r.stdout)}
     assert snr50[2] < 4.5 and snr50[3] < 4.5
+
+
+def test_custom_generator_template(tmp_path):
+    """The generator_skeleton equivalent writes a file Simulation accepts."""
+    r = _run(os.path.join(REPO, "examples", "15_custom_generator",
+                          "generate_my_events.py"), cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    import h5py
+    import numpy as np
+    with h5py.File(tmp_path / "testfile.hdf5") as f:
+        assert f.attrs["n_events"] == 20
+        assert len(f["xx"]) == 20
+        assert set(np.asarray(f["shower_type"]).astype(str)) == {"had"}
+
+    from nuradiomc_tpu.sim.io_hdf5 import read_input_hdf5
+    inp = read_input_hdf5(str(tmp_path / "testfile.hdf5"))
+    assert inp.n_showers == 20
