@@ -1172,7 +1172,8 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
         """Place the in-window pulses, apply filters (+noise), run every
         declared trigger: ONE sub-event readout window."""
         V = jnp.where(place_valid[..., None], volt_spec, 0.0)  # [G,S,C,R,F]
-        if (s.placement_impl in ("pallas", "pallas_v1", "pallas_v3")
+        if (s.placement_impl in ("pallas", "pallas_v1", "pallas_v2",
+                                 "pallas_v3")
                 and real_dtype == jnp.float32):
             # fused kernel: placement DFT + phase + (S,R) reduction in VMEM
             from nuradiomc_tpu.ops import placement_pallas
@@ -1196,7 +1197,8 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
             # hybrid 20 ms (tools/profile_kernel_context.py variant D) — the
             # chain kernel's in-kernel epilogue starves the MXU.
             if (factored and att_vals is not None
-                    and s.placement_impl in ("pallas", "pallas_v3")):
+                    and s.placement_impl in ("pallas", "pallas_v2",
+                                             "pallas_v3")):
                 # v2: the whole factored chain (spec x att-interp x template
                 # x scalars) fused in-kernel — spec_att / volt_spec / Xb /
                 # phase never hit HBM on this path
@@ -1219,8 +1221,13 @@ def simulate_batch(batch: ShowerBatch, ch: ChannelParams, s: PipelineSettings,
                         ch_major(place_valid.astype(jnp.float32)
                                  ).reshape(G, -1),
                         offs.reshape(G, -1)))
+                # "pallas" == the v3 kernel (flat lane-aligned epilogue +
+                # grid-accumulated reduction; 55 -> 37 ms/step measured
+                # round 5); "pallas_v2" keeps the round-3 chain kernel as
+                # an A/B anchor
                 chain_fn = (placement_pallas.chain_placement_reduce_v3
-                            if s.placement_impl == "pallas_v3" else None)
+                            if s.placement_impl in ("pallas", "pallas_v3")
+                            else None)
                 if chain_fn is not None:
                     out_re, out_im = chain_fn(
                         ch_major(spec.real.astype(jnp.float32))[:, :K_int],

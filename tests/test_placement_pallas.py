@@ -124,7 +124,8 @@ def test_chain_v3_matches_v2():
                                        atol=2e-4 * scale, rtol=0)
 
 
-@pytest.mark.parametrize("impl", ["pallas", "pallas_v1", "pallas_v3"])
+@pytest.mark.parametrize("impl", ["pallas", "pallas_v1", "pallas_v2",
+                                  "pallas_v3"])
 def test_pipeline_flag_equivalence(impl):
     """simulate_batch(placement_impl='pallas'|'pallas_v1') == 'xla' at
     float32 on a small batch (interpreter mode). 'pallas_v1' is the

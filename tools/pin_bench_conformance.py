@@ -70,19 +70,30 @@ def count_raytrace():
     return int(step(x1y, x1z, x2y, x2z))
 
 
-def count_pa():
+def count_pa(noiseless=False):
+    import dataclasses
+
     import jax.numpy as jnp
 
     from bench import _pa_setup
     from nuradiomc_tpu.sim.pipeline import simulate_batch
 
     settings, ch, batch, base_key = _pa_setup(16384)
+    # the EXACT bench configuration (band_limit_eps=1e-3, bench_pa)
+    settings = dataclasses.replace(settings, band_limit_eps=1e-3)
+    if noiseless:
+        settings = dataclasses.replace(settings, add_noise=False)
 
-    @jax.jit
-    def probe(b):
-        out = simulate_batch(b, ch, settings,
-                             noise_key=jax.random.fold_in(base_key, 0))
-        return jnp.sum(out.triggered.astype(jnp.int32))
+        @jax.jit
+        def probe(b):
+            out = simulate_batch(b, ch, settings)
+            return jnp.sum(out.triggered.astype(jnp.int32))
+    else:
+        @jax.jit
+        def probe(b):
+            out = simulate_batch(b, ch, settings,
+                                 noise_key=jax.random.fold_in(base_key, 0))
+            return jnp.sum(out.triggered.astype(jnp.int32))
 
     return int(probe(batch))
 
@@ -93,7 +104,7 @@ def count_gen2():
     from bench import _gen2_setup
     from nuradiomc_tpu.sim.pipeline import simulate_batch
 
-    settings, chps, batch = _gen2_setup(8192)
+    settings, chps, batch = _gen2_setup(1024)
 
     @jax.jit
     def probe(b):
@@ -123,6 +134,8 @@ def main():
             out["raytrace"] = count_raytrace()
         elif m == "pa":
             out["pa"] = count_pa()
+        elif m == "pa_noiseless":
+            out["pa_noiseless"] = count_pa(noiseless=True)
         elif m == "gen2":
             out["gen2"] = count_gen2()
         print(json.dumps(out), flush=True)
