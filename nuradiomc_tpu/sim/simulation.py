@@ -17,6 +17,7 @@ that imperatively run modules per event (``_detector_simulation_filter_amp`` /
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional, Sequence
 
 import jax
@@ -130,6 +131,11 @@ class Simulation:
                                      if trigger_filter_chain is not None
                                      else None)
         self.outputfilename = outputfilename
+        # executor host/device wall-time split, accumulated across
+        # _run_station calls: pack_dispatch_s = host-side chunk packing +
+        # async dispatch; drain_fetch_s = blocking result fetches (device-
+        # bound wait + host readback). Reset it before timed campaigns.
+        self.exec_timing = {"pack_dispatch_s": 0.0, "drain_fetch_s": 0.0}
         self.nur_outputfilename = nur_outputfilename
         self.antenna_replacements = antenna_replacements or {}
         # SPICE pulser archive (emitter model 'efield_idl1_spice'):
@@ -831,6 +837,7 @@ class Simulation:
 
         def dispatch(i):
             nonlocal key
+            t0 = time.perf_counter()
             sl = slice(i * self.chunk_size, min((i + 1) * self.chunk_size, G))
             n_pad = self.chunk_size - (sl.stop - sl.start)
             chunk = jax.tree.map(
@@ -843,8 +850,12 @@ class Simulation:
             out, _ = self._jit_pipeline_ch(chunk, sub, chp,
                                            station_id=station_id)
             in_flight.append((sl, out))
+            # host-side pack + async dispatch time (executor timing split;
+            # drain_one's blocking fetch accounts the device-bound wait)
+            self.exec_timing["pack_dispatch_s"] += time.perf_counter() - t0
 
         def drain_one():
+            t0 = time.perf_counter()
             sl, out = in_flight.pop(0)
             n_real = sl.stop - sl.start
             trig = np.asarray(out.triggered)[:n_real]
@@ -887,6 +898,7 @@ class Simulation:
                 station_rows["time_shower_and_ray"].append(
                     tt + cd[None, None, :, None])
                 station_rows["sol_mask"].append(np.asarray(out.sol_mask)[idx])
+            self.exec_timing["drain_fetch_s"] += time.perf_counter() - t0
 
         for i in range(n_chunks):
             dispatch(i)

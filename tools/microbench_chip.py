@@ -30,12 +30,17 @@ _enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 
-K_HI, K_LO, N_BLOCKS = 16, 2, 3
+# K must be large enough that the K_HI-K_LO work delta DWARFS the tunnel
+# RPC noise: at K=16 vs 2 the 14-iteration delta (~40 ms of matmul) sat
+# inside the 0.1-1 s dispatch jitter and produced NEGATIVE differenced
+# times (measured 2026-08-20). 224 extra iterations puts ~0.5-20 s of
+# device work between the two timings.
+K_HI, K_LO, N_BLOCKS = 256, 32, 3
 
 
-def _diff_time(make_block, arg):
+def _diff_time(make_block, arg, k_hi=None, k_lo=None):
     times = {}
-    for k in (K_LO, K_HI):
+    for k in (k_lo or K_LO, k_hi or K_HI):
         fn = jax.jit(make_block(k))
         int(fn(arg))                      # compile + warm
         best = np.inf
@@ -44,7 +49,8 @@ def _diff_time(make_block, arg):
             int(fn(arg))
             best = min(best, time.perf_counter() - t0)
         times[k] = best
-    return (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
+    ks = sorted(times)
+    return (times[ks[1]] - times[ks[0]]) / (ks[1] - ks[0])
 
 
 def bench_matmul(n=4096, dtype=jnp.float32):
@@ -66,7 +72,12 @@ def bench_matmul(n=4096, dtype=jnp.float32):
             return jnp.sum(out.astype(jnp.float32)).astype(jnp.int32)
         return block
 
-    t = _diff_time(make, (a, b))
+    # bf16 iterations are ~4x faster — scale the iteration delta so the
+    # measured work dwarfs the 0.1-1 s tunnel RPC jitter (a 224-iteration
+    # bf16 delta is ~0.16 s and produced NEGATIVE times on 2026-08-20)
+    k_hi = K_HI * 4 if jnp.dtype(dtype).itemsize < 4 else None
+    k_lo = K_LO * 4 if jnp.dtype(dtype).itemsize < 4 else None
+    t = _diff_time(make, (a, b), k_hi=k_hi, k_lo=k_lo)
     tflops = 2.0 * n ** 3 / t / 1e12
     return {"metric": f"matmul_{jnp.dtype(dtype).name}_tflops",
             "value": round(tflops, 1), "dims": f"{n}x{n}x{n}",
@@ -118,17 +129,22 @@ def bench_vpu(mb=64, op="mul_add"):
             "array_mb": mb, "sec_per_iter": t}
 
 
+BENCHES = {
+    "f32": lambda: bench_matmul(4096, jnp.float32),
+    "bf16": lambda: bench_matmul(4096, jnp.bfloat16),
+    "hbm": bench_hbm,
+    "vpu": lambda: bench_vpu(64, "mul_add"),
+    "sincos": lambda: bench_vpu(64, "sincos"),
+}
+
+
 def main():
-    for fn in (lambda: bench_matmul(4096, jnp.float32),
-               lambda: bench_matmul(4096, jnp.bfloat16),
-               lambda: bench_matmul(2048, jnp.float32),
-               bench_hbm,
-               lambda: bench_vpu(64, "mul_add"),
-               lambda: bench_vpu(64, "sincos")):
+    names = sys.argv[1:] or list(BENCHES)
+    for name in names:
         try:
-            print(json.dumps(fn()), flush=True)
+            print(json.dumps(BENCHES[name]()), flush=True)
         except Exception as e:  # keep going if one shape fails to compile
-            print(json.dumps({"error": repr(e)}), flush=True)
+            print(json.dumps({"name": name, "error": repr(e)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -98,13 +98,13 @@ def count_pa(noiseless=False):
     return int(probe(batch))
 
 
-def count_gen2():
+def count_gen2(n_groups=512):
     import jax.numpy as jnp
 
     from bench import _gen2_setup
     from nuradiomc_tpu.sim.pipeline import simulate_batch
 
-    settings, chps, batch = _gen2_setup(1024)
+    settings, chps, batch = _gen2_setup(n_groups)
 
     @jax.jit
     def probe(b):
@@ -115,6 +115,80 @@ def count_gen2():
         return acc
 
     return int(probe(batch))
+
+
+def write_vector_pins(out="tests/golden/bench_pins.npz"):
+    """Write the per-group CPU decision vectors bench.py's conformance
+    probes assert against (VERDICT r4 weak #6: count tolerances let a
+    physics bug hide behind offsetting flips; per-group vectors with a
+    measured flip-count bound cannot).
+
+    Vectors pinned (all computed on the CPU backend, the code path the
+    golden e2e tests validate against the reference):
+
+    * veff_trig   [65536] u8 — headline bench config decisions
+    * pa_nl_trig  [16384] u8 — noiseless PA decisions (+ pa_g0, the
+                   tiling period: flips are counted per SOURCE event)
+    * rt_nsol     [262144] u8 — solutions found per ray-trace pair
+    * gen2_trig   [512]  u8 — composed-workload decisions
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import (_gen2_setup, _pa_setup, _veff_settings_and_inputs)
+    from nuradiomc_tpu.models import ice as ice_models
+    from nuradiomc_tpu.ops import raytrace
+    from nuradiomc_tpu.sim.pipeline import simulate_batch
+
+    pins = {}
+
+    settings, ch, batch = _veff_settings_and_inputs("pallas", "float32")
+    pins["veff_trig"] = np.asarray(jax.jit(
+        lambda b: simulate_batch(b, ch, settings).triggered
+        .astype(jnp.uint8))(batch))
+    print("veff:", int(pins["veff_trig"].sum()), flush=True)
+
+    settings, ch, batch, _ = _pa_setup(16384)
+    settings = dataclasses.replace(settings, band_limit_eps=1e-3,
+                                   add_noise=False)
+    pins["pa_nl_trig"] = np.asarray(jax.jit(
+        lambda b: simulate_batch(b, ch, settings).triggered
+        .astype(jnp.uint8))(batch))
+    # tiling period = source-event count (decisions are exactly periodic)
+    v = pins["pa_nl_trig"]
+    for p in range(1, len(v)):
+        if (v[p:] == v[:-p]).all():
+            pins["pa_g0"] = np.asarray(p)
+            break
+    print("pa_noiseless:", int(v.sum()), "g0:", int(pins["pa_g0"]),
+          flush=True)
+
+    ice = ice_models.southpole_simple
+    n_pairs = 262144
+    rng = np.random.default_rng(3)
+    rr = rng.triangular(50.0, 3000.0, 3000.0, n_pairs)
+    x1y = np.zeros(n_pairs, np.float32)
+    x1z = rng.uniform(-3000.0, 0.0, n_pairs).astype(np.float32)
+    x2y = rr.astype(np.float32)
+    x2z = np.full(n_pairs, -5.0, np.float32)
+    pins["rt_nsol"] = np.asarray(jax.jit(
+        lambda a, b, c, d: jnp.sum(jax.vmap(
+            lambda w, x, y, z: raytrace.find_solutions(
+                w, x, y, z, ice, n_bisect=28))(a, b, c, d)
+            .mask.astype(jnp.uint8), axis=-1))(x1y, x1z, x2y, x2z))
+    print("raytrace:", int(pins["rt_nsol"].astype(int).sum()), flush=True)
+
+    settings, chps, batch = _gen2_setup(512)
+    pins["gen2_trig"] = np.asarray(jax.jit(
+        lambda b: sum(simulate_batch(b, chp, settings).triggered
+                      .astype(jnp.uint8) for chp in chps)
+        .astype(jnp.uint8))(batch))
+    print("gen2:", int(pins["gen2_trig"].astype(int).sum()), flush=True)
+
+    np.savez_compressed(out, **pins)
+    print("wrote", out, flush=True)
 
 
 def main():
@@ -138,6 +212,8 @@ def main():
             out["pa_noiseless"] = count_pa(noiseless=True)
         elif m == "gen2":
             out["gen2"] = count_gen2()
+        elif m == "vectors":
+            write_vector_pins()
         print(json.dumps(out), flush=True)
 
 

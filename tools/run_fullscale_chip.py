@@ -81,6 +81,11 @@ print(json.dumps({
     "wallclock_generate_s": round(t_gen, 2),
     "wallclock_sim_to_veff_s": round(t_run, 2),
     "events_per_sec_end_to_end": round(n_events / t_run, 1),
+    # executor split: pack_dispatch = host chunk packing + async dispatch;
+    # drain_fetch = blocking device wait + readback; the remainder of
+    # t_run is input parsing, batch building, compile, and HDF5 write
+    "exec_pack_dispatch_s": round(sim.exec_timing["pack_dispatch_s"], 2),
+    "exec_drain_fetch_s": round(sim.exec_timing["drain_fetch_s"], 2),
     "n_triggered": int(sel.sum()),
     "golden_n_triggered": len(ref),
     "triggered_set_delta": sorted(mine ^ ref),
