@@ -58,9 +58,13 @@ def main():
     # multi-minute windows — back-to-back interleaving is the only fair A/B)
     fns = {}
     for impl in impls:
-        impl_name, _, phase = impl.partition(":")
+        # spec: impl[:phase[:dtype]] e.g. "pallas:bitprod" or
+        # "pallas:table:bfloat16" (dtype = placement DFT matmul dtype)
+        parts = (impl.split(":") + ["", ""])[:3]
+        impl_name, phase, mdtype = parts
         s = dataclasses.replace(settings, placement_impl=impl_name,
                                 placement_phase=phase or "table",
+                                matmul_dtype=mdtype or "float32",
                                 trigger_impl="pallas")
         for k in (K_LO, K_HI):
             fn = jax.jit(make_block(s, ch, k))

@@ -88,7 +88,7 @@ print(json.dumps({
     "exec_drain_fetch_s": round(sim.exec_timing["drain_fetch_s"], 2),
     "n_triggered": int(sel.sum()),
     "golden_n_triggered": len(ref),
-    "triggered_set_delta": sorted(mine ^ ref),
+    "triggered_set_delta": sorted(int(g) for g in mine ^ ref),
     "veff_km3sr": round(veff / units.km ** 3, 5),
     "golden_veff_km3sr": round(float(golden["veff"]) / units.km ** 3, 5),
     "backend": "tpu-f32",
