@@ -96,7 +96,18 @@ EXPECTED_COUNTS = {
 # (2026-08-20 chip session, tools/attribute_probe_deltas.py /
 # tools/attribute_bench_flips.py):
 #
-#   veff:  7/65536 group flips measured  -> bound 32
+#   veff:  39/65536 group flips measured (chip 9759 vs CPU 9766), fully
+#          attributed: 36 trigger-level knife edges (|cpu margin| from
+#          5e-4 to 1.0, median 0.014 — inside the borderline population;
+#          margin = (M-T)/T per tools/margin_audit.py) + 3 SOLVER-level
+#          flips where the f32 bisection loses both shadow-boundary ray
+#          solutions on-chip (nsols 2 -> 0, so the group's margin swings
+#          from +6..+37 to -1; the same effect the raytrace pin bounds at
+#          the pair level). Bidirectional (23 down / 16 up)
+#                                        -> bound 56 (a physics bug
+#          touching >=1% of the 9766 triggered groups shifts ~98 and
+#          cannot pass; the cross-impl pallas==xla EXACT on-device check
+#          below remains the zero-tolerance Mosaic-bug detector)
 #   pa_nl: 3 SOURCE events measured (the 16384-group batch tiles ~5.5
 #          copies of 3000 source events — flips count per source, the
 #          tiling granularity)           -> bound 6 (a >=5% PA physics
@@ -105,8 +116,8 @@ EXPECTED_COUNTS = {
 #          bisection flips)              -> bound 256 pairs AND |delta|<=2
 #   gen2:  per-(group)-station-count vector, bound 8 of 512 groups
 VECTOR_PINS = {
-    "veff_pallas_f32": ("veff_trig", "groups", 32),
-    "veff_xla_f32": ("veff_trig", "groups", 32),
+    "veff_pallas_f32": ("veff_trig", "groups", 56),
+    "veff_xla_f32": ("veff_trig", "groups", 56),
     "pa_noiseless": ("pa_nl_trig", "sources", 6),
     "pa_noiseless_pallas": ("pa_nl_trig", "sources", 6),
     "raytrace": ("rt_nsol", "pairs", 256),

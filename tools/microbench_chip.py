@@ -84,6 +84,68 @@ def bench_matmul(n=4096, dtype=jnp.float32):
             "sec_per_iter": t}
 
 
+def bench_matmul_indep(n=4096, dtype=jnp.float32):
+    """Independent (non-chained) matmuls: body perturbs one operand by the
+    loop index so iterations cannot be hoisted OR serialized through the
+    MXU — measures throughput with latency hiding, vs bench_matmul's
+    serial acc@b chain which measures the dependent-chain rate."""
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    b = (rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n))
+
+    def make(k):
+        def block(args):
+            x, y = args
+            y = y.astype(dtype)
+
+            def body(i, acc):
+                xi = (x + i.astype(jnp.float32)).astype(dtype)
+                return acc + jnp.dot(xi, y,
+                                     preferred_element_type=jnp.float32)[0, 0]
+            out = jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+            return out.astype(jnp.int32)
+        return block
+
+    k_hi = K_HI * 4 if jnp.dtype(dtype).itemsize < 4 else None
+    k_lo = K_LO * 4 if jnp.dtype(dtype).itemsize < 4 else None
+    t = _diff_time(make, (a, b), k_hi=k_hi, k_lo=k_lo)
+    tflops = 2.0 * n ** 3 / t / 1e12
+    return {"metric": f"matmul_indep_{jnp.dtype(dtype).name}_tflops",
+            "value": round(tflops, 1), "dims": f"{n}x{n}x{n}",
+            "sec_per_iter": t}
+
+
+def bench_irfft_shape(rows=65536, k_base=816, n_base=2048,
+                      dtype=jnp.float32):
+    """The EXACT trigger-irfft matmul shape of the headline bench
+    ([R, K_base] @ [K_base, n_base], band-limited eps=1e-2), measured in
+    isolation — settles whether round-4's '156 TFLOP/s f32' was real or
+    a FLOP-accounting error (2 matmuls re+im, DCE, windows)."""
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((rows, k_base)).astype(np.float32)
+    b = (rng.standard_normal((k_base, n_base)).astype(np.float32)
+         / np.sqrt(k_base))
+
+    def make(k):
+        def block(args):
+            x, y = args
+            y = y.astype(dtype)
+
+            def body(i, acc):
+                xi = (x + i.astype(jnp.float32)).astype(dtype)
+                return acc + jnp.dot(xi, y,
+                                     preferred_element_type=jnp.float32)[0, 0]
+            out = jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+            return out.astype(jnp.int32)
+        return block
+
+    t = _diff_time(make, (a, b))
+    tflops = 2.0 * rows * k_base * n_base / t / 1e12
+    return {"metric": f"irfft_shape_{jnp.dtype(dtype).name}_tflops",
+            "value": round(tflops, 1),
+            "dims": f"{rows}x{k_base}x{n_base}", "sec_per_iter": t}
+
+
 def bench_hbm(mb=512):
     """Stream: x <- x * c + d. One HBM read + one write of the array per
     iteration -> bytes/iter = 2 * size."""
@@ -132,6 +194,10 @@ def bench_vpu(mb=64, op="mul_add"):
 BENCHES = {
     "f32": lambda: bench_matmul(4096, jnp.float32),
     "bf16": lambda: bench_matmul(4096, jnp.bfloat16),
+    "f32i": lambda: bench_matmul_indep(4096, jnp.float32),
+    "bf16i": lambda: bench_matmul_indep(4096, jnp.bfloat16),
+    "irfft_f32": lambda: bench_irfft_shape(dtype=jnp.float32),
+    "irfft_bf16": lambda: bench_irfft_shape(dtype=jnp.bfloat16),
     "hbm": bench_hbm,
     "vpu": lambda: bench_vpu(64, "mul_add"),
     "sincos": lambda: bench_vpu(64, "sincos"),
