@@ -82,7 +82,7 @@ EXPECTED_COUNTS = {
     "pa_noiseless": (166, 8),
     "pa_noiseless_pallas": (166, 8),
     # gen2 composed workload (3 stations x tau secondaries x birefringence,
-    # 512 groups; pinned 2026-08-20)
+    # 256 groups; pinned 2026-08-20)
     "gen2": (None, None),
 }
 
@@ -114,7 +114,7 @@ EXPECTED_COUNTS = {
 #          bug shifts >=8 sources, so it cannot pass)
 #   rt:    68/262144 pairs differing by +-1..2 solutions (shadow-boundary
 #          bisection flips)              -> bound 256 pairs AND |delta|<=2
-#   gen2:  per-(group)-station-count vector, bound 8 of 512 groups
+#   gen2:  per-(group)-station-count vector, bound 8 of 256 groups
 VECTOR_PINS = {
     "veff_pallas_f32": ("veff_trig", "groups", 56),
     "veff_xla_f32": ("veff_trig", "groups", 56),
@@ -553,11 +553,12 @@ def bench_gen2():
 
     from nuradiomc_tpu.sim.pipeline import simulate_batch
 
-    # G=512: the birefringence-enabled legacy chain materializes [G, S=10,
+    # G=256: the birefringence-enabled legacy chain materializes [G, S=10,
     # C, R, F] complex intermediates; G=1024 exhausted device HBM under
-    # remat (measured 2026-08-20) — 512 fits with headroom and still
-    # amortizes dispatch over k_steps
-    n_groups = 512
+    # remat and G=512 still needed 21.2G of the 15.75G HBM (measured
+    # 2026-08-20 on-chip) — 256 fits and still amortizes dispatch over
+    # k_steps
+    n_groups = 256
     settings, chps, batch = _gen2_setup(n_groups)
     # birefringence rides the legacy (non-factored) chain: the fused v2
     # chain kernel does not apply, but the v1 placement kernel and the

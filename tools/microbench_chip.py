@@ -54,16 +54,18 @@ def _diff_time(make_block, arg, k_hi=None, k_lo=None):
 
 
 def bench_matmul(n=4096, dtype=jnp.float32):
-    """Chained square matmul: acc <- (acc @ b) / n. 2*n^3 FLOP/iter."""
-    rng = np.random.default_rng(0)
-    a = rng.standard_normal((n, n)).astype(np.float32)
-    b = (rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n))
+    """Chained square matmul: acc <- (acc @ b) / n. 2*n^3 FLOP/iter.
+
+    Operands generated in-jit (iota hashes): host numpy arguments of this
+    size re-upload through the tunnel on EVERY timed call. MXU throughput
+    is data-independent, so synthetic values time identically."""
 
     def make(k):
-        def block(args):
-            x, y = args
-            x = x.astype(dtype)
-            y = y.astype(dtype)
+        def block(seed):
+            r = jax.lax.broadcasted_iota(jnp.float32, (n, n), 0)
+            c = jax.lax.broadcasted_iota(jnp.float32, (n, n), 1)
+            x = (jnp.sin(r * 0.37 + c * 0.11) + seed).astype(dtype)
+            y = (jnp.sin(r * 0.13 - c * 0.29) / np.sqrt(n)).astype(dtype)
 
             def body(i, acc):
                 return jnp.dot(acc, y,
@@ -77,7 +79,7 @@ def bench_matmul(n=4096, dtype=jnp.float32):
     # bf16 delta is ~0.16 s and produced NEGATIVE times on 2026-08-20)
     k_hi = K_HI * 4 if jnp.dtype(dtype).itemsize < 4 else None
     k_lo = K_LO * 4 if jnp.dtype(dtype).itemsize < 4 else None
-    t = _diff_time(make, (a, b), k_hi=k_hi, k_lo=k_lo)
+    t = _diff_time(make, np.float32(0.0), k_hi=k_hi, k_lo=k_lo)
     tflops = 2.0 * n ** 3 / t / 1e12
     return {"metric": f"matmul_{jnp.dtype(dtype).name}_tflops",
             "value": round(tflops, 1), "dims": f"{n}x{n}x{n}",
@@ -89,26 +91,26 @@ def bench_matmul_indep(n=4096, dtype=jnp.float32):
     loop index so iterations cannot be hoisted OR serialized through the
     MXU — measures throughput with latency hiding, vs bench_matmul's
     serial acc@b chain which measures the dependent-chain rate."""
-    rng = np.random.default_rng(0)
-    a = rng.standard_normal((n, n)).astype(np.float32)
-    b = (rng.standard_normal((n, n)).astype(np.float32) / np.sqrt(n))
-
     def make(k):
-        def block(args):
-            x, y = args
-            y = y.astype(dtype)
+        def block(seed):
+            r = jax.lax.broadcasted_iota(jnp.float32, (n, n), 0)
+            c = jax.lax.broadcasted_iota(jnp.float32, (n, n), 1)
+            x = jnp.sin(r * 0.37 + c * 0.11) + seed
+            y = (jnp.sin(r * 0.13 - c * 0.29) / np.sqrt(n)).astype(dtype)
 
             def body(i, acc):
                 xi = (x + i.astype(jnp.float32)).astype(dtype)
-                return acc + jnp.dot(xi, y,
-                                     preferred_element_type=jnp.float32)[0, 0]
+                # full-sum accumulation: slicing the product would let XLA
+                # shrink the matmul to a vector dot (slice propagation)
+                return acc + jnp.sum(jnp.dot(
+                    xi, y, preferred_element_type=jnp.float32))
             out = jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
             return out.astype(jnp.int32)
         return block
 
     k_hi = K_HI * 4 if jnp.dtype(dtype).itemsize < 4 else None
     k_lo = K_LO * 4 if jnp.dtype(dtype).itemsize < 4 else None
-    t = _diff_time(make, (a, b), k_hi=k_hi, k_lo=k_lo)
+    t = _diff_time(make, np.float32(0.0), k_hi=k_hi, k_lo=k_lo)
     tflops = 2.0 * n ** 3 / t / 1e12
     return {"metric": f"matmul_indep_{jnp.dtype(dtype).name}_tflops",
             "value": round(tflops, 1), "dims": f"{n}x{n}x{n}",
@@ -121,25 +123,27 @@ def bench_irfft_shape(rows=65536, k_base=816, n_base=2048,
     ([R, K_base] @ [K_base, n_base], band-limited eps=1e-2), measured in
     isolation — settles whether round-4's '156 TFLOP/s f32' was real or
     a FLOP-accounting error (2 matmuls re+im, DCE, windows)."""
-    rng = np.random.default_rng(0)
-    a = rng.standard_normal((rows, k_base)).astype(np.float32)
-    b = (rng.standard_normal((k_base, n_base)).astype(np.float32)
-         / np.sqrt(k_base))
-
     def make(k):
-        def block(args):
-            x, y = args
-            y = y.astype(dtype)
+        def block(seed):
+            r = jax.lax.broadcasted_iota(jnp.float32, (rows, k_base), 0)
+            c = jax.lax.broadcasted_iota(jnp.float32, (rows, k_base), 1)
+            x = jnp.sin(r * 0.0007 + c * 0.11) + seed
+            r2 = jax.lax.broadcasted_iota(jnp.float32, (k_base, n_base), 0)
+            c2 = jax.lax.broadcasted_iota(jnp.float32, (k_base, n_base), 1)
+            y = (jnp.sin(r2 * 0.13 - c2 * 0.003)
+                 / np.sqrt(k_base)).astype(dtype)
 
             def body(i, acc):
                 xi = (x + i.astype(jnp.float32)).astype(dtype)
-                return acc + jnp.dot(xi, y,
-                                     preferred_element_type=jnp.float32)[0, 0]
+                # full-sum accumulation: slicing the product would let XLA
+                # shrink the matmul to a vector dot (slice propagation)
+                return acc + jnp.sum(jnp.dot(
+                    xi, y, preferred_element_type=jnp.float32))
             out = jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
             return out.astype(jnp.int32)
         return block
 
-    t = _diff_time(make, (a, b))
+    t = _diff_time(make, np.float32(0.0))
     tflops = 2.0 * rows * k_base * n_base / t / 1e12
     return {"metric": f"irfft_shape_{jnp.dtype(dtype).name}_tflops",
             "value": round(tflops, 1),
@@ -148,19 +152,24 @@ def bench_irfft_shape(rows=65536, k_base=816, n_base=2048,
 
 def bench_hbm(mb=512):
     """Stream: x <- x * c + d. One HBM read + one write of the array per
-    iteration -> bytes/iter = 2 * size."""
+    iteration -> bytes/iter = 2 * size.
+
+    The array is GENERATED in-jit from a scalar seed — a host-side numpy
+    argument of this size re-uploads through the tunnel on every call
+    (~minutes for 512 MB; the 2026-08-20 session timed out on it)."""
     n = mb * 2 ** 20 // 4
-    x = np.ones(n, np.float32)
 
     def make(k):
-        def block(x):
+        def block(seed):
+            x = jnp.full((n,), seed, jnp.float32)
+
             def body(i, acc):
                 return acc * jnp.float32(0.999999) + jnp.float32(1e-9)
             out = jax.lax.fori_loop(0, k, body, x)
             return out[0].astype(jnp.int32)
         return block
 
-    t = _diff_time(make, x)
+    t = _diff_time(make, np.float32(1.0))
     gbs = 2.0 * n * 4 / t / 1e9
     return {"metric": "hbm_stream_gbps", "value": round(gbs, 1),
             "array_mb": mb, "sec_per_iter": t}
@@ -171,12 +180,15 @@ def bench_vpu(mb=64, op="mul_add"):
 
     op='mul_add': x*c+d        (2 flop/elem/iter, fused -> 1 VPU op)
     op='sincos' : sin(x)       (1 transcendental/elem/iter)
-    """
+
+    Array generated in-jit (see bench_hbm: host arrays re-upload through
+    the tunnel every call)."""
     n = mb * 2 ** 20 // 4
-    x = np.full(n, 0.5, np.float32)
 
     def make(k):
-        def block(x):
+        def block(seed):
+            x = jnp.full((n,), seed, jnp.float32)
+
             def body(i, acc):
                 if op == "sincos":
                     return jnp.sin(acc)
@@ -185,7 +197,7 @@ def bench_vpu(mb=64, op="mul_add"):
             return out[0].astype(jnp.int32)
         return block
 
-    t = _diff_time(make, x)
+    t = _diff_time(make, np.float32(0.5))
     geps = n / t / 1e9
     return {"metric": f"vpu_{op}_gelem_per_s", "value": round(geps, 1),
             "array_mb": mb, "sec_per_iter": t}

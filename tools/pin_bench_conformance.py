@@ -214,6 +214,32 @@ def main():
             out["gen2"] = count_gen2()
         elif m == "vectors":
             write_vector_pins()
+        elif m == "vectors_gen2":
+            # incremental: refresh ONLY the gen2 vector (e.g. after a
+            # group-count change), keeping the other pins untouched
+            import dataclasses
+
+            import jax.numpy as jnp
+            import numpy as np
+
+            from bench import _gen2_setup, bench_gen2  # noqa: F401
+            from nuradiomc_tpu.sim.pipeline import simulate_batch
+            path = "tests/golden/bench_pins.npz"
+            pins = dict(np.load(path))
+            import inspect
+            src = inspect.getsource(bench_gen2)
+            n_groups = int(src.split("n_groups = ")[1].split("\n")[0])
+            settings, chps, batch = _gen2_setup(n_groups)
+            settings = dataclasses.replace(settings, placement_impl="pallas",
+                                           trigger_impl="pallas")
+            pins["gen2_trig"] = np.asarray(jax.jit(
+                lambda b: sum(simulate_batch(b, chp, settings).triggered
+                              .astype(jnp.uint8) for chp in chps)
+                .astype(jnp.uint8))(batch))
+            print("gen2:", int(pins["gen2_trig"].astype(int).sum()),
+                  "of", n_groups, flush=True)
+            np.savez_compressed(path, **pins)
+            print("wrote", path, flush=True)
         print(json.dumps(out), flush=True)
 
 
