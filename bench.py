@@ -152,7 +152,10 @@ def _conformance_check(mode, probe_fn, arg):
     pins = _load_pins()
     pin_spec = VECTOR_PINS.get(mode)
     if (pin_spec is not None and pins is not None
-            and pin_spec[0] in pins and len(vec) > 1 and not skip):
+            and pin_spec[0] in pins and len(vec) > 1 and not skip
+            and len(pins[pin_spec[0]]) == len(vec)):
+        # (length mismatch = stale pin after a workload-shape change:
+        # fall through to the count layer rather than crash)
         key, kind, bound = pin_spec
         ref = pins[key].astype(np.int64)
         d = vec.astype(np.int64) - ref
