@@ -2,7 +2,8 @@
 # Stage 3 of the round-5 chip session: waits for stage 2, then re-runs the
 # items stage 1 lost (pa_pallas compile > 580 s; gen2 OOM at G=512, now 256;
 # hbm/vpu microbenches that uploaded 0.5 GB through the tunnel per call,
-# now in-jit) plus the combined best-variant placement A/B.
+# now in-jit) plus the full drift-fair placement-variant A/B (now printing
+# incrementally so a timeout still leaves data).
 set -u
 LOG=${1:-/tmp/chip_r5.log}
 P=$(cat /tmp/chip_r5b.pid 2>/dev/null || echo 0)
@@ -15,10 +16,10 @@ run() {
   echo "### exit=$? @ $(date -u +%H:%M:%S)" >> "$LOG"
 }
 echo "=== stage 3 start $(date -u)" >> "$LOG"
-run 1200 python bench.py pa_pallas
-run 900 python bench.py gen2
 run 580 python tools/microbench_chip.py hbm
 run 580 python tools/microbench_chip.py vpu
 run 580 python tools/microbench_chip.py sincos
-run 900 python -u tools/profile_placement_ab.py "pallas,pallas:bitprod:bfloat16,pallas:input:bfloat16" 4
+run 2400 python -u tools/profile_placement_ab.py "pallas,pallas:bitprod,pallas:input,pallas:table:bfloat16,pallas:bitprod:bfloat16" 4
+run 1200 python bench.py pa_pallas
+run 900 python bench.py gen2
 echo "=== stage 3 done $(date -u)" >> "$LOG"

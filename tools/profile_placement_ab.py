@@ -55,7 +55,9 @@ def main():
 
     # drift-fair: precompile EVERY (impl, k) program, then round-robin one
     # timed call each per round (the shared chip drifts ~2x between
-    # multi-minute windows — back-to-back interleaving is the only fair A/B)
+    # multi-minute windows — back-to-back interleaving is the only fair A/B).
+    # Progress/results print INCREMENTALLY: 8 axon compiles can cost 10+
+    # minutes through the tunnel, and a timeout must still leave data.
     fns = {}
     for impl in impls:
         # spec: impl[:phase[:dtype]] e.g. "pallas:bitprod" or
@@ -67,21 +69,25 @@ def main():
                                 matmul_dtype=mdtype or "float32",
                                 trigger_impl="pallas")
         for k in (K_LO, K_HI):
+            t0 = time.perf_counter()
             fn = jax.jit(make_block(s, ch, k))
             int(fn(batch))                    # compile + warm
+            print(json.dumps({"compiled": f"{impl}:k{k}",
+                              "s": round(time.perf_counter() - t0, 1)}),
+                  flush=True)
             fns[(impl, k)] = fn
     best = {key: np.inf for key in fns}
-    for _ in range(n_rounds):
+    for r in range(n_rounds):
         for key, fn in fns.items():
             t0 = time.perf_counter()
             int(fn(batch))
             best[key] = min(best[key], time.perf_counter() - t0)
-    for impl in impls:
-        t = (best[(impl, K_HI)] - best[(impl, K_LO)]) / (K_HI - K_LO)
-        print(json.dumps({"placement_impl": impl,
-                          "ms_per_step": round(t * 1e3, 2),
-                          "events_per_s": round(65536 / t, 0)}),
-              flush=True)
+        for impl in impls:
+            t = (best[(impl, K_HI)] - best[(impl, K_LO)]) / (K_HI - K_LO)
+            print(json.dumps({"round": r, "placement_impl": impl,
+                              "ms_per_step": round(t * 1e3, 2),
+                              "events_per_s": round(65536 / t, 0)}),
+                  flush=True)
 
 
 if __name__ == "__main__":
