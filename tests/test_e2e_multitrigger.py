@@ -139,6 +139,7 @@ def test_threshold_ladder_one_pass(tmp_path):
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN),
                     reason="multi-trigger golden not generated")
+@pytest.mark.heavy
 def test_three_named_triggers_match_reference():
     """Three named triggers (high-low all channels, simple threshold on a
     channel SUBSET, phased array) in one pass reproduce the reference's

@@ -81,6 +81,7 @@ def test_veff_within_mc_error(golden, results):
         (res["veff"], ref_veff)
 
 
+@pytest.mark.heavy
 def test_noiseless_pa_exact_triggered_set():
     """NOISELESS phased-array e2e: with noise off AND the Alvarez2009 k_L
     realizations pinned through the input file (both frameworks reuse

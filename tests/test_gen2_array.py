@@ -8,6 +8,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# the composed Gen2 goldens dominate suite wall-clock (fixture ~7 min +
+# mesh-equality ~18 min on the 1-core host): heavy tier
+pytestmark = pytest.mark.heavy
+
 from nuradiomc_tpu.parallel import mesh as mesh_util
 from nuradiomc_tpu.sim import evtgen
 from nuradiomc_tpu.sim.simulation import FilterStage, Simulation, TriggerSpec

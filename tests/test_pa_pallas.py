@@ -10,6 +10,7 @@ tolerance.
 """
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nuradiomc_tpu.ops import adc as adc_ops
 from nuradiomc_tpu.ops import phased_array
@@ -89,6 +90,7 @@ def test_fused_pa_matches_xla_chain():
                                    np.abs(full).max(axis=-1), rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_fused_pa_e2e_golden_decisions():
     """The production pipeline with trigger_impl='pallas' on the validated
     PA e2e workload must reproduce the XLA path's triggered set (same

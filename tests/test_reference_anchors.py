@@ -154,6 +154,7 @@ def test_askaryan_reference_v2_anchor(model, block):
                 i += 1
 
 
+@pytest.mark.heavy
 def test_birefringence_reference_BF_anchor():
     """The reference's committed birefringence regression set
     (T07test_birefringence.py: 10 seeded geometries, band-limited delta

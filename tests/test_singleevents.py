@@ -355,6 +355,7 @@ ALLOWED_ARZ_SLIPS = set()
 
 @pytest.mark.skipif(not (os.path.exists(GOLDEN_ARZ) and os.path.exists(INPUT)),
                     reason="ARZ SingleEvents golden or reference input missing")
+@pytest.mark.heavy
 def test_singleevents_arz_matches_reference(tmp_path):
     """The reference's ARZ SingleEvents CI variant (validate_ARZ.sh,
     config_ARZ.yaml): the semi-MC ARZ2020 Askaryan model + the
