@@ -368,6 +368,9 @@ class Simulation:
         self._jit_pipeline_ch = _call
         self._jit_pipeline = lambda batch, key: self._jit_pipeline_ch(
             batch, key, self.channel_params)
+        # single-device packed executor state (see _packed_step_for)
+        self._jit_packed_by_station = {}
+        self._dev_batch_cache = None
 
 
     def _build_emitter_params(self):
@@ -797,6 +800,92 @@ class Simulation:
             mode=mode, cross_section_type=xsec,
             vertex_position=vertices, phi_nu=inp.azimuths[first])
 
+    def _packed_step_for(self, station_id):
+        """Single-device executor program: slice the DEVICE-RESIDENT padded
+        batch at ``offset`` in-jit, run the pipeline, and return TWO packed
+        arrays — per-group summary and flattened per-solution observables —
+        so one chunk costs two host fetches and zero per-chunk uploads.
+
+        Why: the measured 5e4-event campaign on the tunneled chip spent
+        69 of 70 s in the executor at ~18 fetches + ~15 uploads per chunk
+        x 70-110 ms per tunnel RPC (exec_timing split, 2026-08-20) — the
+        executor was RPC-latency-bound, not compute- or bandwidth-bound.
+        On local hosts the same packing removes per-chunk H2D copies and
+        D2H syncs. Returns (jit_fn, spec) where spec["layout"] (captured
+        at trace time, when shapes are static) maps persol columns back to
+        named per-solution fields.
+        """
+        if station_id in self._jit_packed_by_station:
+            return self._jit_packed_by_station[station_id]
+        from nuradiomc_tpu.utils import geometry as geo
+        chp = self.channel_params_per_station[station_id]
+        cs = self.chunk_size
+        spec = {}
+
+        def step(batch_dev, offset, key):
+            chunk = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, offset, cs, 0),
+                batch_dev)
+            out = simulate_batch(chunk, chp, self.settings, noise_key=key,
+                                 arz_library=self.arz_library,
+                                 emitter=self._emitter)
+            rd = out.trigger_time.dtype
+
+            def flat(x):
+                return x.reshape(cs, -1).astype(rd)
+
+            summary = jnp.concatenate(
+                [flat(out.triggered), flat(out.trigger_time),
+                 flat(out.max_amplitude), flat(out.triggered_per),
+                 flat(out.trigger_times_per)], axis=1)
+            # cartesian polarization at the antenna (HDF5_structure.rst):
+            # rotated on-device so the drain needs no extra dispatch
+            rec = out.receive_vector
+            zen = jnp.arccos(jnp.clip(rec[..., 2], -1.0, 1.0))
+            az = jnp.arctan2(rec[..., 1], rec[..., 0])
+            pol_cart = geo.onsky_to_ground(out.polarization, zen, az)
+            fields = {
+                "max_amp_shower_and_ray": out.max_amp_per_solution,
+                "ray_tracing_C0": out.c0,
+                "ray_tracing_C1": out.c1,
+                "ray_tracing_solution_type": out.sol_type,
+                "ray_tracing_reflection": out.reflection,
+                "ray_tracing_reflection_case": out.refl_case,
+                "focusing_factor": out.focusing,
+                "launch_vectors": out.launch_vector,
+                "receive_vectors": out.receive_vector,
+                "polarization": pol_cart,
+                "travel_times": out.travel_time,
+                "travel_distances": out.path_length,
+                "sol_mask": out.sol_mask,
+            }
+            spec["layout"] = [(k, tuple(int(d) for d in v.shape[1:]))
+                              for k, v in fields.items()]
+            persol = jnp.concatenate([flat(v) for v in fields.values()],
+                                     axis=1)
+            return summary, persol
+
+        entry = (jax.jit(step), spec)
+        self._jit_packed_by_station[station_id] = entry
+        return entry
+
+    def _device_batch(self, batch, g_pad):
+        """Upload the FULL (padded) batch once per run; chunks are sliced
+        on-device. Cached across stations (run() clears the cache)."""
+        key = (id(batch), g_pad)
+        if (self._dev_batch_cache is not None
+                and self._dev_batch_cache[0] == key):
+            return self._dev_batch_cache[1]
+        G = batch.energies.shape[0]
+
+        def _pad_full(a):
+            a = np.asarray(a)
+            return np.pad(a, [(0, g_pad - G)] + [(0, 0)] * (a.ndim - 1))
+
+        dev = jax.jit(lambda b: b)(jax.tree.map(_pad_full, batch))
+        self._dev_batch_cache = (key, dev)
+        return dev
+
     def _run_station(self, station_id, batch, seed_offset=0):
         """Chunked pipeline over all groups for one station.
 
@@ -834,6 +923,69 @@ class Simulation:
         # (the blocking np.asarray is what forces the sync)
         in_flight = []
         MAX_IN_FLIGHT = 2
+
+        if self.mesh is None:
+            # ---- packed single-device executor: one batch upload per run,
+            # on-device chunk slicing, two fetches per chunk ---------------
+            step_fn, spec = self._packed_step_for(station_id)
+            dev_batch = self._device_batch(batch, n_chunks * self.chunk_size)
+            C = max_amp.shape[1]
+            cd = np.asarray(chp.cable_delays)
+
+            def dispatch(i):
+                nonlocal key
+                t0 = time.perf_counter()
+                sl = slice(i * self.chunk_size,
+                           min((i + 1) * self.chunk_size, G))
+                key, sub = jax.random.split(key)
+                summary, persol = step_fn(
+                    dev_batch, np.int32(i * self.chunk_size), sub)
+                in_flight.append((sl, summary, persol))
+                self.exec_timing["pack_dispatch_s"] += \
+                    time.perf_counter() - t0
+
+            def drain_one():
+                t0 = time.perf_counter()
+                sl, summary, persol = in_flight.pop(0)
+                n_real = sl.stop - sl.start
+                S = np.asarray(summary)[:n_real]
+                trig = S[:, 0] > 0.5
+                triggered[sl] = trig
+                trigger_times[sl] = S[:, 1]
+                max_amp[sl] = S[:, 2:2 + C]
+                trig_per[sl] = S[:, 2 + C:2 + C + T] > 0.5
+                tt_per[sl] = S[:, 2 + C + T:2 + C + 2 * T]
+                idx = np.where(trig)[0]
+                if len(idx):
+                    # second fetch only when the chunk has triggered rows
+                    P = np.asarray(persol)[:n_real][idx]
+                    station_rows["g_idx"].append(idx + sl.start)
+                    off = 0
+                    for name, shape in spec["layout"]:
+                        w = int(np.prod(shape)) if shape else 1
+                        col = P[:, off:off + w].reshape(
+                            (len(idx),) + shape)
+                        off += w
+                        if name in ("ray_tracing_solution_type",
+                                    "ray_tracing_reflection_case"):
+                            col = np.rint(col).astype(np.int32)
+                        elif name == "sol_mask":
+                            col = col > 0.5
+                        station_rows[name].append(col)
+                        if name == "travel_times":
+                            station_rows["time_shower_and_ray"].append(
+                                col + cd[None, None, :, None])
+                self.exec_timing["drain_fetch_s"] += \
+                    time.perf_counter() - t0
+
+            for i in range(n_chunks):
+                dispatch(i)
+                if len(in_flight) >= MAX_IN_FLIGHT:
+                    drain_one()
+            while in_flight:
+                drain_one()
+            return (triggered, max_amp, trigger_times, station_rows,
+                    trig_per, tt_per)
 
         def dispatch(i):
             nonlocal key
@@ -914,6 +1066,7 @@ class Simulation:
         (output_writer_hdf5.py:350-381 aggregation semantics)."""
         group_ids, start, count, order, batch = self._build_batches()
         G = batch.energies.shape[0]
+        self._dev_batch_cache = None    # fresh upload per run (id() reuse)
         weights = self._weights(group_ids, start, count, order)
 
         T = len(self.triggers)
