@@ -20,10 +20,17 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-# TPU v5e single-chip peaks (public spec: 394 int8 TOPS, 197 bf16 TFLOPs,
-# f32 on the MXU at ~1/4 bf16; HBM2E 819 GB/s)
+# THIS chip's measured peaks (tools/microbench_chip.py, 2026-08-20,
+# k-differenced chained 4096^3 matmuls; the independent-iteration variant
+# reproduces f32 at 38.8): f32-input default-precision matmul 39.7
+# TFLOP/s (datasheet-consistent v5e: 197 bf16 / ~5 passes), bf16-input
+# 156.7 TFLOP/s (80% of the 197 datasheet peak). Round-4's "156 TFLOP/s
+# f32" was a mis-accounting — no f32-input matmul on this chip exceeds
+# ~40. HBM from the v5e datasheet (819 GB/s HBM2E) until the stream
+# microbench lands a clean window.
 PEAK_HBM_GBPS = 819.0
-PEAK_F32_TFLOPS = 49.0
+PEAK_F32_TFLOPS = 39.7
+PEAK_BF16_TFLOPS = 156.7
 
 K_HI, K_LO, N_BLOCKS = 5, 1, 3
 
