@@ -122,8 +122,11 @@ class PipelineSettings:
     # v3 kernel phase-table construction: "table" (in-kernel cos/sin),
     # "bitprod" (bit-product from one sincos/row — ~20x fewer VPU
     # transcendentals, few-ulp different), "input" (XLA-side tables
-    # streamed in). Only consulted when placement_impl == "pallas_v3".
-    placement_phase: str = "table"
+    # streamed in — XLA overlaps the sincos with other stages and the
+    # kernel sheds its transcendental load entirely). Chip A/B 2026-08-20
+    # (drift-fair, best-of-4): table 38.0 ms/step, bitprod 36.2,
+    # input 30.8 — "input" is the default.
+    placement_phase: str = "input"
     # trigger stage implementation: "xla" (irfft matmul + boolean shift-OR
     # windows over HBM-resident traces) or "pallas"
     # (ops.trigger_pallas.fused_irfft_trigger — irfft + high/low windows +
