@@ -114,7 +114,18 @@ EXPECTED_COUNTS = {
 #          bug shifts >=8 sources, so it cannot pass)
 #   rt:    68/262144 pairs differing by +-1..2 solutions (shadow-boundary
 #          bisection flips)              -> bound 256 pairs AND |delta|<=2
-#   gen2:  per-(group)-station-count vector, bound 8 of 256 groups
+#   gen2:  per-(group)-station-count vector, bound 8 of 256 groups.
+#          History: the FIRST on-chip run (2026-08-20) measured 23 flips
+#          against the then-current pin and was a real bug, not chip
+#          rounding — the f32-catastrophic birefringence eigenvector
+#          formula amplified e^30..e^70 on BOTH backends, differently
+#          per backend (tools/attribute_gen2_flips.py: flip margins up
+#          to |1.8|, NaNs). After the reconditioned eigenbasis
+#          (ops/birefringence.py _eigensystem_2x2) the pin moved
+#          146 -> 63 of 256 (half the old "triggers" were garbage) and
+#          the chip matches the CPU pin with ZERO flips; bound 8 kept as
+#          headroom for the measured 0.16-p99 cross-backend margin
+#          perturbation of the f32 scan.
 VECTOR_PINS = {
     "veff_pallas_f32": ("veff_trig", "groups", 56),
     "veff_xla_f32": ("veff_trig", "groups", 56),

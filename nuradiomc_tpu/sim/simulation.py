@@ -135,7 +135,9 @@ class Simulation:
         # _run_station calls: pack_dispatch_s = host-side chunk packing +
         # async dispatch; drain_fetch_s = blocking result fetches (device-
         # bound wait + host readback). Reset it before timed campaigns.
-        self.exec_timing = {"pack_dispatch_s": 0.0, "drain_fetch_s": 0.0}
+        self.exec_timing = {"pack_dispatch_s": 0.0, "drain_fetch_s": 0.0,
+                            "batch_upload_s": 0.0,
+                            "dispatch_chunk_s": [], "drain_chunk_s": []}
         self.nur_outputfilename = nur_outputfilename
         self.antenna_replacements = antenna_replacements or {}
         # SPICE pulser archive (emitter model 'efield_idl1_spice'):
@@ -882,7 +884,9 @@ class Simulation:
             a = np.asarray(a)
             return np.pad(a, [(0, g_pad - G)] + [(0, 0)] * (a.ndim - 1))
 
+        t0 = time.perf_counter()
         dev = jax.jit(lambda b: b)(jax.tree.map(_pad_full, batch))
+        self.exec_timing["batch_upload_s"] += time.perf_counter() - t0
         self._dev_batch_cache = (key, dev)
         return dev
 
@@ -941,8 +945,11 @@ class Simulation:
                 summary, persol = step_fn(
                     dev_batch, np.int32(i * self.chunk_size), sub)
                 in_flight.append((sl, summary, persol))
-                self.exec_timing["pack_dispatch_s"] += \
-                    time.perf_counter() - t0
+                dt = time.perf_counter() - t0
+                self.exec_timing["pack_dispatch_s"] += dt
+                # per-chunk attribution: chunk 0 carries the lazy jit
+                # compile; steady-state dispatch is the tail of this list
+                self.exec_timing["dispatch_chunk_s"].append(dt)
 
             def drain_one():
                 t0 = time.perf_counter()
@@ -975,8 +982,9 @@ class Simulation:
                         if name == "travel_times":
                             station_rows["time_shower_and_ray"].append(
                                 col + cd[None, None, :, None])
-                self.exec_timing["drain_fetch_s"] += \
-                    time.perf_counter() - t0
+                dt = time.perf_counter() - t0
+                self.exec_timing["drain_fetch_s"] += dt
+                self.exec_timing["drain_chunk_s"].append(dt)
 
             for i in range(n_chunks):
                 dispatch(i)

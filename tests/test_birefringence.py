@@ -56,6 +56,46 @@ def test_pulse_propagation_matches_reference(golden):
                                    atol=2e-2, err_msg=f"sol {k} phi")
 
 
+def test_propagation_is_unitary_at_float32():
+    """Regression for the gen2 e^30..e^70 trace blowups (2026-08-20): the
+    reference's eigenvector formula s_i/(n^2-n_i^2) is cancellation
+    garbage at f32 near a principal index, and the transpose-back scan
+    amplified the non-orthogonality exponentially over the path. The
+    reconditioned scan is R^T diag(k1^2, k2^2 phase) R with R an exact
+    rotation and k_i <= 1 the reference's walk-off damping, so
+    per-frequency TOTAL POWER |eTheta|^2 + |ePhi|^2 can only DECREASE
+    (by the tiny physical damping, <~1e-3 over km paths) — on every
+    path, in f32, with no special-casing."""
+    ice = ice_models.southpole_2015
+    rng = np.random.default_rng(7)
+    ff = jnp.asarray(np.fft.rfftfreq(256, 0.5).astype(np.float32))
+    spec_t = jnp.asarray((rng.normal(size=len(ff))
+                          + 1j * rng.normal(size=len(ff))).astype(np.complex64))
+    spec_p = jnp.asarray((rng.normal(size=len(ff))
+                          + 1j * rng.normal(size=len(ff))).astype(np.complex64))
+
+    # deep, long-horizontal paths of the kind that blew up (incl. a
+    # near-vertical one that sits near the principal-axis degeneracy)
+    for x1, x2 in [((2648.7, -409.2, -2583.8), (850.0, 1470.0, -100.0)),
+                   ((-883.8, 2781.6, -2285.9), (0.0, 0.0, -150.0)),
+                   ((5.0, 0.0, -2600.0), (0.0, 0.0, -100.0))]:
+        geom = raytrace.to_2d(jnp.asarray(x1, jnp.float32),
+                              jnp.asarray(x2, jnp.float32))
+        sols = raytrace.find_solutions(geom.x1y, geom.x1z, geom.x2y,
+                                       geom.x2z, ice)
+        slot = int(np.argmax(np.asarray(sols.mask)))
+        assert bool(np.asarray(sols.mask)[slot])
+        path = birefringence.path_points_3d(
+            jnp.float32(sols.c0[slot]), geom, ice, 256)
+        out_t, out_p = birefringence.propagate_pulse(
+            spec_t, spec_p, jnp.asarray(path, jnp.float32), ff, ice)
+        p_in = np.abs(np.asarray(spec_t)) ** 2 + np.abs(np.asarray(spec_p)) ** 2
+        p_out = (np.abs(np.asarray(out_t)) ** 2
+                 + np.abs(np.asarray(out_p)) ** 2)
+        assert np.all(p_out <= p_in * (1 + 1e-4)), "scan amplified power"
+        assert np.all(p_out >= p_in * (1 - 5e-3)), "over-damped"
+
+
 def test_pipeline_birefringence_toggle_matches_ops():
     """Toggling PipelineSettings.birefringence applies exactly the standalone
     ops transformation (propagate_pulse on the same fixed-K path) to the
