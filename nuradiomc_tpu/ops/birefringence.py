@@ -224,17 +224,22 @@ def propagate_pulse(spec_theta, spec_phi, path_xyz, frequencies,
     ok = (jnp.isfinite(cpsi) & jnp.isfinite(spsi) & jnp.isfinite(dt_rel)
           & (seg_len > 0))
 
-    phase = jnp.exp(-2j * jnp.pi * frequencies[None, :] * dt_rel[:, None])
     # follow the spectrum dtype (the model tables are f64 on the host)
     cdtype = jnp.result_type(spec_theta)
     rdtype = jnp.finfo(cdtype).dtype
     cpsi, spsi = cpsi.astype(rdtype), spsi.astype(rdtype)
     k1sq, k2sq = k1sq.astype(rdtype), k2sq.astype(rdtype)
-    phase = phase.astype(cdtype)
+    ffr = frequencies.astype(rdtype)
 
     def seg(carry, xs):
         st, sp = carry
-        cc, ss, k1, k2, ph, valid = xs
+        cc, ss, k1, k2, dt, valid = xs
+        # phase computed IN-STEP from the scalar dt: precomputing it as a
+        # scan input materializes a [paths, K, F] complex array when the
+        # pipeline vmaps over solutions (~10 GB for the gen2 workload —
+        # the reason G=512 exhausted HBM), vs K*F in-register sincos here
+        arg = (-2.0 * jnp.pi) * dt * ffr
+        ph = jax.lax.complex(jnp.cos(arg), jnp.sin(arg))
         b0 = k1 * (cc * st + ss * sp)    # fast mode (n1)
         b1 = k2 * (-ss * st + cc * sp)   # slow mode (n2)
         b1 = b1 * ph
@@ -245,5 +250,6 @@ def propagate_pulse(spec_theta, spec_phi, path_xyz, frequencies,
         return (st, sp), None
 
     (out_t, out_p), _ = jax.lax.scan(
-        seg, (spec_theta, spec_phi), (cpsi, spsi, k1sq, k2sq, phase, ok))
+        seg, (spec_theta, spec_phi), (cpsi, spsi, k1sq, k2sq,
+                                      dt_rel.astype(rdtype), ok))
     return out_t, out_p
